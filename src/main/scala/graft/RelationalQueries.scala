@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.ops.Relational
+
+/** Relational / ETL query registry (SURVEY §2.2–§2.5) over the
+  * TPC-H-ish tables. Each query is the declarative plan you'd want at
+  * 100 TB: filters/projections reach the scan, small dimensions are
+  * broadcast, aggregates get map-side partials, top-k is
+  * TakeOrderedAndProject (no global sort shuffle).
+  */
+object RelationalQueries {
+
+  /** Monetary sums go through DECIMAL(18,2) so the distributed sum is
+    * exact and order-independent — see GraftFunctions.dsum.
+    */
+  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  private val sumRevenue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // A1/A5-shape — TPC-H Q1-style pricing summary: scan one table,
+    // filter pushed to parquet, hash agg with map-side partials.
+    QueryDef("q1_pricing_summary",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        | $sumQty AS sum_qty,
+        | $sumPrice AS sum_base_price,
+        | $sumRevenue AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // J — fact⋈fact join + group + top-k. orders side is filtered before
+    // the join; final top-10 runs as TakeOrderedAndProject.
+    QueryDef("q3_topk_revenue",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+          .orderBy(desc("revenue"), col("o_custkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_custkey, $sumRevenue AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey
+        |LIMIT 10""".stripMargin)),
+
+    // J — multi-way star join (TPC-H Q5 shape): local-supplier revenue
+    // by nation for one region+year. nation/region/supplier/customer are
+    // broadcast dims; only lineitem⋈orders shuffles.
+    QueryDef("q5_local_supplier_revenue",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val c = Tables.load(s, dir, "customer")
+        val su = Tables.load(s, dir, "supplier")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region").where(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""SELECT n_name, $sumRevenue AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)),
+
+    // J3 — anti join: customers with no orders, by segment.
+    QueryDef("anti_join_no_orders",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders").select(col("o_custkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)),
+
+    // J3 — semi join: nations having at least one >N-acctbal supplier.
+    QueryDef("semi_join_supplier_nations",
+      (s, dir) => {
+        val n = Tables.load(s, dir, "nation")
+        val su = Tables.load(s, dir, "supplier").where(col("s_acctbal") > 5000)
+        n.join(su, col("n_nationkey") === col("s_nationkey"), "left_semi")
+          .select(col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name
+        |FROM nation
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |              WHERE s_nationkey = n_nationkey AND s_acctbal > 5000)
+        |ORDER BY n_nationkey""".stripMargin)),
+
+    // A2 — first-per-group dedup with explicit deterministic order
+    // (reference keeps first-in-file; etl_sampling_by_key.py:42-53).
+    QueryDef("dedup_first_order_per_customer",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        Relational.dedupFirst(o, Seq("o_custkey"),
+            Seq(col("o_orderdate"), col("o_orderkey")))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // O1 — per-group capped sample, deterministic hash order
+    // (etl_sampling_by_key.py:56-80).
+    QueryDef("group_sample_lineitem",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        Relational.groupSample(li, Seq("l_suppkey"), 5,
+            Seq(col("l_orderkey"), col("l_linenumber")))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY ((l_orderkey * 1000003 + l_linenumber) * 2654435761 + 12345) % 1000003,
+        |                   l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // O2 — group-wise train/val/test split, no key leakage
+    // (etl_split_data_by_key.py:27-55). Verified via split sizes.
+    QueryDef("group_split_customers",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        Relational.groupSplit(c, "c_custkey", 80, 10)
+          .groupBy(col("split")).agg(count(lit(1)).as("n"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT split, COUNT(*) AS n
+        |FROM (SELECT CASE
+        |        WHEN (c_custkey * 2654435761 + 12345) % 100 < 80 THEN 'train'
+        |        WHEN (c_custkey * 2654435761 + 12345) % 100 < 90 THEN 'val'
+        |        ELSE 'test' END AS split
+        |      FROM customer)
+        |GROUP BY split
+        |ORDER BY split""".stripMargin)),
+
+    // A4 — group-size distribution, descending
+    // (etl_sampling_by_key.py:83-90).
+    QueryDef("distribution_orders_by_priority",
+      (s, dir) => Relational.distribution(
+        Tables.load(s, dir, "orders"), "o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY cnt DESC, o_orderpriority""".stripMargin)),
+
+    // P5 — low-length filter (etl_slimpajama_dc_proc.py:140-144).
+    QueryDef("length_filter_documents",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Relational.lengthFilter(d, "text", 60)
+          .select(col("doc_id"), wordCount(col("text")).as("n_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_words
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 60
+        |ORDER BY doc_id""".stripMargin)),
+
+    // P1+P4 — scope projection with invalid-value filtering
+    // (instructions_runners.py:42-61).
+    QueryDef("scope_project_documents",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Relational.scopeProjectValid(d, Seq("doc_id", "text", "lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text, lang
+        |FROM documents
+        |WHERE (doc_id IS NOT NULL)
+        |   OR (text IS NOT NULL AND TRIM(text) NOT IN ('', 'NA', 'N/A'))
+        |   OR (lang IS NOT NULL AND TRIM(lang) NOT IN ('', 'NA', 'N/A'))
+        |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.ops.Text
+
+/** Text-analysis query registry (pretraining-corpus signals over the
+  * `documents` table): token counting, quality scoring, language-ID,
+  * fingerprinting. All single-table scan→project pipelines — at scale
+  * each runs as one WholeStageCodegen pass over the parquet scan with
+  * only the referenced columns read.
+  */
+object TextQueries {
+
+  // Oracle-side mirrors of the Scala expressions (DuckDB dialect).
+  private val swAll = Text.LangProfiles.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+  private def swLang(i: Int) = Text.LangProfiles(i)._2.map(w => s"'$w'").mkString(", ")
+  private val punctSql = """[.,!?;:''"()\-]""" // '' = escaped quote inside SQL literal
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // F12 + A7/L14 — word + BPE-ish token counts per document
+    // (reference: etl_slimpajama_dc_proc.py:142; cost_estimator_inf.py:35-78).
+    QueryDef("text_token_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            wordCount(col("text")).as("n_words"),
+            bpeTokenCount(col("text")).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_words,
+        | len(regexp_extract_all(text, '$BpeTokenPattern')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring — length band, punct ratio, stopword ratio, mean
+    // word length (Gopher/C4-style surface heuristics).
+    QueryDef("text_quality",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            round(Text.qualityScore(col("text")), 6).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS len,
+        |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |  (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |  + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic — stopword-profile argmax per document,
+    // reported as a per-language histogram (verifies every row's
+    // classification through the counts).
+    QueryDef("text_lang_id",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(Text.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang_pred"))
+      },
+      Some(s"""WITH h AS (
+        |  SELECT
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(0)}))) AS h_en,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(1)}))) AS h_es,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(2)}))) AS h_de
+        |  FROM documents),
+        |p AS (
+        |  SELECT CASE
+        |    WHEN h_en + h_es + h_de = 0 THEN 'und'
+        |    WHEN h_en >= h_es AND h_en >= h_de THEN 'en'
+        |    WHEN h_es >= h_de THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM h)
+        |SELECT lang_pred, COUNT(*) AS n FROM p
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
+
+    // Content fingerprint — md5 of whitespace-normalized lowercased
+    // text (exact-dedup identity).
+    QueryDef("text_fingerprint",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Rolling polynomial fingerprint (order-sensitive content hash) —
+    // no compact ANSI-SQL equivalent; driver records rows-only check,
+    // exactness is covered by TextSpec.
+    QueryDef("text_rolling_fingerprint",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

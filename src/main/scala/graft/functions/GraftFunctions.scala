@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared column expressions for the engine.
+  *
+  * Design note: everything here is a pure Catalyst expression tree
+  * (whole-stage-codegen friendly) — no Scala UDFs. That keeps the hot
+  * path vectorized and lets Catalyst push projections/filters into the
+  * parquet scan, which is what matters at 100 TB.
+  */
+object GraftFunctions {
+
+  /** The reference's null-semantics: a *set* of invalid markers is
+    * treated as null (reference: src/python/instructionspipe/constants.py:9-20,
+    * used at instructions_runners.py:47-55). Whitespace-only strings
+    * are invalid too (EMPTY_VAL is three spaces).
+    */
+  val InvalidVals: Seq[String] = Seq("", "NA", "N/A")
+
+  def invalid(c: Column): Column =
+    c.isNull || trim(c).isin(InvalidVals: _*)
+
+  def valid(c: Column): Column = !invalid(c)
+
+  /** Exact sum of a 2-decimal monetary double column.
+    *
+    * Doubles summed in different orders differ in the last ulp, which
+    * breaks hash-equality against any oracle and is also
+    * non-deterministic across partitionings at scale. Casting to
+    * DECIMAL(18,2) first makes the sum exact and associative (order-
+    * independent across 1000 executors); the final cast back to double
+    * is a single deterministic IEEE rounding. Oracle SQL mirrors this:
+    * CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact average via decimal sum / count (deterministic double). */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)).as("davg")
+
+  /** Exact sum of a product of two 2-decimal columns (e.g. revenue =
+    * extendedprice * (1 - discount)). Decimal multiply is exact, so the
+    * distributed sum is order-independent.
+    */
+  def dsumProduct(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 2)) * b.cast(DecimalType(18, 2))).cast("double")
+
+  /** Whitespace word count (reference: etl_slimpajama_dc_proc.py:142). */
+  def wordCount(c: Column): Column = size(split(c, " "))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text
+    * (content-defined identity for exact dedup; md5 matches DuckDB's).
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** sha-256 cache key of a ChatML conversation
+    * (reference: llm_cli.py:101-104).
+    */
+  def chatmlKey(msgs: Column): Column = sha2(to_json(msgs), 256)
+
+  /** Deterministic pseudo-random in [0, m) from integer key columns —
+    * a multiplicative LCG step, reproducible in ANSI SQL for the
+    * oracle (unlike rand(seed), whose stream is partitioning-dependent).
+    * Used to make "random" sampling/splitting testable and stable at
+    * any cluster size.
+    */
+  def detHash(m: Long, keys: Column*): Column = {
+    val mixed = keys.reduce((a, b) => a * lit(1000003L) + b)
+    pmod(mixed * lit(2654435761L) + lit(12345L), lit(m))
+  }
+
+  /** ChatML message struct builder. */
+  def chatMessage(role: String, content: Column): Column =
+    struct(lit(role).as("role"), content.as("content"))
+
+  /** Deterministic 60-bit hash of a string, identical in Spark and
+    * DuckDB: first 15 hex digits of md5, parsed base-16. Always
+    * positive, fits a signed long. Oracle SQL equivalent:
+    * `('0x' || substring(md5(x), 1, 15))::BIGINT`.
+    *
+    * This is the primitive under every hash-based operator (minhash
+    * permutations, simhash, fingerprints, deterministic sampling):
+    * cross-engine-reproducible, seedable by prefixing a salt, and a
+    * pure codegen'd expression (md5 + conv) — no UDF.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: an independent hash family member per salt
+    * (minhash "permutations", LSH hyperplanes).
+    */
+  def md5Long(salt: Int, c: Column): Column =
+    md5Long(concat(lit(salt.toString), lit(":"), c))
+
+  /** BPE-ish tokenizer: letter runs, digit runs, or single non-space
+    * symbols — the word-piece boundary heuristic used for token
+    * counting/costing (reference: apps/cost_estimator_inf.py:35-78 uses
+    * a real HF tokenizer; this is the deterministic offline stand-in).
+    * Same regex dialect subset works in Java and DuckDB's RE2.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpeTokenPattern), lit(0))
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Cosine similarity of two double arrays as a pure expression —
+    * left-fold sum so the accumulation order is deterministic (array
+    * order), giving bit-stable results at any parallelism.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** The reference's classical (non-LLM) ETL operators, re-expressed as
+  * declarative DataFrame transforms so Catalyst can prune/push/reorder.
+  *
+  * Scale notes (100 TB): every per-group operator here is a single
+  * hash-partitioned window or aggregation — one shuffle on the group
+  * key, map-side partial aggregation where applicable, no driver-side
+  * collection, no skew-fragile cross joins.
+  */
+object Relational {
+
+  /** P1 — scope projection: per-instruction column pruning; keep only
+    * `scope` columns (reference: instructions_runners.py:42-61).
+    * Expressed as select so parquet reads only the scoped columns.
+    */
+  def scopeProject(df: DataFrame, scope: Seq[String]): DataFrame =
+    df.select(scope.map(col): _*)
+
+  /** P1b — scope projection with invalid-value row filter: drop rows
+    * where every scoped value is invalid (reference returns None for
+    * empty results, instructions_runners.py:56-61).
+    */
+  def scopeProjectValid(df: DataFrame, scope: Seq[String]): DataFrame =
+    df.select(scope.map(col): _*)
+      .where(scope.map(c => valid(col(c))).reduce(_ || _))
+
+  /** P5 — low-length filter: drop rows whose text has < k
+    * whitespace-split words (reference: etl_slimpajama_dc_proc.py:140-144).
+    */
+  def lengthFilter(df: DataFrame, textCol: String, minWords: Int): DataFrame =
+    df.where(wordCount(col(textCol)) >= minWords)
+
+  /** A2 — first-per-group dedup. The reference keeps the first row in
+    * file order (etl_sampling_by_key.py:42-53); file order is not a
+    * distributed concept, so the order is made explicit via
+    * `orderCols` — deterministic at any parallelism.
+    */
+  def dedupFirst(df: DataFrame, key: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** O1 — per-group capped sample (reference: etl_sampling_by_key.py:56-80
+    * uses Python's seeded random.sample). Reproduced with a
+    * deterministic per-row hash order: stable across partitionings and
+    * cluster sizes, unlike rand(seed), and oracle-checkable. One
+    * shuffle on the group key.
+    */
+  def groupSample(df: DataFrame, key: Seq[String], maxGroupSize: Int,
+                  hashCols: Seq[Column]): DataFrame = {
+    val h = detHash(1000003L, hashCols: _*)
+    val w = Window.partitionBy(key.map(col): _*).orderBy((h +: hashCols): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxGroupSize)
+      .drop("__rn")
+  }
+
+  /** O1-chain — multi-key chained sampling (reference `multi_sampling`,
+    * etl_sampling_by_key.py:72-80): each pass re-groups the previous
+    * pass's output.
+    */
+  def multiGroupSample(df: DataFrame, keys: Seq[Seq[String]], maxGroupSize: Int,
+                       hashCols: Seq[Column]): DataFrame =
+    keys.foldLeft(df)((d, k) => groupSample(d, k, maxGroupSize, hashCols))
+
+  /** O2 — group-wise train/val/test split with no key leakage across
+    * splits (reference: etl_split_data_by_key.py:27-55 shuffles the
+    * distinct keys). Every row of a key lands in exactly one split.
+    * Implemented as a pure expression on the key (no extra shuffle or
+    * join at all — the reference's shuffle-the-keys is equivalent to a
+    * deterministic hash assignment for ratio purposes).
+    */
+  def groupSplit(df: DataFrame, keyCol: String,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = detHash(100L, col(keyCol))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** A4 — group distribution report: histogram of group sizes,
+    * descending (reference: etl_sampling_by_key.py:83-90).
+    */
+  def distribution(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(key))
+
+  /** Top-k by aggregate — group, sum, order, limit. The sort after the
+    * aggregation is a TakeOrderedAndProject at execution time (no full
+    * sort shuffle for small k).
+    */
+  def topKByAgg(df: DataFrame, key: Seq[String], agg: Column, k: Int): DataFrame =
+    df.groupBy(key.map(col): _*).agg(agg.as("agg_val"))
+      .orderBy(desc("agg_val"), col(key.head))
+      .limit(k)
+}

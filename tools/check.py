@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local correctness checker mimicking the driver's DuckDB-oracle
+compare: for each query output parquet written by graft.Verify, run the
+declared oracle SQL in DuckDB over the same sf tables, sort columns by
+name, and compare values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Dev tool only — not part of the Spark library.
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = canon(con.sql(
+            f"SELECT * FROM read_parquet({spark_files!r})").df())
+        try:
+            want = canon(con.sql(oracles[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        ok_schema = list(got.columns) == list(want.columns)
+        ok_rows = len(got) == len(want)
+        ok_vals = ok_schema and ok_rows and got.equals(want)
+        if ok_schema and ok_rows and not ok_vals:
+            # dtype-only mismatches (int32 vs int64 …) count as equal;
+            # the driver hashes values, not dtypes
+            value_diff = False
+            for c in got.columns:
+                if got[c].equals(want[c]):
+                    continue
+                neq = ~(got[c].eq(want[c]) | (got[c].isna() & want[c].isna()))
+                if neq.any():
+                    value_diff = True
+                    i = neq[neq].index[0]
+                    print(f"  {name}.{c} differs at row {i}: "
+                          f"spark={got[c][i]!r} oracle={want[c][i]!r} "
+                          f"(dtype {got[c].dtype} vs {want[c].dtype})")
+            if not value_diff:
+                ok_vals = True
+        if ok_vals:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: schema_ok={ok_schema} rows={len(got)}/{len(want)}")
+            if not ok_schema:
+                print(f"  spark cols:  {list(got.columns)}")
+                print(f"  oracle cols: {list(want.columns)}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
