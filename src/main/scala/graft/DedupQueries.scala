@@ -1,3 +1,167 @@
 package graft
 
-object DedupQueries { def defs: Seq[QueryDef] = Seq() }
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.ops.Similarity
+
+/** Deduplication query registry: exact, MinHash-LSH, n-gram Jaccard,
+  * SimHash, embedding-cosine — the corpus-dedup family (reference
+  * J1/A2/A3/ST1: apps/etl/etl_slimpajama_dc_proc.py). Oracle SQL for
+  * the hash-based operators is *generated* from the same constants as
+  * the Scala expressions, so both engines compute bit-identical
+  * integer arithmetic.
+  */
+object DedupQueries {
+
+  import Similarity.{MersennePrime31 => P, Base30Mod => B30}
+
+  private val NumPerms = 64
+  private val Bands = 16
+  private val Rows = 4
+  private val ShingleN = 5
+
+  /** DuckDB mirror of md5Long. */
+  private def md5LongSql(x: String) = s"('0x' || substring(md5($x), 1, 15))::BIGINT"
+
+  /** DuckDB mirror of wordShingles(text, ShingleN): distinct word
+    * 5-grams; range() yields [] when the doc is too short.
+    */
+  private val shinglesSql =
+    s"list_distinct(list_transform(range(1, len(w) - ${ShingleN - 2}), i -> array_to_string(w[i:i+${ShingleN - 1}], ' ')))"
+
+  /** Generated CTE chain: shingle → base30 → 64 min-aggregates →
+    * 16 band values (UNION ALL) → candidate pairs.
+    */
+  private def lshPairsSql: String = {
+    val mins = (0 until NumPerms)
+      .map(i => s"min((b * ${2L * i + 1} + ${7919L * i + 12345L}) % $P) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { j =>
+      val bv = (0 until Rows).map(r => s"m${j * Rows + r}")
+        .reduce((a, b) => s"($a * 31 + $b)")
+      s"SELECT doc_id, $j AS band, $bv AS bv FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w),
+       |hb AS (SELECT doc_id, ${md5LongSql("s")} % $B30 AS b FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hb GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Generated DuckDB mirror of Similarity.simhash (16-bit). */
+  private def simhashSql: String = {
+    val terms = (0 until Similarity.SimHashBits).map { bit =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $bit) & 1) * 2 - 1)) > 0 THEN ${1L << bit} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(string_split(text, ' '), tok -> ${md5LongSql("tok")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id, $terms AS sh
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // A2/A3 — exact dedup by content fingerprint, lowest-id-wins.
+    // Input is documents ∪ documents so the dedup actually halves the
+    // data (the synthetic corpus has no byte-identical texts).
+    QueryDef("dedup_exact",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val u = d.union(d)
+        val survivors = u
+          .groupBy(fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        survivors.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM documents),
+        |s AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM u GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |SELECT d.source, COUNT(*) AS n
+        |FROM s JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // J1 — MinHash-LSH near-dup detection: doc_ids dropped because they
+    // share an LSH band bucket with a lower-id doc (first-seen-wins,
+    // most_dup=0; reference etl_slimpajama_dc_proc.py:146-158).
+    QueryDef("dedup_minhash_lsh",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text", NumPerms, ShingleN)
+        Similarity.lshCandidatePairs(sig, "doc_id", Bands, Rows)
+          .select(col("id_b").as("doc_id")).distinct()
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$lshPairsSql
+        |SELECT DISTINCT id_b AS doc_id FROM pairs ORDER BY doc_id""".stripMargin)),
+
+    // J1-exact — n-gram Jaccard pairs via inverted-index self-join
+    // (the exact counterpart the LSH path approximates).
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.jaccardPairs(d, "doc_id", "text", ShingleN, 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, $shinglesSql AS ss FROM w),
+        |ex AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+        |FROM p
+        |WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash — 16-bit signature per doc (near-dup = small hamming
+    // distance; the signature is the verifiable deterministic core).
+    QueryDef("dedup_simhash",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), Similarity.simhash(col("text")).as("sh"))
+          .orderBy(col("doc_id"))
+      },
+      Some(simhashSql)),
+
+    // Embedding-cosine near-dup: same-label pairs above a similarity
+    // threshold. Label acts as the blocking key (at 100 TB the
+    // blocking key bounds the pair blow-up; an unblocked variant is
+    // the ANN path in SimilarityQueries).
+    QueryDef("dedup_embedding_cosine",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("emb"))
+        val a = e.as("a")
+        val b = e.as("b")
+        a.join(b, col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            round(cosine(col("a.emb"), col("b.emb")), 6).as("cos"))
+          .where(col("cos") >= 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

@@ -1,3 +1,143 @@
 package graft
 
-object EventQueries { def defs: Seq[QueryDef] = Seq() }
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Event-stream analytics over the `events` table (batch mirror of the
+  * streaming operators in graft.streaming): tumbling/sliding windows,
+  * gap-based sessionization, funnel analysis, JSON property
+  * extraction. Each runs as one shuffle on its natural key; the
+  * window assignment itself is a scan-time expression.
+  */
+object EventQueries {
+
+  private val SessionGapUs = 1800L * 1000000L // 30 min in microseconds
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Tumbling event-time window via the real window() operator
+    // (streaming-identical semantics in batch).
+    QueryDef("events_hourly_window",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("hour"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // Sliding window (2h length, 1h slide): each event lands in two
+    // windows; Spark's window() generates them at scan time.
+    QueryDef("events_sliding_window",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("n"))
+          .orderBy(col("win_start"))
+      },
+      Some("""WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+        |  FROM events)
+        |SELECT win_start, COUNT(*) AS n
+        |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // Gap-based sessionization: a new session starts after >30 min of
+    // user inactivity. lag + running sum over the per-user window —
+    // one shuffle on user_id. Microsecond epochs keep the gap test
+    // exact in both engines.
+    QueryDef("events_sessionize",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSession = when(
+          unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byUser)) > SessionGapUs, 1)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0)
+        val sessions = e
+          .withColumn("__new", newSession)
+          .withColumn("session_seq",
+            sum(col("__new")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessions.groupBy(col("user_id"))
+          .agg(max(col("session_seq")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+        |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g)
+        |SELECT user_id, MAX(session_seq) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Funnel: users whose first signup precedes their first purchase.
+    QueryDef("events_funnel",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val perUser = e
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        perUser.agg(
+          count(col("first_signup")).as("n_signup_users"),
+          count(when(col("first_signup") < col("first_purchase"), 1))
+            .as("n_converted"))
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(first_signup) AS n_signup_users,
+        |       COUNT(CASE WHEN first_signup < first_purchase THEN 1 END) AS n_converted
+        |FROM u""".stripMargin)),
+
+    // P8/F5 — JSON property extraction from the string props column,
+    // aggregated: the extraction is a scan-time expression (pushed
+    // next to the parquet read, no UDF).
+    QueryDef("events_props_histogram",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+          .groupBy(col("k_mod")).agg(count(lit(1)).as("n"))
+          .orderBy(col("k_mod"))
+      },
+      Some("""SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+
+    // Per-user activity profile.
+    QueryDef("events_user_stats",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"),
+            countDistinct(col("event_type")).as("n_types"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

@@ -163,10 +163,10 @@ object RelationalQueries {
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
       },
-      Some("""SELECT l_suppkey, l_orderkey, l_linenumber
+      Some(s"""SELECT l_suppkey, l_orderkey, l_linenumber
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
         |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
-        |          ORDER BY ((l_orderkey * 1000003 + l_linenumber) * 2654435761 + 12345) % 1000003,
+        |          ORDER BY ${detHashSql(1000003L, Seq("l_orderkey", "l_linenumber"))},
         |                   l_orderkey, l_linenumber) AS rn
         |      FROM lineitem)
         |WHERE rn <= 5
@@ -181,10 +181,10 @@ object RelationalQueries {
           .groupBy(col("split")).agg(count(lit(1)).as("n"))
           .orderBy(col("split"))
       },
-      Some("""SELECT split, COUNT(*) AS n
+      Some(s"""SELECT split, COUNT(*) AS n
         |FROM (SELECT CASE
-        |        WHEN (c_custkey * 2654435761 + 12345) % 100 < 80 THEN 'train'
-        |        WHEN (c_custkey * 2654435761 + 12345) % 100 < 90 THEN 'val'
+        |        WHEN ${detHashSql(100L, Seq("c_custkey"))} < 80 THEN 'train'
+        |        WHEN ${detHashSql(100L, Seq("c_custkey"))} < 90 THEN 'val'
         |        ELSE 'test' END AS split
         |      FROM customer)
         |GROUP BY split

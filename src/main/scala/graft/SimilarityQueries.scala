@@ -1,3 +1,103 @@
 package graft
 
-object SimilarityQueries { def defs: Seq[QueryDef] = Seq() }
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.ops.Similarity
+
+/** Approximate-nearest-neighbor search over the `embeddings` table:
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane sign-LSH bucketed variant as the scale path
+  * (bucket at scan time → candidates shrink by ~2^planes before any
+  * pairwise work).
+  */
+object SimilarityQueries {
+
+  private val NumQueryVecs = 10
+  private val TopK = 5
+  private val NumPlanes = 6
+
+  /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
+    * i-1 matches Spark's 0-based transform index).
+    */
+  private def bucketSql(embExpr: String): String =
+    (0 until NumPlanes).map { k =>
+      s"""(CASE WHEN (SELECT sum(x * ((((${k}::BIGINT * 131 + i - 1) * 2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5))
+         |  FROM (SELECT unnest($embExpr::DOUBLE[]) AS x, generate_subscripts($embExpr, 1) AS i)) > 0
+         | THEN ${1L << k} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact ANN baseline: for each query vector (vec_id < 10), the
+    // top-5 cosine neighbors over the full table. The tiny query side
+    // is broadcast, so at scale this is one pass over the candidate
+    // table with no shuffle until the per-query top-k (k·|Q| rows).
+    QueryDef("ann_bruteforce_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val q = e.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(cosine(col("qemb"), col("emb")), 6).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+        |  WHERE vec_id < $NumQueryVecs),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // Scale-path ANN: sign-LSH bucket at scan time, search only the
+    // query's bucket. Recall < 1 by design; the bucket assignment and
+    // within-bucket ranking are exact and deterministic.
+    QueryDef("ann_lsh_bucket_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("bucket", Similarity.signLshBucket(col("emb"), NumPlanes))
+        val q = e.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("bucket").as("qbucket"))
+        val scored = e.join(broadcast(q),
+            col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(cosine(col("qemb"), col("emb")), 6).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH b AS (
+        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb, bucket AS qbucket
+        |  FROM b WHERE vec_id < $NumQueryVecs),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+  )
+}

@@ -12,8 +12,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+    // rejects. Read nanos as long and floor to microseconds in integer
+    // arithmetic (a double round-trip would lose precision: ns epochs
+    // exceed 2^53). DuckDB's reader truncates to micros the same way,
+    // so both engines see identical timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register all tables as temp views for spark.sql queries. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -68,9 +68,28 @@ object GraftFunctions {
     * Used to make "random" sampling/splitting testable and stable at
     * any cluster size.
     */
+  val DetHashPrime = 1000003L
+
   def detHash(m: Long, keys: Column*): Column = {
-    val mixed = keys.reduce((a, b) => a * lit(1000003L) + b)
+    // Mod at every step keeps all intermediates < ~2^52: h < P, so
+    // h*31 + k%P < 2^26 and the final product < P * 2654435761 < 2^52.
+    // An unreduced fold overflows long for keys ≥ ~10^6 (ANSI mode
+    // errors at sf0.01+, and silently wraps differently than the
+    // oracle otherwise).
+    val P = DetHashPrime
+    val mixed = keys.foldLeft(lit(0L)) { (h, k) =>
+      pmod(h * lit(31L) + pmod(k.cast("long"), lit(P)), lit(P))
+    }
     pmod(mixed * lit(2654435761L) + lit(12345L), lit(m))
+  }
+
+  /** DuckDB SQL mirror of detHash over column-name keys — generated
+    * from the same constants so Spark and oracle cannot drift.
+    */
+  def detHashSql(m: Long, keys: Seq[String]): String = {
+    val P = DetHashPrime
+    val mixed = keys.foldLeft("0") { (h, k) => s"(($h * 31 + ($k % $P)) % $P)" }
+    s"(($mixed * 2654435761 + 12345) % $m)"
   }
 
   /** ChatML message struct builder. */

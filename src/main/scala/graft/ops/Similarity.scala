@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Near-duplicate detection and similarity primitives for corpus-scale
+  * dedup: word shingles, MinHash signatures with LSH banding, SimHash.
+  *
+  * Reference semantics: apps/etl/etl_slimpajama_dc_proc.py:41-113 —
+  * char 7-gram MinHash (num_perm=128) with LSH threshold 0.6, probed
+  * sequentially first-seen-wins. The Spark re-design replaces the
+  * sequential in-memory index with the standard distributed shape:
+  * shingle → signature (map-side partial min-aggregation, one shuffle
+  * by doc) → band explode → bucket self-join → anti-join survivors.
+  * "First seen" becomes "lowest doc_id": a total order that is stable
+  * at any parallelism, unlike file order. (Deviation from the
+  * reference: a doc that only matches an already-dropped doc is also
+  * dropped here; the reference's sequential index would keep it. The
+  * declarative rule is deterministic and scale-stable — see SURVEY
+  * §7.4 on invariant-level parity.)
+  *
+  * Hashing: one 60-bit md5 base hash per shingle, folded to 30 bits,
+  * then a universal-hash family h_i(x) = ((2i+1)·x + 7919i + 12345)
+  * mod (2^31-1) generates the "permutations" — the same construction
+  * datasketch uses (one strong base hash + affine family), chosen here
+  * because every step is exact 64-bit integer arithmetic reproducible
+  * in ANSI SQL (no float, no overflow: (2^31)·(2^30) < 2^62).
+  */
+object Similarity {
+
+  val MersennePrime31 = 2147483647L // 2^31 - 1
+  val Base30Mod = 1073741824L       // 2^30
+
+  /** Distinct word n-gram shingles of a text column (space-joined).
+    * Documents with fewer than n words yield no shingles.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 30-bit base hash of a shingle (md5-derived, engine-portable). */
+  def base30(s: Column): Column = pmod(md5Long(s), lit(Base30Mod))
+
+  /** i-th member of the affine universal hash family over a 30-bit
+    * base hash. All values < 2^31-1.
+    */
+  def minhashPerm(i: Int, base: Column): Column =
+    pmod(base * lit(2L * i + 1) + lit(7919L * i + 12345L), lit(MersennePrime31))
+
+  /** MinHash signature as one column per permutation: explode shingles,
+    * min-aggregate per doc. Map-side partial aggregation means the
+    * shuffle carries only numPerms longs per doc — at 100 TB the
+    * shuffle volume is rows × numPerms × 8 bytes, independent of
+    * document length.
+    *
+    * Input: (idCol, textCol). Output: idCol, m0..m{numPerms-1}.
+    * Docs with fewer than `shingleN` words are dropped (no signature).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int, shingleN: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol), base30(col("__sh")).as("__b"))
+    val aggs = (0 until numPerms).map(i => min(minhashPerm(i, col("__b"))).as(s"m$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band value: fold `rows` consecutive signature components with
+    * a base-31 polynomial (values < 2^31 · 31^(rows-1), no overflow
+    * for rows ≤ 4).
+    */
+  def bandValue(sigCols: Seq[Column]): Column =
+    sigCols.reduce((a, b) => a * lit(31L) + b)
+
+  /** Candidate near-duplicate pairs via LSH banding: docs sharing any
+    * band bucket. Returns distinct (id_a, id_b) with id_a < id_b.
+    * bands × rows must equal numPerms of the signature frame.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        bands: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        bandValue((0 until rows).map(r => col(s"m${j * rows + r}"))).as("bv"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bv").as("bv"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH dedup, first-(lowest-id)-wins: drop every doc that
+    * shares an LSH bucket with a lower-id doc (reference flow J1/ST1
+    * with most_dup=0). Returns the surviving rows of `df`.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   numPerms: Int = 64, shingleN: Int = 5,
+                   bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val dropped = lshCandidatePairs(sig, idCol, bands, rows)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard similarity pairs ≥ threshold, computed with
+    * an inverted-index self-join on shingles (the scalable exact
+    * counterpart of the LSH path: only docs sharing ≥1 shingle are
+    * ever paired, never the full cross product).
+    * Output: id_a, id_b, jaccard (rounded to 6 for hash-stability).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol),
+        wordShingles(col(textCol), shingleN).as("__ss"))
+      .select(col(idCol), size(col("__ss")).as("__n"), explode(col("__ss")).as("__s"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__common"),
+        first(col("a.__n")).as("__na"), first(col("b.__n")).as("__nb"))
+      .withColumn("jaccard", round(
+        col("__common").cast("double") /
+          (col("__na") + col("__nb") - col("__common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash of whitespace tokens, as a single pure expression:
+    * hash each token once, fold ±1 votes per bit position with an
+    * array accumulator, then pack sign bits. Each subexpression is
+    * referenced exactly once, so generated code stays linear in the
+    * bit width (cf. the langId codegen lesson in ops/Text).
+    */
+  val SimHashBits = 16
+
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => md5Long(t))
+    val zeros = array_repeat(lit(0L), SimHashBits)
+    val votes = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc,
+        array((0 until SimHashBits).map(bit =>
+          (shiftright(h, bit).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))): _*),
+        (x, y) => x + y))
+    val powers = array((0 until SimHashBits).map(bit => lit(1L << bit)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two packed bit signatures. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic pseudo-random hyperplane weight in [-0.5, 0.5) for
+    * sign-LSH: w(k, d) from an LCG over (plane, dimension) — exact
+    * integer arithmetic, so any engine computes the same hyperplanes.
+    */
+  def planeWeight(k: Int, dimIdx: Column): Column =
+    pmod((lit(k.toLong * 131L) + dimIdx.cast("long")) * lit(2654435761L),
+      lit(1000003L)).cast("double") / lit(1000003.0) - lit(0.5)
+
+  /** Random-hyperplane sign-LSH bucket id (numPlanes bits) of an
+    * embedding column. Vectors in the same bucket agree on all plane
+    * signs — cosine-similar vectors collide with high probability.
+    * Pure expression: bucket assignment happens at scan time, no
+    * shuffle, no model fit. numPlanes bits → 2^numPlanes buckets; pick
+    * numPlanes ≈ log2(rows / targetBucketSize) at scale.
+    */
+  def signLshBucket(emb: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { k =>
+      val proj = aggregate(
+        transform(emb, (x, i) => x * planeWeight(k, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}
