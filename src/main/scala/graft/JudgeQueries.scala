@@ -1,3 +1,112 @@
 package graft
 
-object JudgeQueries { def defs: Seq[QueryDef] = Seq() }
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** LLM-as-a-judge queries (reference §3.3,
+  * apps/llm_as_a_judge/eval_with_facts.py): a judge panel scores
+  * generated text against source text, then a real SQL aggregation
+  * (A5, eval_with_facts.py:22-81) computes the metric report. The
+  * metric SQL text is shared verbatim between Spark and the DuckDB
+  * oracle — it is plain ANSI (CTEs, CASE, CAST, ROLLUP).
+  */
+object JudgeQueries {
+
+  private val Template =
+    "Is the claim supported by the document?\n# Document\n__SRC__\n# Claim\n__GEN__"
+
+  private val JudgeModels = Seq("judge-a", "judge-b")
+  private val judges: Seq[LlmClient] = JudgeModels.map(MockJudgeClient(_))
+
+  /** Judge-input frame derived deterministically from documents:
+    * every 20th doc generates "N/A" (exercises the cleaned-CASE
+    * default-1.0 branch of the metric SQL).
+    */
+  private def judgeInput(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.load(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      col("source").as("name"),
+      col("text").as("src_text"),
+      when(col("doc_id") % 20 === 0, lit("N/A"))
+        .otherwise(substring(col("text"), 1, 80)).as("gen_text"))
+  }
+
+  private val judgeInputSql =
+    """SELECT doc_id, source AS name, text AS src_text,
+      | CASE WHEN doc_id % 20 = 0 THEN 'N/A' ELSE substring(text, 1, 80) END AS gen_text
+      |FROM documents""".stripMargin
+
+  /** Filled prompt as SQL (mirror of Judge.fillTemplate). */
+  private val promptSql =
+    "replace(replace('Is the claim supported by the document?' || chr(10) ||" +
+      " '# Document' || chr(10) || '__SRC__' || chr(10) ||" +
+      " '# Claim' || chr(10) || '__GEN__', '__SRC__', src_text), '__GEN__', gen_text)"
+
+  private val factualitySql = {
+    val scores = JudgeModels.map(m => MockJudgeClient.scoreSql(m, "prompt"))
+    s"(${scores.mkString(" + ")}) / ${JudgeModels.size}"
+  }
+
+  /** A5 — the metric aggregation (shape of eval_with_facts.py:22-81):
+    * per-row cleaned factuality (rows with empty/N-A gen default to
+    * 1.0), pass-rate at 0.5, aggregated globally and per name via
+    * ROLLUP. Shared verbatim by Spark and DuckDB over a `judged`
+    * relation (name, src_text, gen_text, factuality).
+    */
+  val MetricsSql: String =
+    """WITH cleaned AS (
+      |  SELECT name,
+      |    CASE WHEN gen_text <> 'N/A' AND src_text <> ''
+      |         THEN factuality ELSE 1.0 END AS factuality
+      |  FROM judged),
+      |scored AS (
+      |  SELECT name, factuality,
+      |    CAST(factuality >= 0.5 AS INT) AS ok
+      |  FROM cleaned)
+      |SELECT name,
+      |  round(sum(factuality) / count(*), 2) AS factuality_mean,
+      |  min(factuality) AS factuality_min,
+      |  max(factuality) AS factuality_max,
+      |  round(sum(ok) * 1.0 / count(*), 2) AS ok_rate,
+      |  count(*) AS n
+      |FROM scored
+      |GROUP BY ROLLUP(name)
+      |ORDER BY name NULLS FIRST""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // L5 — judge panel scores per row (template fill → judge calls →
+    // label parse → score map → panel average), through the real
+    // mapPartitions operator.
+    QueryDef("judge_scores",
+      (s, dir) => {
+        val in = judgeInput(s, dir)
+        Judge.judgeScores(in, Template,
+            Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+            judges, "factuality")
+          .select(col("doc_id"), col("name"), col("factuality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, name, $promptSql AS prompt FROM j)
+        |SELECT doc_id, name, $factualitySql AS factuality
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // A5 — the metrics report over the judged frame, via spark.sql of
+    // the shared ANSI text (the reference's one real SQL query).
+    QueryDef("judge_metrics",
+      (s, dir) => {
+        val in = judgeInput(s, dir)
+        Judge.judgeScores(in, Template,
+            Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+            judges, "factuality")
+          .createOrReplaceTempView("judged")
+        s.sql(MetricsSql)
+      },
+      Some(s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, name, src_text, gen_text, $promptSql AS prompt FROM j),
+        |judged AS (SELECT name, src_text, gen_text, $factualitySql AS factuality FROM p),
+        |${MetricsSql.replaceFirst("WITH ", "")}""".stripMargin))
+  )
+}

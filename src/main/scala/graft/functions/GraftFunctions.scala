@@ -96,6 +96,34 @@ object GraftFunctions {
   def chatMessage(role: String, content: Column): Column =
     struct(lit(role).as("role"), content.as("content"))
 
+  /** F6 — ChatML conversation from (role, content-column) pairs
+    * (reference json2chatml, run_single_round_chat.py:17-28).
+    */
+  def chatml(pairs: (String, Column)*): Column =
+    array(pairs.map { case (r, c) => chatMessage(r, c) }: _*)
+
+  /** F7 — role normalization for models without a system role
+    * (mistral/gemma): system → user, with an "Ok." assistant
+    * acknowledgement injected after it (reference
+    * chatml_check_and_adjust, apps/training/inf.py:45-58).
+    */
+  def normalizeRoles(msgs: Column): Column =
+    flatten(transform(msgs, m =>
+      when(m.getField("role") === "system",
+        array(
+          struct(lit("user").as("role"), m.getField("content").as("content")),
+          struct(lit("assistant").as("role"), lit("Ok.").as("content"))))
+        .otherwise(array(m))))
+
+  /** F8 — ChatML → `<role>content</role>` tagged text (reference
+    * chatml_to_text, grpo_plugin.py:168-178). Left fold keeps message
+    * order.
+    */
+  def chatmlToText(msgs: Column): Column =
+    aggregate(msgs, lit(""), (acc, m) =>
+      concat(acc, lit("<"), m.getField("role"), lit(">"),
+        m.getField("content"), lit("</"), m.getField("role"), lit(">")))
+
   /** Deterministic 60-bit hash of a string, identical in Spark and
     * DuckDB: first 15 hex digits of md5, parsed base-16. Always
     * positive, fits a signed long. Oracle SQL equivalent:

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.DoubleType
+
+/** LLM-as-a-judge operator (reference FactsMetrics,
+  * apps/llm_as_a_judge/eval_with_facts.py:400-546): per row, fill a
+  * prompt template, call each judge model, parse the JSON label,
+  * map to a score, and average across the judge panel.
+  *
+  * Scores (eval_with_facts.py:449-461): supported → 1.0,
+  * unsupported → 0.0, unparseable response → 0.5.
+  */
+object Judge {
+
+  val Supported = 1.0
+  val Unsupported = 0.0
+  val ParseFail = 0.5
+
+  /** F2 — placeholder substitution (reference __CONTEXT__-style
+    * templating, eval_with_facts.py:534-542).
+    */
+  def fillTemplate(template: String, vars: Map[String, String]): String =
+    vars.foldLeft(template) { case (t, (k, v)) => t.replace(k, v) }
+
+  /** F4 — strip ```json fences and DeepSeek-style think-tags before
+    * parsing (reference llm_json_clean, eval_with_facts.py:558-561).
+    */
+  def cleanJson(resp: String): String = {
+    val afterThink = resp.split("</think>").last
+    afterThink.replaceAll("```json", "").replaceAll("```", "").trim
+  }
+
+  private val LabelRe = """"label"\s*:\s*"([A-Za-z_]+)"""".r
+
+  /** Parse the judge's label; None on parse failure. */
+  def parseLabel(resp: String): Option[String] =
+    LabelRe.findFirstMatchIn(cleanJson(resp)).map(_.group(1))
+
+  def score(label: Option[String]): Double = label match {
+    case Some("supported") => Supported
+    case Some(_) => Unsupported
+    case None => ParseFail
+  }
+
+  /** Judge a DataFrame: fill `template` per row from the given
+    * (placeholder → column index) bindings, run every judge, average
+    * the scores into a new double column. Runs in mapPartitions with
+    * the shared I/O pool — one concurrent request per judge per row,
+    * mirroring the reference's per-metric asyncio.gather across the
+    * judge panel (eval_with_facts.py:503-516).
+    */
+  def judgeScores(df: DataFrame, template: String,
+                  bindings: Map[String, String], judges: Seq[LlmClient],
+                  outCol: String): DataFrame = {
+    val schema = df.schema
+    val idx = bindings.map { case (ph, c) => ph -> schema.fieldIndex(c) }
+    val outSchema = schema.add(outCol, DoubleType)
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val vars = idx.map { case (ph, i) => ph -> String.valueOf(row.get(i)) }
+        val user = fillTemplate(template, vars)
+        val msgs = Seq(ChatMessage("user", user))
+        val scores = judges.map(j => score(parseLabel(j.run(msgs))))
+        Row.fromSeq(row.toSeq :+ scores.sum / scores.size)
+      }
+    }(Encoders.row(outSchema))
+  }
+}
+
+/** Deterministic mock judge: the verdict is a pure function of
+  * (model, prompt) — first hex digit d of sha256(model·\n·prompt):
+  * d < 8 → clean JSON "supported"; d in [8, f) → fence-wrapped JSON
+  * "unsupported" (exercises the json-clean path); d = f → unparseable
+  * text (exercises the parse-fail 0.5 path). SQL mirror in
+  * MockJudgeClient.scoreSql.
+  */
+final case class MockJudgeClient(model: String) extends LlmClient {
+
+  override def cacheId: String = s"mock-judge:$model"
+
+  override def complete(msgs: Seq[ChatMessage], attempt: Int): LlmResponse = {
+    val user = msgs.reverse.find(_.role == "user").map(_.content).getOrElse("")
+    val d = LlmClient.sha256Hex(model + "\n" + user).charAt(0)
+    val content =
+      if (d < '8') """{"label": "supported"}"""
+      else if (d == 'f') "I cannot judge this."
+      else "```json\n{\"label\": \"unsupported\"}\n```"
+    LlmResponse(content, "stop")
+  }
+}
+
+object MockJudgeClient {
+
+  /** DuckDB mirror of score(parseLabel(mock(model, prompt))). */
+  def scoreSql(model: String, promptSql: String): String =
+    s"""(CASE substring(sha256('$model' || chr(10) || $promptSql), 1, 1)
+       |  WHEN 'f' THEN 0.5
+       |  WHEN '8' THEN 0.0 WHEN '9' THEN 0.0 WHEN 'a' THEN 0.0
+       |  WHEN 'b' THEN 0.0 WHEN 'c' THEN 0.0 WHEN 'd' THEN 0.0
+       |  WHEN 'e' THEN 0.0
+       |  ELSE 1.0 END)""".stripMargin
+}
