@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.ops.{Cost, Multimodal}
+import graft.pipeline._
+
+/** Advanced operator queries: CodeAct repair loop, self-verified
+  * multi-turn chain, agentic dispatch, cost estimation, multimodal
+  * feature plumbing. All run through the real operators with
+  * deterministic mocks, so each has an exact SQL oracle.
+  */
+object AdvancedQueries {
+
+  // ---- CodeAct (L6) ----
+
+  private val CodeActRounds = 3
+
+  private def codeactOracle: String = {
+    def out(userSql: String) = CodeAct.sandboxSql(CodeAct.codeSql(userSql))
+    s"""WITH d AS (
+       |  SELECT doc_id, ('Count the words.' || chr(10) || text) AS u1
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, ${out("u1")} AS o1 FROM d),
+       |s2 AS (SELECT doc_id, o1,
+       |  CASE WHEN o1 LIKE '%Traceback%'
+       |       THEN ${out("('Fix this error:' || chr(10) || o1)")} END AS o2 FROM s1),
+       |s3 AS (SELECT doc_id, o1, o2,
+       |  CASE WHEN o2 LIKE '%Traceback%'
+       |       THEN ${out("('Fix this error:' || chr(10) || o2)")} END AS o3 FROM s2)
+       |SELECT doc_id,
+       |  CASE WHEN o1 NOT LIKE '%Traceback%' THEN o1
+       |       WHEN o2 NOT LIKE '%Traceback%' THEN o2 ELSE o3 END AS answer,
+       |  CASE WHEN o1 NOT LIKE '%Traceback%' THEN 1
+       |       WHEN o2 NOT LIKE '%Traceback%' THEN 2 ELSE 3 END AS rounds,
+       |  (CASE WHEN o1 NOT LIKE '%Traceback%' THEN o1
+       |        WHEN o2 NOT LIKE '%Traceback%' THEN o2 ELSE o3 END)
+       |    NOT LIKE '%Traceback%' AS ok
+       |FROM s3 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- self-verify chain (L4) ----
+
+  private val chainIns = Instruction(
+    name = "extract",
+    role = "You are an extractor.",
+    task = "Extract the key facts.",
+    scope = Seq("text"))
+
+  private val chainTurns = Seq("Check for omissions.", "Attribute evidence.")
+
+  private def chainOracle: String = {
+    val sys = "'" + Prompts.sysPrompt(chainIns).replace("'", "''") + "'"
+    val u1 = "('# text' || chr(10) || text || chr(10))"
+    val c1 = MockLlmClient.contentSql(sys, u1)
+    val finalSql = chainTurns.foldLeft(c1) { (prev, t) =>
+      MockLlmClient.contentSql(sys, s"('$t' || chr(10) || $prev)")
+    }
+    s"""SELECT doc_id, $finalSql AS chain_result
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- agentic dispatch (L7) ----
+
+  private val analysisIns = Instruction(
+    name = "analyze",
+    role = "You are an analyst.",
+    task = "Analyze the document.",
+    scope = Seq("text"), model = "analysis")
+
+  private val extractIns = Instruction(
+    name = "extract",
+    role = "You are an extractor.",
+    task = "Extract entities.",
+    scope = Seq("text"), model = "extraction")
+
+  private def agenticOracle: String = {
+    def resp(ins: Instruction) = {
+      val sys = "'" + Prompts.sysPrompt(ins).replace("'", "''") + "'"
+      MockLlmClient.contentSql(sys, "('# text' || chr(10) || text || chr(10))")
+    }
+    s"""SELECT doc_id, ${resp(analysisIns)} AS analyze, ${resp(extractIns)} AS extract
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // L6 — CodeAct: emit code → sandbox → feed Traceback back → retry,
+    // bounded rounds; mock client + mock sandbox, real loop operator.
+    QueryDef("codeact_loop",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("instruction", lit("Count the words."))
+        CodeAct.codeAct(d, "instruction", "text",
+            MockCodeActClient(), MockSandbox(), CodeActRounds, "answer")
+          .select(col("doc_id"), col("answer"),
+            col("answer_rounds").as("rounds"), col("answer_ok").as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(codeactOracle)),
+
+    // L4 — self-verified multi-turn chain: extract → omission check →
+    // evidence attribution, an immutable fold over the conversation.
+    QueryDef("pipe_selfverify_chain",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val st0 = InstructionRunner.stringifyKv(d, Seq("text"), "stage0_result")
+        InstructionRunner.runChain(st0, chainIns, chainTurns,
+            MockLlmClient(), "stage0_result", "chain_result")
+          .select(col("doc_id"), col("chain_result"))
+          .orderBy(col("doc_id"))
+      },
+      Some(chainOracle)),
+
+    // L7 — agentic dispatch: instructions routed to per-task clients,
+    // results merged into one map.
+    QueryDef("agentic_dispatch",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val st0 = InstructionRunner.stringifyKv(d, Seq("text"), "stage0_result")
+        val stage = InstructionStage("agents", Seq(analysisIns, extractIns))
+        val clients = Map[String, LlmClient](
+          "analysis" -> MockLlmClient("analysis"),
+          "extraction" -> MockLlmClient("extraction"))
+        InstructionRunner.dispatchByTask(st0, stage, clients,
+            "stage0_result", "agents_result")
+          .select(col("doc_id"),
+            element_at(col("agents_result"), "analyze").as("analyze"),
+            element_at(col("agents_result"), "extract").as("extract"))
+          .orderBy(col("doc_id"))
+      },
+      Some(agenticOracle)),
+
+    // A7/L14 — token counting + cost estimation, grouped by source.
+    QueryDef("cost_report",
+      (s, dir) => Cost.costReport(
+          Tables.load(s, dir, "documents"), "text", Seq("source"))
+        .orderBy(col("source")),
+      Some(s"""WITH t AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '$BpeTokenPattern'))::BIGINT AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tok,
+        |    round(tok / 1000000.0 * ${Cost.DefaultInPricePerM}
+        |      + tok * ${Cost.DefaultIoRatio} / 1000000.0 * ${Cost.DefaultOutPricePerM}, 9) AS cost_usd
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_rows, SUM(tok) AS sum_in_tokens,
+        |  round(SUM(tok) / COUNT(*), 2) AS avg_in_tokens,
+        |  round(SUM(cost_usd), 6) AS total_cost_usd
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // S9-shape — multimodal plumbing: opaque binary payload through the
+    // partition-batched feature extractor (decode step stubbed
+    // deterministically; see ops/Multimodal).
+    QueryDef("multimodal_features",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        Multimodal.extractFeatures(d, "payload")
+          .select(col("doc_id"), col("n_bytes"), col("digest"),
+            element_at(col("features"), 1).as("f0"),
+            element_at(col("features"), 2).as("f1"),
+            element_at(col("features"), 3).as("f2"),
+            element_at(col("features"), 4).as("f3"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        | sha256(text) AS digest,
+        | ('0x' || substring(sha256(text), 1, 2))::INT / 255.0 AS f0,
+        | ('0x' || substring(sha256(text), 3, 2))::INT / 255.0 AS f1,
+        | ('0x' || substring(sha256(text), 5, 2))::INT / 255.0 AS f2,
+        | ('0x' || substring(sha256(text), 7, 2))::INT / 255.0 AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

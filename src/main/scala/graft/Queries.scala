@@ -17,5 +17,5 @@ object Queries {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ PipelineQueries.defs ++ JudgeQueries.defs ++
-      EventQueries.defs
+      EventQueries.defs ++ AdvancedQueries.defs
 }

@@ -107,6 +107,58 @@ object InstructionRunner {
       when(v.isNotNull, concat(lit(s"# $n\n"), v, lit("\n")))
     }: _*)
 
+  /** L4 — self-verified multi-turn chain (reference SelfVerifiedMapper,
+    * apps/archive/self-verified-mr/self_verification_mr.py:228-417):
+    * turn 1 answers the scoped input; each later turn applies a
+    * template to the previous answer (extraction → omission check →
+    * evidence attribution …). The conversation is an immutable fold
+    * over turns — no mutable msgs state (SURVEY §7.4.7).
+    */
+  def runChain(df: DataFrame, ins: Instruction, turns: Seq[String],
+               client: LlmClient, inCol: String, outCol: String): DataFrame = {
+    val schema = df.schema
+    val outSchema = schema.add(outCol, StringType)
+    val inIdx = schema.fieldIndex(inCol)
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val input = row.getMap[String, String](inIdx)
+        val result = Prompts.userPrompt(ins, input).map { user0 =>
+          val sys = ChatMessage("system", Prompts.sysPrompt(ins))
+          var msgs = Seq(sys, ChatMessage("user", user0))
+          var content = client.run(msgs)
+          for (template <- turns) {
+            msgs = msgs :+ ChatMessage("assistant", content) :+
+              ChatMessage("user", s"$template\n$content")
+            content = client.run(msgs)
+          }
+          content
+        }.orNull
+        Row.fromSeq(row.toSeq :+ result)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** L7 — agentic dispatch (reference agentic MR supervisor fan-out,
+    * impl/agentic_mr/v0.py:116-158): each instruction is routed to its
+    * task's client; per-task results merge into one map (the
+    * LangGraph `Send` fan-out + merge_dicts reducer, re-expressed as
+    * grouped stage runs + map_concat — config is tiny, so the
+    * "routing" is plan construction, not a data shuffle).
+    */
+  def dispatchByTask(df: DataFrame, stage: InstructionStage,
+                     clients: Map[String, LlmClient],
+                     inCol: String, outCol: String): DataFrame = {
+    val byTask = stage.instructions.groupBy(_.model).toSeq.sortBy(_._1)
+    val ran = byTask.zipWithIndex.foldLeft(df) {
+      case (d, ((task, ins), i)) =>
+        runStage(d, InstructionStage(s"${stage.name}_$task", ins),
+          clients(task), inCol, s"__task_$i")
+    }
+    ran.withColumn(outCol,
+      map_concat(byTask.indices.map(i => col(s"__task_$i")): _*))
+      .drop(byTask.indices.map(i => s"__task_$i"): _*)
+  }
+
   /** ChatML audit traces (S7, instructions_collect): one row per
     * (input row × instruction) with the full conversation, keyed by a
     * deterministic session id derived from `sessionKeyCol`.
