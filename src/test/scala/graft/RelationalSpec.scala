@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1, "x1"), ("a", 2, "x2"), ("a", 3, "x3"),
+    ("b", 4, "x4"), ("b", 5, "x5"), ("c", 6, "x6")
+  ).toDF("k", "id", "v")
+
+  test("dedupFirst keeps exactly the lowest-ordered row per key") {
+    val out = Relational.dedupFirst(df, Seq("k"), Seq(col("id")))
+      .select("k", "id").as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 1, "b" -> 4, "c" -> 6))
+  }
+
+  test("groupSample caps every group and is deterministic") {
+    val out1 = Relational.groupSample(df, Seq("k"), 2, Seq(col("id")))
+    val out2 = Relational.groupSample(df, Seq("k"), 2, Seq(col("id")))
+    val sizes = out1.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= 2))
+    assert(sizes("b") == 2 && sizes("c") == 1)
+    assert(out1.collect().toSet == out2.collect().toSet)
+  }
+
+  test("multiGroupSample chains key passes (each pass re-groups)") {
+    val d2 = Seq(("a", "p", 1), ("a", "p", 2), ("a", "q", 3), ("b", "p", 4))
+      .toDF("k1", "k2", "id")
+    val out = Relational.multiGroupSample(d2, Seq(Seq("k1", "k2"), Seq("k1")), 1,
+      Seq(col("id")))
+    val byK1 = out.groupBy("k1").count().as[(String, Long)].collect().toMap
+    assert(byK1.values.forall(_ <= 1))
+  }
+
+  test("groupSplit never leaks a key across splits and respects ratios") {
+    val keys = (1 to 2000).map(i => (i.toLong, i % 7)).toDF("key", "payload")
+    val out = Relational.groupSplit(keys, "key", 80, 10)
+    val perKey = out.groupBy("key")
+      .agg(countDistinct(col("split")).as("n")).where(col("n") > 1).count()
+    assert(perKey == 0, "a key appeared in more than one split")
+    val dist = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(dist("train") > 1400 && dist("train") < 1800)
+    assert(dist("val") > 100 && dist("val") < 300)
+  }
+
+  test("scopeProjectValid drops rows whose scoped values are all invalid") {
+    val d = Seq(("ok", "v"), ("NA", "  "), ("", "N/A"), ("x", "NA"))
+      .toDF("c1", "c2")
+    val out = Relational.scopeProjectValid(d, Seq("c1", "c2"))
+    assert(out.count() == 2)
+  }
+}

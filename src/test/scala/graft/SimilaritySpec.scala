@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Ports the reference's inline LSH test (etl_slimpajama_dc_proc.py:
+  * 88-100: a known near-duplicate sentence pair must collide) plus
+  * dedup invariants.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog in the garden today"
+  private val near2 = "the quick brown fox jumps over the lazy dog in the garden now"
+  private val far = "completely different content about spark query engines and shuffles here"
+
+  private def docs = Seq((0L, near1), (1L, near2), (2L, far))
+    .toDF("doc_id", "text")
+
+  test("LSH finds the known near-duplicate pair and not the far pair") {
+    val sig = Similarity.minhashSignatures(docs, "doc_id", "text", 64, 5)
+    val pairs = Similarity.lshCandidatePairs(sig, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair not detected")
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L), "false positive on far pair")
+  }
+
+  test("minhashDedup keeps the first (lowest id) of a duplicate pair and is idempotent") {
+    val once = Similarity.minhashDedup(docs, "doc_id", "text")
+    val ids = once.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 2L))
+    val twice = Similarity.minhashDedup(once, "doc_id", "text")
+    assert(twice.select("doc_id").as[Long].collect().toSet == ids)
+  }
+
+  test("jaccardPairs computes the exact jaccard for a known pair") {
+    val out = Similarity.jaccardPairs(docs, "doc_id", "text", 5, 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, j) = out.head
+    assert((a, b) == (0L, 1L))
+    // 13 words → 9 shingles each; 8 shared (all but the last) → 8/10
+    assert(math.abs(j - 0.8) < 1e-6)
+  }
+
+  test("simhash: near-dups land within small hamming distance, far text does not") {
+    val sh = docs.select(col("doc_id"), Similarity.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) <= 4)
+    assert(ham(sh(0L), sh(2L)) > 4)
+  }
+
+  test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
+    val e = Seq(
+      (0L, Array(1.0, 0.0, 0.5, 0.2)),
+      (1L, Array(1.0, 0.0, 0.5, 0.2)),
+      (2L, Array(-1.0, 2.0, -0.5, 0.8))
+    ).toDF("vec_id", "emb")
+    val b = e.select(col("vec_id"), Similarity.signLshBucket(col("emb"), 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b.values.forall(v => v >= 0 && v < 64))
+  }
+}

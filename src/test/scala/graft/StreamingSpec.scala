@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.{SessionEvent, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("streaming windowed counts aggregate by event-time window") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedCounts(
+        mem.toDF().toDF("ts", "k"), "ts", "10 minutes", "1 minute", Seq("k"))
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    mem.addData((ts(0), "a"), (ts(1), "a"), (ts(11), "a"), (ts(2), "b"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT k, n FROM win").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 2L), ("a", 1L), ("b", 1L)))
+  }
+
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streams.dedupStream(
+        mem.toDF().toDF("ts", "k"), "ts", "10 minutes", Seq("k"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    mem.addData((ts(0), "a"), (ts(0), "a"), (ts(0), "b"), (ts(1), "a"))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT * FROM dd").count()
+    q.stop()
+    // (a, t0) duplicated exactly → 1 row; (b, t0) and (a, t1) distinct
+    assert(n == 3)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Streams.sessionize(mem.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: events at minute 0, 5 (same session), then 30 (gap>10min →
+    // first session closes with 2 events)
+    mem.addData(SessionEvent(1L, ts(0)), SessionEvent(1L, ts(5)))
+    q.processAllAvailable()
+    mem.addData(SessionEvent(1L, ts(30)))
+    q.processAllAvailable()
+    val closed = spark.sql("SELECT * FROM sess").as[SessionOut].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.closed)
+  }
+}

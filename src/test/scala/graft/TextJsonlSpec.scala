@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.ops.Text
+import graft.sources.Jsonl
+
+class TextJsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId classifies by stopword profile; und when no hits") {
+    val d = Seq(
+      "the cat sat on the mat and it is happy",
+      "el perro y la casa en que los gatos es",
+      "der hund und die katze ist von zu ein haus",
+      "xyzzy qwerty plugh").toDF("text")
+    val got = d.select(Text.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "und"))
+  }
+
+  test("rollingFingerprint matches a plain-Scala reimplementation") {
+    val text = "spark window batch merge"
+    val expected = text.toLowerCase.split(" ").foldLeft(0L) { (h, w) =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val base = java.lang.Long.parseLong(md5hex.take(15), 16)
+      (h * 31 + base % 2147483647L) % 2147483647L
+    }
+    val got = Seq(text).toDF("text")
+      .select(Text.rollingFingerprint(col("text"))).as[Long].head()
+    assert(got == expected)
+  }
+
+  test("qualityScore stays in [0,1] over real documents") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val mm = d.select(min(Text.qualityScore(col("text"))),
+      max(Text.qualityScore(col("text")))).as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 1.0)
+  }
+
+  test("bpeTokenCount splits letter runs, digit runs, symbols") {
+    val n = Seq("abc de-12 f!").toDF("t")
+      .select(bpeTokenCount(col("t"))).as[Int].head()
+    // abc, de, -, 12, f, ! → 6
+    assert(n == 6)
+  }
+
+  test("jsonl roundtrip, guarded write, split sink") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val d = Seq((1L, "a", "train"), (2L, "b", "test")).toDF("id", "v", "split")
+    Jsonl.write(d, s"$dir/out")
+    val back = Jsonl.read(spark, s"$dir/out")
+    assert(back.count() == 2)
+    intercept[IllegalArgumentException] {
+      Jsonl.guardedWrite(d, s"$dir/out", append = false)
+    }
+    Jsonl.writeSplits(d, s"$dir/splits")
+    val train = Jsonl.read(spark, s"$dir/splits/split=train")
+    assert(train.count() == 1)
+  }
+
+  test("chatml build → normalize → text render") {
+    val d = Seq("hi").toDF("t")
+    val msgs = chatml("system" -> lit("S"), "user" -> col("t"))
+    val out = d.select(chatmlToText(normalizeRoles(msgs))).as[String].head()
+    assert(out == "<user>S</user><assistant>Ok.</assistant><user>hi</user>")
+  }
+}
