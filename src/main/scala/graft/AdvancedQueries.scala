@@ -159,6 +159,10 @@ object AdvancedQueries {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
         Multimodal.extractFeatures(d, "payload")
           .select(col("doc_id"), col("n_bytes"), col("digest"),
+            // F15 — payload transport encoding. Spark's base64 emits
+            // MIME line breaks every 76 chars; strip for the canonical
+            // unchunked form.
+            regexp_replace(base64(col("payload")), "\r\n", "").as("b64"),
             element_at(col("features"), 1).as("f0"),
             element_at(col("features"), 2).as("f1"),
             element_at(col("features"), 3).as("f2"),
@@ -167,6 +171,7 @@ object AdvancedQueries {
       },
       Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         | sha256(text) AS digest,
+        | to_base64(text::BLOB) AS b64,
         | ('0x' || substring(sha256(text), 1, 2))::INT / 255.0 AS f0,
         | ('0x' || substring(sha256(text), 3, 2))::INT / 255.0 AS f1,
         | ('0x' || substring(sha256(text), 5, 2))::INT / 255.0 AS f2,

@@ -10,9 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM warm-up: a tiny query touching higher-order functions and a
+    // shuffle, so the first timed query doesn't absorb the one-time
+    // Janino/lambda codegen cost (~5-15 s, measured) that every
+    // executor JVM pays exactly once.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000)
+        .select(aggregate(transform(sequence(lit(0), lit(3)), i => i * 2),
+          lit(0L), (a, b) => a + b).as("v"))
+        .groupBy(col("v")).count()
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink forces full evaluation of every output column;
+      // count() would let Catalyst prune the projections being timed.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

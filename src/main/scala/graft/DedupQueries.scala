@@ -145,15 +145,19 @@ object DedupQueries {
     // the ANN path in SimilarityQueries).
     QueryDef("dedup_embedding_cosine",
       (s, dir) => {
+        // norms are computed once per row (O(n)), so each of the
+        // O(n²/labels) pairs pays only one dot product
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
         val a = e.as("a")
         val b = e.as("b")
         a.join(b, col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            round(cosine(col("a.emb"), col("b.emb")), 6).as("cos"))
+            round(dotProduct(col("a.emb"), col("b.emb")) /
+              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
           .where(col("cos") >= 0.4)
           .orderBy(col("id_a"), col("id_b"))
       },

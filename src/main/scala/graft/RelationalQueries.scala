@@ -213,6 +213,21 @@ object RelationalQueries {
         |WHERE len(string_split(text, ' ')) >= 60
         |ORDER BY doc_id""".stripMargin)),
 
+    // O3/O4 — deterministic global shuffle + head-n (reference
+    // shuffles with a fixed seed then slices; the hash order is the
+    // partitioning-independent equivalent). Runs as top-k, not a full
+    // sort.
+    QueryDef("shuffle_limit_orders",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        Relational.shuffleLimit(o, Seq(col("o_orderkey")), 20)
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey
+        |FROM orders
+        |ORDER BY ${detHashSql(1000003L, Seq("o_orderkey"))}, o_orderkey
+        |LIMIT 20""".stripMargin)),
+
     // P1+P4 — scope projection with invalid-value filtering
     // (instructions_runners.py:42-61).
     QueryDef("scope_project_documents",

@@ -37,11 +37,14 @@ object SimilarityQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
         val q = e.where(col("vec_id") < NumQueryVecs)
-          .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(cosine(col("qemb"), col("emb")), 6).as("cos"))
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -69,14 +72,16 @@ object SimilarityQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
           .withColumn("bucket", Similarity.signLshBucket(col("emb"), NumPlanes))
         val q = e.where(col("vec_id") < NumQueryVecs)
           .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
-            col("bucket").as("qbucket"))
+            col("nrm").as("qnrm"), col("bucket").as("qbucket"))
         val scored = e.join(broadcast(q),
             col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(cosine(col("qemb"), col("emb")), 6).as("cos"))
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))

@@ -97,6 +97,25 @@ object TextQueries {
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // F10 — char 7-gram shingle cardinality (the reference's
+    // CharNGramExtractor featurization, punctuation stripped).
+    QueryDef("text_char_shingles",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"),
+            size(graft.ops.Similarity.charShingles(col("text"), 7)).as("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '[[:punct:]]', '', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(t) >= 7
+        |       THEN len(list_distinct(list_transform(range(1, length(t) - 5),
+        |                                             i -> t[i:i+6])))
+        |       ELSE 0 END AS n_shingles
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Rolling polynomial fingerprint (order-sensitive content hash) —
     // no compact ANSI-SQL equivalent; driver records rows-only check,
     // exactness is covered by TextSpec.

@@ -115,6 +115,14 @@ object GraftFunctions {
           struct(lit("assistant").as("role"), lit("Ok.").as("content"))))
         .otherwise(array(m))))
 
+  /** P8 — JSON-field / ChatML navigation: `msgs[idx].content` with a
+    * string-column fallback (reference json_query_llm_msg,
+    * eval_with_facts.py:574-586: pull a string col or a message's
+    * content by index, whichever exists).
+    */
+  def msgContent(msgs: Column, idx: Int, fallback: Column): Column =
+    coalesce(get(msgs, lit(idx)).getField("content"), fallback)
+
   /** F8 — ChatML → `<role>content</role>` tagged text (reference
     * chatml_to_text, grpo_plugin.py:168-178). Left fold keeps message
     * order.
@@ -162,4 +170,15 @@ object GraftFunctions {
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Dot product (left-fold, deterministic order). For pairwise
+    * similarity joins, precompute each side's norm once
+    * (`vectorNorm`) and use dot/(na*nb) instead of `cosine` — the
+    * norms are O(rows) not O(pairs), which is the difference between
+    * 2·d and 3·d multiplies per pair at 100 TB pair counts.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  def vectorNorm(a: Column): Column = sqrt(dotProduct(a, a))
 }

@@ -94,6 +94,38 @@ object Relational {
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col(key))
 
+  /** O3 — deterministic global shuffle (reference random.shuffle with
+    * seed=2 before inference, apps/training/inf.py:119-120). A seeded
+    * rand() order is partitioning-dependent in Spark, so the shuffle
+    * order is a hash of the key columns instead: same permutation at
+    * any parallelism, oracle-checkable.
+    */
+  def globalShuffle(df: DataFrame, keyCols: Seq[Column]): DataFrame =
+    df.orderBy((detHash(1000003L, keyCols: _*) +: keyCols): _*)
+
+  /** O4 — shuffle + head-n (reference dataset.shuffle(seed).select(
+    * range(n)), apps/training/sft.py:94-108). Executes as a top-k
+    * (TakeOrderedAndProject), not a full sort, for small n.
+    */
+  def shuffleLimit(df: DataFrame, keyCols: Seq[Column], n: Int): DataFrame =
+    globalShuffle(df, keyCols).limit(n)
+
+  /** A1 (JSON-key variant) — group by the canonical JSON serialization
+    * of composite/nested key columns (reference `grouping` serializes
+    * non-string keys to JSON, etl_sampling_by_key.py:17-32).
+    */
+  def groupByJsonKey(df: DataFrame, keyCols: Seq[String]): org.apache.spark.sql.RelationalGroupedDataset =
+    df.groupBy(to_json(struct(keyCols.map(col): _*)).as("json_key"))
+
+  /** ST3 — observed metrics on a batch/stream (reference per-row
+    * progress ratio, etl_slimpajama_dc_proc.py:162-166): attach named
+    * count/sum observers; read them from QueryExecutionListener /
+    * StreamingQueryProgress instead of driver-side loops.
+    */
+  def observeCounts(df: DataFrame, name: String, metrics: (String, Column)*): DataFrame =
+    df.observe(name, metrics.map { case (n, c) => c.as(n) }.head,
+      metrics.tail.map { case (n, c) => c.as(n) }: _*)
+
   /** Top-k by aggregate — group, sum, order, limit. The sort after the
     * aggregation is a TakeOrderedAndProject at execution time (no full
     * sort shuffle for small k).

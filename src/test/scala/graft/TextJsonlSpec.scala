@@ -60,6 +60,36 @@ class TextJsonlSpec extends SparkSpec {
     assert(train.count() == 1)
   }
 
+  test("csv source reads headers; plugin loader instantiates by class name") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/d.csv"), "id,v\n1,a\n2,b\n")
+    val d = graft.sources.Csv.read(spark, s"$dir/d.csv")
+    assert(d.columns.toSeq == Seq("id", "v") && d.count() == 2)
+
+    val c = graft.pipeline.Plugins.loadClient("graft.pipeline.MockCodeActClient")
+    assert(c.isInstanceOf[graft.pipeline.MockCodeActClient])
+  }
+
+  test("msgContent navigates msgs[idx].content with fallback") {
+    val d = Seq(("fb", "hello")).toDF("fallback", "t")
+    val msgs = chatml("user" -> col("t"))
+    val got = d.select(
+      msgContent(msgs, 0, col("fallback")),
+      msgContent(msgs, 5, col("fallback"))).as[(String, String)].head()
+    assert(got == ("hello", "fb"))
+  }
+
+  test("globalShuffle is a deterministic permutation at any partitioning") {
+    val d = (1 to 100).toDF("id")
+    val p1 = graft.ops.Relational.globalShuffle(d.repartition(1), Seq(col("id")))
+      .as[Int].collect().toSeq
+    val p8 = graft.ops.Relational.globalShuffle(d.repartition(8), Seq(col("id")))
+      .as[Int].collect().toSeq
+    assert(p1 == p8)
+    assert(p1 != (1 to 100).toSeq, "shuffle should permute")
+    assert(p1.sorted == (1 to 100).toSeq)
+  }
+
   test("chatml build → normalize → text render") {
     val d = Seq("hi").toDF("t")
     val msgs = chatml("system" -> lit("S"), "user" -> col("t"))
