@@ -79,6 +79,13 @@ object Similarity {
     * shuffle volume is rows × numPerms × 8 bytes, independent of
     * document length.
     *
+    * Why explode+aggregate and not a per-row expression of 64
+    * array_min(transform(...)) columns: Spark's subexpression
+    * elimination excludes lambda-bearing expressions, so the shingle
+    * array would be recomputed once per permutation — measured 50×
+    * slower at sf0.1. The explode materializes each shingle hash
+    * exactly once and the partial aggregation keeps the shuffle tiny.
+    *
     * Input: (idCol, textCol). Output: idCol, m0..m{numPerms-1}.
     * Docs with fewer than `shingleN` words are dropped (no signature).
     */
