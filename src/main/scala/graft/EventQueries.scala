@@ -125,6 +125,20 @@ object EventQueries {
         | COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
 
+    // A1 (JSON-key variant) — group by canonical JSON of a composite
+    // key (reference serializes non-string group keys to JSON,
+    // etl_sampling_by_key.py:17-32).
+    QueryDef("events_group_json_key",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        graft.ops.Relational.groupByJsonKey(e, Seq("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("json_key"))
+      },
+      Some("""SELECT to_json(struct_pack(event_type := event_type)) AS json_key,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY json_key""".stripMargin)),
+
     // Per-user activity profile.
     QueryDef("events_user_stats",
       (s, dir) => {

@@ -126,6 +126,26 @@ object Relational {
     df.observe(name, metrics.map { case (n, c) => c.as(n) }.head,
       metrics.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** Skew-resistant two-phase aggregation: salt the hot key space into
+    * `salts` subkeys, partially aggregate per (key, salt), then
+    * combine per key. Use when one key holds a disproportionate share
+    * of rows (power-law keys at 100 TB): the first shuffle spreads the
+    * hot key over `salts` reducers instead of one. Only
+    * decomposable aggregates (sum/count/min/max) — pass the partial
+    * and final combiner explicitly.
+    */
+  def saltedAgg(df: DataFrame, key: Seq[String], valueCol: Column,
+                partial: Column => Column, combine: Column => Column,
+                salts: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy((key.map(col) :+ col("__salt")): _*)
+      .agg(partial(valueCol).as("__partial"))
+      .groupBy(key.map(col): _*)
+      .agg(combine(col("__partial")).as("agg_val"))
+  }
+
   /** Top-k by aggregate — group, sum, order, limit. The sort after the
     * aggregation is a TakeOrderedAndProject at execution time (no full
     * sort shuffle for small k).

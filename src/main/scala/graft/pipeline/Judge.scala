@@ -43,6 +43,17 @@ object Judge {
     case None => ParseFail
   }
 
+  /** Eligibility rubric scoring (reference eval_with_facts.py:481-501:
+    * the second judged metric, mapped to {1.0, 0.25, 0.0}; parse
+    * failure falls back to 0.5 like factuality).
+    */
+  def eligibilityScore(label: Option[String]): Double = label match {
+    case Some("eligible") => 1.0
+    case Some("partially_eligible") => 0.25
+    case Some(_) => 0.0
+    case None => ParseFail
+  }
+
   /** Judge a DataFrame: fill `template` per row from the given
     * (placeholder → column index) bindings, run every judge, average
     * the scores into a new double column. Runs in mapPartitions with

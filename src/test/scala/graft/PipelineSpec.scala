@@ -73,6 +73,40 @@ class PipelineSpec extends SparkSpec {
     assert(out.startsWith("# final\nRE:"))
   }
 
+  test("config reader parses the reference pipe shape") {
+    val cfg = ConfigReader.fromJson(
+      """{"pipe": [
+        |  {"name": "map", "instructions": [
+        |    {"name": "a", "role": "R", "task": "T",
+        |     "requirements": ["x"], "scope": ["text"], "model": "m1"}]},
+        |  {"name": "reduce", "instructions": [
+        |    {"name": "b", "task": "T2", "scope": ["a"]}]}
+        |]}""".stripMargin)
+    assert(cfg.stages.map(_.name) == Seq("map", "reduce"))
+    val a = cfg.stages.head.instructions.head
+    assert(a == Instruction("a", role = "R", task = "T",
+      requirements = Seq("x"), scope = Seq("text"), model = "m1"))
+    assert(cfg.stages(1).instructions.head.model == "mock")
+  }
+
+  test("eligibility rubric scoring") {
+    assert(Judge.eligibilityScore(Some("eligible")) == 1.0)
+    assert(Judge.eligibilityScore(Some("partially_eligible")) == 0.25)
+    assert(Judge.eligibilityScore(Some("ineligible")) == 0.0)
+    assert(Judge.eligibilityScore(None) == 0.5)
+  }
+
+  test("saltedAgg matches plain aggregation") {
+    val d = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", 1L))
+      .toDF("k", "v")
+    val salted = graft.ops.Relational.saltedAgg(
+        d, Seq("k"), col("v"), sum, sum, salts = 8)
+      .as[(String, Long)].collect().toMap
+    val plain = d.groupBy("k").agg(sum(col("v")))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
   test("markdownExpr skips missing entries") {
     val d = Seq(Map("a" -> "1")).toDF("m")
     val md = d.select(InstructionRunner.markdownExpr(Seq("a", "b"), col("m")))
