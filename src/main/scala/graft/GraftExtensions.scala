@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions.CharShingleDistinctCount
+
+/** SparkSessionExtensions entry point registering the engine's native
+  * expressions for SQL use:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT char_shingle_count(text, 7) FROM docs
+  *
+  * (Scala-API callers can use graft.functions.GraftFunctions
+  * .charShingleCount without extensions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("char_shingle_count"),
+      new ExpressionInfo(classOf[CharShingleDistinctCount].getName,
+        "char_shingle_count"),
+      (children: Seq[Expression]) => children match {
+        case Seq(str, Literal(n: Int, _)) => CharShingleDistinctCount(str, n)
+        case _ => throw new IllegalArgumentException(
+          "char_shingle_count(stringCol, intLiteral)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+  }
+}

@@ -103,7 +103,9 @@ object TextQueries {
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         d.select(col("doc_id"),
-            size(graft.ops.Similarity.charShingles(col("text"), 7)).as("n_shingles"))
+            charShingleCount(
+              regexp_replace(col("text"), graft.ops.Similarity.PunctStripPattern, ""),
+              7).as("n_shingles"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH s AS (

@@ -62,6 +62,16 @@ object GraftFunctions {
     */
   def chatmlKey(msgs: Column): Column = sha2(to_json(msgs), 256)
 
+  /** Distinct char n-gram count via the native Catalyst expression
+    * (graft.expressions.CharShingleDistinctCount) — one codegen'd pass
+    * per row instead of per-position expression evaluation.
+    */
+  def charShingleCount(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.CharShingleDistinctCount(GraftColumnBridge.expression(c), n))
+  }
+
   /** Deterministic pseudo-random in [0, m) from integer key columns —
     * a multiplicative LCG step, reproducible in ANSI SQL for the
     * oracle (unlike rand(seed), whose stream is partitioning-dependent).

@@ -60,6 +60,22 @@ class TextJsonlSpec extends SparkSpec {
     assert(train.count() == 1)
   }
 
+  test("native char_shingle_count: Scala API, SQL registration, parity with composed form") {
+    // 'abcdef' 3-grams: abc bcd cde def → 4; repeated text dedups
+    val got = Seq(("abcdef"), ("aaaa")).toDF("t")
+      .select(charShingleCount(col("t"), 3)).as[Int].collect().toSeq
+    assert(got == Seq(4, 1))
+    // SQL path via SparkSessionExtensions
+    assert(spark.sql("SELECT char_shingle_count('abcdef', 3)")
+      .as[Int].head() == 4)
+    // parity with the composed-builtins formulation on real text
+    val d = Tables.load(spark, sfDir, "documents").limit(50)
+    val native = d.select(charShingleCount(col("text"), 7)).as[Int].collect().toSeq
+    val composed = d.select(size(graft.ops.Similarity.charShingles(col("text"), 7)))
+      .as[Int].collect().toSeq
+    assert(native == composed)
+  }
+
   test("csv source reads headers; plugin loader instantiates by class name") {
     val dir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(s"$dir/d.csv"), "id,v\n1,a\n2,b\n")
