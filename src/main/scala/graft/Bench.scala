@@ -23,6 +23,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate queries: drop cached data/broadcasts accumulated by
+      // the previous query so its GC debt isn't billed to this one
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column;
       // count() would let Catalyst prune the projections being timed.

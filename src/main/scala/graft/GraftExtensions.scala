@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.CharShingleDistinctCount
+import graft.expressions.{CharShingleDistinctCount, DotProduct}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions for SQL use:
@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(str, Literal(n: Int, _)) => CharShingleDistinctCount(str, n)
         case _ => throw new IllegalArgumentException(
           "char_shingle_count(stringCol, intLiteral)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "dot_product(arrayCol, arrayCol)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

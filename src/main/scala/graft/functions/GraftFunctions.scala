@@ -175,11 +175,8 @@ object GraftFunctions {
     * left-fold sum so the accumulation order is deterministic (array
     * order), giving bit-stable results at any parallelism.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (vectorNorm(a) * vectorNorm(b))
 
   /** Dot product (left-fold, deterministic order). For pairwise
     * similarity joins, precompute each side's norm once
@@ -187,8 +184,10 @@ object GraftFunctions {
     * norms are O(rows) not O(pairs), which is the difference between
     * 2·d and 3·d multiplies per pair at 100 TB pair counts.
     */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  def dotProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.DotProduct(expression(a), expression(b)))
+  }
 
   def vectorNorm(a: Column): Column = sqrt(dotProduct(a, a))
 }
