@@ -51,6 +51,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ham(sh(0L), sh(2L)) > 4)
   }
 
+  test("MinHashSignature aggregate matches the min-column formulation") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val numPerms = 16
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(Similarity.wordShingles(col("text"), 5)).as("sh"))
+      .select(col("doc_id"), Similarity.base30(col("sh")).as("b"))
+    val agg = GraftColumnBridge.column(
+      graft.expressions.MinHashSignature(
+        GraftColumnBridge.expression(col("b")), numPerms).toAggregateExpression())
+    val viaAgg = exploded.groupBy("doc_id").agg(agg.as("sig"))
+      .select(col("doc_id") +: (0 until numPerms)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+      .collect().map(r => r.getLong(0) -> (1 to numPerms).map(r.getLong)).toMap
+    val viaCols = Similarity.minhashSignatures(docs, "doc_id", "text", numPerms, 5)
+      .collect().map(r => r.getLong(0) -> (1 to numPerms).map(r.getLong)).toMap
+    assert(viaAgg == viaCols)
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),
