@@ -134,7 +134,7 @@ object DedupQueries {
     QueryDef("dedup_simhash",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        d.select(col("doc_id"), Similarity.simhash(col("text")).as("sh"))
+        d.select(col("doc_id"), simhash16(col("text")).as("sh"))
           .orderBy(col("doc_id"))
       },
       Some(simhashSql)),

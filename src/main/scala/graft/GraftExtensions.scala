@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CharShingleDistinctCount, DotProduct}
+import graft.expressions.{CharShingleDistinctCount, DotProduct, SimHash16}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions for SQL use:
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           "dot_product(arrayCol, arrayCol)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => SimHash16(s)
+        case _ => throw new IllegalArgumentException("simhash16(stringCol)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

@@ -62,6 +62,13 @@ object GraftFunctions {
     */
   def chatmlKey(msgs: Column): Column = sha2(to_json(msgs), 256)
 
+  /** Native one-pass 16-bit SimHash (see expressions.SimHash16). */
+  def simhash16(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.SimHash16(GraftColumnBridge.expression(c)))
+  }
+
   /** Distinct char n-gram count via the native Catalyst expression
     * (graft.expressions.CharShingleDistinctCount) — one codegen'd pass
     * per row instead of per-position expression evaluation.

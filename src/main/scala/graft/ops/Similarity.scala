@@ -186,6 +186,41 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Incremental MinHash-LSH dedup for batch-append ingestion: drop
+    * rows of `newDf` that collide (share an LSH band bucket) with the
+    * already-accepted corpus, represented by its signature frame
+    * `knownSigs` (schema: idCol, m0..m{numPerms-1} — persist it
+    * alongside the corpus and union the survivors' signatures after
+    * each batch). Within the new batch, lowest-id-wins as usual; any
+    * collision with the known corpus drops the new row regardless of
+    * id. This is the production shape of the reference's ST1
+    * incremental index: state = the signature table, O(corpus) rows ×
+    * numPerms longs, instead of an in-memory index.
+    */
+  def minhashDedupIncremental(newDf: DataFrame, idCol: String, textCol: String,
+                              knownSigs: DataFrame,
+                              numPerms: Int = 64, shingleN: Int = 5,
+                              bands: Int = 16, rows: Int = 4): DataFrame = {
+    val newSigs = minhashSignatures(newDf, idCol, textCol, numPerms, shingleN)
+    // new-vs-new: lowest id wins
+    val intraDropped = lshCandidatePairs(newSigs, idCol, bands, rows)
+      .select(col("id_b").as(idCol))
+    // new-vs-known: any band-bucket match drops the new row
+    val bandsOf = (sig: DataFrame) => {
+      val bandStructs = (0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          bandValue((0 until rows).map(r => col(s"m${j * rows + r}"))).as("bv"))
+      }
+      sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+        .select(col(idCol), col("b.band").as("band"), col("b.bv").as("bv"))
+    }
+    val crossDropped = bandsOf(newSigs).as("n")
+      .join(bandsOf(knownSigs).as("k"),
+        col("n.band") === col("k.band") && col("n.bv") === col("k.bv"), "left_semi")
+      .select(col(s"n.$idCol").as(idCol))
+    newDf.join(intraDropped.union(crossDropped).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Hamming distance between two packed bit signatures. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

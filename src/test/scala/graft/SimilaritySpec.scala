@@ -70,6 +70,28 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg == viaCols)
   }
 
+  test("native simhash16 matches the composed-expression form") {
+    val d = Tables.load(spark, sfDir, "documents").limit(100)
+    val native = d.select(graft.functions.GraftFunctions.simhash16(col("text")))
+      .as[Long].collect().toSeq
+    val composed = d.select(Similarity.simhash(col("text")))
+      .as[Long].collect().toSeq
+    assert(native == composed)
+  }
+
+  test("incremental dedup drops collisions with the known corpus and within the batch") {
+    val known = Seq((100L, near1)).toDF("doc_id", "text")
+    val knownSigs = Similarity.minhashSignatures(known, "doc_id", "text", 64, 5)
+    // batch: near2 collides with known near1; far survives; dup pair
+    // within batch keeps lowest id
+    val batch = Seq((0L, near2), (1L, far), (2L, far + " extra word tail"))
+      .toDF("doc_id", "text")
+    val out = Similarity.minhashDedupIncremental(batch, "doc_id", "text", knownSigs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(0L), "collision with known corpus must drop")
+    assert(out.contains(1L))
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),
