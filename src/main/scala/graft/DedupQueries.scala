@@ -129,6 +129,28 @@ object DedupQueries {
         |WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // J1-pipeline — LSH recall + exact-Jaccard precision: the
+    // production near-dup shape (only LSH candidates pay the exact
+    // set intersection).
+    QueryDef("dedup_lsh_verified",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.lshVerifiedPairs(d, "doc_id", "text", 0.5,
+            NumPerms, ShingleN, Bands, Rows)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""$lshPairsSql,
+        |ss AS (SELECT doc_id, $shinglesSql AS ss FROM w),
+        |v AS (
+        |  SELECT p.id_a, p.id_b,
+        |    round(len(list_intersect(a.ss, b.ss))::DOUBLE /
+        |      (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+        |  FROM pairs p
+        |  JOIN ss a ON a.doc_id = p.id_a
+        |  JOIN ss b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, jaccard FROM v
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     // SimHash — 16-bit signature per doc (near-dup = small hamming
     // distance; the signature is the verifiable deterministic core).
     QueryDef("dedup_simhash",

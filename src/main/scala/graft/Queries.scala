@@ -13,9 +13,16 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Queries {
-  /** All registries merged; later additions must keep names unique. */
-  def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ PipelineQueries.defs ++ JudgeQueries.defs ++
-      EventQueries.defs ++ AdvancedQueries.defs
+  /** All registries merged; duplicate names would silently shadow each
+    * other in SparkEntry's maps, so they fail fast here.
+    */
+  lazy val all: Seq[QueryDef] = {
+    val defs =
+      RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+        SimilarityQueries.defs ++ PipelineQueries.defs ++ JudgeQueries.defs ++
+        EventQueries.defs ++ AdvancedQueries.defs
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 }

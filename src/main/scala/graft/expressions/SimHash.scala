@@ -40,12 +40,18 @@ object SimHashOps {
 
   val Bits = 16
 
+  // MessageDigest is not thread-safe but is reusable; getInstance per
+  // token would dominate the kernel
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** First 15 hex digits of md5, parsed base-16 — identical to
     * GraftFunctions.md5Long (Spark's md5 hex is lowercase, as here).
     */
   def md5Long(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val digest = md5.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes(StandardCharsets.UTF_8))
     // 15 hex digits = first 7 bytes + high nibble of byte 8
     var v = 0L
     var i = 0

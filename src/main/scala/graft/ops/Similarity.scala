@@ -186,6 +186,30 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** The production near-dup pipeline: LSH banding for recall, exact
+    * Jaccard verification for precision. Only LSH candidate pairs —
+    * not the full inverted-index pair space — pay the exact
+    * set-intersection cost, which is what makes exact verification
+    * affordable at corpus scale (the unrestricted exact join in
+    * jaccardPairs is the small-scale oracle of this).
+    */
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double,
+                       numPerms: Int = 64, shingleN: Int = 5,
+                       bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val cand = lshCandidatePairs(sig, idCol, bands, rows)
+    val sets = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("__ss"))
+    val common = size(array_intersect(col("a.__ss"), col("b.__ss")))
+    cand
+      .join(sets.as("a"), col("id_a") === col(s"a.$idCol"))
+      .join(sets.as("b"), col("id_b") === col(s"b.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        round(common.cast("double") /
+          (size(col("a.__ss")) + size(col("b.__ss")) - common), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Incremental MinHash-LSH dedup for batch-append ingestion: drop
     * rows of `newDf` that collide (share an LSH band bucket) with the
     * already-accepted corpus, represented by its signature frame

@@ -51,10 +51,15 @@ trait LlmClient extends Serializable {
 
 object LlmClient {
 
-  def sha256Hex(s: String): String =
-    MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+  private val sha256Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
+
+  def sha256Hex(s: String): String = {
+    val digest = sha256Local.get()
+    digest.reset()
+    digest.digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+  }
 
   /** Cache key = sha256 of the serialized conversation (F11). */
   def cacheKey(msgs: Seq[ChatMessage]): String =
