@@ -139,6 +139,38 @@ object EventQueries {
         | COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY json_key""".stripMargin)),
 
+    // F5 — structured JSON parsing: from_json into a typed struct at
+    // scan time (vs the path-extraction variant above).
+    QueryDef("events_props_struct",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
+          .groupBy(col("k") > 50).agg(count(lit(1)).as("n"))
+          .select(col("(k > 50)").as("k_over_50"), col("n"))
+          .orderBy(col("k_over_50"))
+      },
+      Some("""SELECT json_extract_string(props, '$.k')::INT > 50 AS k_over_50,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_over_50""".stripMargin)),
+
+    // Running aggregate: per-user cumulative value over event time.
+    QueryDef("events_running_sum",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(col("user_id"), col("event_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w)
+              .cast("double").as("running_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
     // Per-user activity profile.
     QueryDef("events_user_stats",
       (s, dir) => {

@@ -105,6 +105,91 @@ object RelationalQueries {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin)),
 
+    // J — two-role dimension join (TPC-H Q7 shape): shipping volume
+    // between two nations, with the nation table joined twice under
+    // different roles (supplier side, customer side). Both roles are
+    // broadcast; the fact-side join is the only shuffle.
+    QueryDef("q7_volume_shipping",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val su = Tables.load(s, dir, "supplier")
+        val n1 = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .where(col("supp_nation") < col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year, $sumRevenue AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // J+topk — returned-items report (TPC-H Q10 shape).
+    QueryDef("q10_returned_items",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name, $sumRevenue AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)),
+
+    // A+having — large-order customers (TPC-H Q18 shape): aggregate,
+    // HAVING filter, then join back for the report.
+    QueryDef("q18_large_orders",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .where(col("sum_qty") > 150)
+        o.join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("sum_qty"))
+          .orderBy(desc("sum_qty"), col("o_orderkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderdate, sum_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, $sumQty AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING $sumQty > 150) b ON o_orderkey = b.l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin)),
+
     // J3 — anti join: customers with no orders, by segment.
     QueryDef("anti_join_no_orders",
       (s, dir) => {
