@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ops.{Relational, Similarity}
+import graft.pipeline.Prompts
+
+/** Property-based invariants (SURVEY §5 test plan): no split leakage,
+  * group caps, dedup idempotence, hash ranges, prompt-render totality.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal deterministic forAll over ScalaCheck Gens (the
+    * scalatest-scalacheck bridge is not in the offline dependency
+    * set). Seeds advance from a fixed root, so failures reproduce.
+    */
+  private def forSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate(seed0)(_.next).take(n).foreach { seed =>
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+    }
+  }
+
+  test("property: groupSplit never leaks any generated key set across splits") {
+    forSamples(Gen.nonEmptyListOf(Gen.chooseNum(1L, 1000000L)), 5) { keys =>
+      val df = keys.flatMap(k => Seq((k, "a"), (k, "b"))).toDF("key", "v")
+      val leaked = Relational.groupSplit(df, "key")
+        .groupBy("key").agg(countDistinct(col("split")).as("n"))
+        .where(col("n") > 1).count()
+      assert(leaked == 0)
+    }
+  }
+
+  test("property: groupSample caps hold for generated group sizes and caps") {
+    forSamples(Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1, 30)), 5) {
+      case (cap, rows) =>
+        val df = (1 to rows).map(i => (s"g${i % 3}", i)).toDF("k", "id")
+        val sizes = Relational.groupSample(df, Seq("k"), cap, Seq(col("id")))
+          .groupBy("k").count().as[(String, Long)].collect()
+        assert(sizes.forall(_._2 <= cap))
+    }
+  }
+
+  test("property: dedupFirst is idempotent and keeps one row per key") {
+    forSamples(Gen.nonEmptyListOf(Gen.chooseNum(1, 50)), 5) { ids =>
+      val df = ids.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "id")
+      val once = Relational.dedupFirst(df, Seq("k"), Seq(col("id")))
+      val twice = Relational.dedupFirst(once, Seq("k"), Seq(col("id")))
+      assert(once.count() == ids.distinct.size)
+      assert(once.collect().toSet == twice.collect().toSet)
+    }
+  }
+
+  test("property: detHash stays in [0, m) for arbitrary long keys") {
+    forSamples(
+      Gen.listOfN(20, Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4)), 5) {
+      keys =>
+        if (keys.nonEmpty) {
+          val vals = keys.toDF("k")
+            .select(graft.functions.GraftFunctions.detHash(97L, col("k")))
+            .as[Long].collect()
+          assert(vals.forall(v => v >= 0 && v < 97))
+        }
+    }
+  }
+
+  test("property: jaccardPairs output is bounded in (0, 1] and ids ordered") {
+    val texts = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i k"),
+      (2L, "a b c d e f g h i j"), // exact dup of 0
+      (3L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val pairs = Similarity.jaccardPairs(texts, "doc_id", "text", 3, 0.01)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, j) => a < b && j > 0 && j <= 1 })
+    assert(pairs.find(p => p._1 == 0L && p._2 == 2L).exists(_._3 == 1.0))
+  }
+
+  test("property: mock client is a pure function of the conversation") {
+    forSamples(Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr), 10) {
+      case (sys, user) =>
+        val msgs = Seq(
+          graft.pipeline.ChatMessage("system", sys),
+          graft.pipeline.ChatMessage("user", user))
+        val c = graft.pipeline.MockLlmClient()
+        assert(c.complete(msgs, 0).content == c.complete(msgs, 0).content)
+        assert(c.complete(msgs, 0).content.startsWith("RE:"))
+    }
+  }
+
+  test("property: userPrompt is total — None iff every scoped value invalid") {
+    val valueGen = Gen.oneOf[String](
+      null, "", " ", "NA", "N/A", "\n", "x", "hello world")
+    forSamples(Gen.listOfN(3, valueGen), 20) { vals =>
+      val ins = graft.pipeline.Instruction("t", scope = Seq("a", "b", "c"))
+      val input = Seq("a", "b", "c").zip(vals).toMap
+      val out = Prompts.userPrompt(ins, input)
+      val anyValid = vals.exists(v => !Prompts.isInvalid(v))
+      assert(out.isDefined == anyValid)
+    }
+  }
+}
