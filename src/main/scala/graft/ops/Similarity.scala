@@ -115,9 +115,14 @@ object Similarity {
       struct(lit(j).as("band"),
         bandValue((0 until rows).map(r => col(s"m${j * rows + r}"))).as("bv"))
     }
+    // persist: both sides of the self-join (and the signature pipeline
+    // above it — shingle explode + 64-way min agg) would otherwise be
+    // recomputed per branch. At scale this is the "persist the
+    // signature table" step every LSH dedup pipeline has.
     val exploded = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
@@ -200,6 +205,7 @@ object Similarity {
     val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
     val cand = lshCandidatePairs(sig, idCol, bands, rows)
     val sets = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("__ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // joined twice (a/b sides)
     val common = size(array_intersect(col("a.__ss"), col("b.__ss")))
     cand
       .join(sets.as("a"), col("id_a") === col(s"a.$idCol"))
@@ -226,6 +232,7 @@ object Similarity {
                               numPerms: Int = 64, shingleN: Int = 5,
                               bands: Int = 16, rows: Int = 4): DataFrame = {
     val newSigs = minhashSignatures(newDf, idCol, textCol, numPerms, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // used by intra + cross paths
     // new-vs-new: lowest id wins
     val intraDropped = lshCandidatePairs(newSigs, idCol, bands, rows)
       .select(col("id_b").as(idCol))
