@@ -74,4 +74,29 @@ class EhrPipelineSpec extends SparkSpec {
     assert(traces.count() == 9)
     assert(traces.where(!col("finished")).count() == 1)
   }
+
+  test("EHR flow end-to-end through JSONL source and sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ehr").toString
+    graft.sources.Jsonl.write(ehrRows, s"$dir/in")
+    val rows = graft.sources.Jsonl.read(spark, s"$dir/in")
+
+    val out = InstructionRunner.runPipeline(rows,
+      PipelineConfig(Seq(mapStage, reduceStage)), MockLlmClient(),
+      Seq("patient_id", "patient", "encounters", "medications"))
+    graft.sources.Jsonl.guardedWrite(
+      out.select("patient_id", "result_md"), s"$dir/results", append = false)
+
+    val st0 = InstructionRunner.stringifyKv(rows,
+      Seq("patient_id", "patient", "encounters", "medications"), "s0")
+    val traces = InstructionRunner.traceStage(st0, mapStage, MockLlmClient(),
+      "s0", "patient_id")
+    graft.sources.Jsonl.writeTraces(traces, s"$dir/audit")
+
+    val results = graft.sources.Jsonl.read(spark, s"$dir/results")
+    assert(results.count() == 3)
+    assert(results.columns.toSet == Set("patient_id", "result_md"))
+    val meta = graft.sources.Jsonl.read(spark, s"$dir/audit/meta")
+    assert(meta.count() == 9)
+    assert(meta.columns.toSet == Set("session_id", "stage", "name"))
+  }
 }
