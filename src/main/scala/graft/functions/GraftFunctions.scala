@@ -140,6 +140,19 @@ object GraftFunctions {
   def msgContent(msgs: Column, idx: Int, fallback: Column): Column =
     coalesce(get(msgs, lit(idx)).getField("content"), fallback)
 
+  /** F9 — encoding-text extraction for cost estimation (reference
+    * encoding_text_extraction, apps/cost_estimator_inf.py:20-32):
+    * concatenate the extra string columns plus every message except
+    * the last as `role:\ncontent`, the text a tokenizer would count
+    * as prompt input.
+    */
+  def encodingText(msgs: Column, extraCols: Column*): Column = {
+    val head = slice(msgs, lit(1), greatest(size(msgs) - 1, lit(0)))
+    val msgText = aggregate(head, lit(""), (acc, m) =>
+      concat(acc, m.getField("role"), lit(":\n"), m.getField("content"), lit("\n")))
+    concat((extraCols.map(c => concat(c, lit("\n"))) :+ msgText): _*)
+  }
+
   /** F8 — ChatML → `<role>content</role>` tagged text (reference
     * chatml_to_text, grpo_plugin.py:168-178). Left fold keeps message
     * order.

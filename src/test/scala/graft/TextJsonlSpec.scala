@@ -106,6 +106,14 @@ class TextJsonlSpec extends SparkSpec {
     assert(p1.sorted == (1 to 100).toSeq)
   }
 
+  test("encodingText: extra cols + all-but-last messages as role:content") {
+    val d = Seq(("ctx", "q1", "a1", "q2")).toDF("extra", "q1", "a1", "q2")
+    val msgs = chatml("user" -> col("q1"), "assistant" -> col("a1"),
+      "user" -> col("q2"))
+    val got = d.select(encodingText(msgs, col("extra"))).as[String].head()
+    assert(got == "ctx\nuser:\nq1\nassistant:\na1\n")
+  }
+
   test("chatml build → normalize → text render") {
     val d = Seq("hi").toDF("t")
     val msgs = chatml("system" -> lit("S"), "user" -> col("t"))
