@@ -93,6 +93,26 @@ object JudgeQueries {
         |SELECT doc_id, name, $factualitySql AS factuality
         |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // L5 (second rubric) — eligibility panel with the {1.0, 0.25, 0.0}
+    // score map through the generalized scoreWith operator.
+    QueryDef("judge_eligibility",
+      (s, dir) => {
+        val in = judgeInput(s, dir)
+        JudgePanels.scoreWith(in, Template,
+            Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+            JudgeModels.map(MockEligibilityJudge(_)),
+            Judge.eligibilityScore, "eligibility")
+          .select(col("doc_id"), col("name"), col("eligibility"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scores = JudgeModels.map(m => MockEligibilityJudge.scoreSql(m, "prompt"))
+        s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, name, $promptSql AS prompt FROM j)
+        |SELECT doc_id, name, (${scores.mkString(" + ")}) / ${JudgeModels.size} AS eligibility
+        |FROM p ORDER BY doc_id""".stripMargin
+      }),
+
     // A5 — the metrics report over the judged frame, via spark.sql of
     // the shared ANSI text (the reference's one real SQL query).
     QueryDef("judge_metrics",

@@ -220,6 +220,25 @@ object RelationalQueries {
         |              WHERE s_nationkey = n_nationkey AND s_acctbal > 5000)
         |ORDER BY n_nationkey""".stripMargin)),
 
+    // J+A — revenue by part brand (exercises the part dimension):
+    // broadcast part, aggregate on the fact side, top-10.
+    QueryDef("part_brand_revenue",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), col("p_brand"))
+          .limit(10)
+      },
+      Some(s"""SELECT p_brand, $sumRevenue AS revenue, COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand
+        |LIMIT 10""".stripMargin)),
+
     // A2 — first-per-group dedup with explicit deterministic order
     // (reference keeps first-in-file; etl_sampling_by_key.py:42-53).
     QueryDef("dedup_first_order_per_customer",

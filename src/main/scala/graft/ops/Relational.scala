@@ -126,6 +126,15 @@ object Relational {
     df.observe(name, metrics.map { case (n, c) => c.as(n) }.head,
       metrics.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** observeCounts variant over an Observation handle, for batch jobs
+    * that want to read the metrics directly after the action instead
+    * of wiring a QueryExecutionListener.
+    */
+  def observeWith(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                  metrics: (String, Column)*): DataFrame =
+    df.observe(obs, metrics.map { case (n, c) => c.as(n) }.head,
+      metrics.tail.map { case (n, c) => c.as(n) }: _*)
+
   /** Skew-resistant two-phase aggregation: salt the hot key space into
     * `salts` subkeys, partially aggregate per (key, salt), then
     * combine per key. Use when one key holds a disproportionate share

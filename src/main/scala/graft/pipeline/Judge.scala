@@ -79,6 +79,57 @@ object Judge {
   }
 }
 
+/** Generalized panel scoring with a custom label→score mapping (the
+  * reference judges two metrics with different rubrics: factuality
+  * {1.0, 0.0, 0.5-on-parse-fail} and eligibility {1.0, 0.25, 0.0}).
+  */
+object JudgePanels {
+
+  def scoreWith(df: org.apache.spark.sql.DataFrame, template: String,
+                bindings: Map[String, String], judges: Seq[LlmClient],
+                scoreFn: Option[String] => Double,
+                outCol: String): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema
+    val idx = bindings.map { case (ph, c) => ph -> schema.fieldIndex(c) }
+    val outSchema = schema.add(outCol, org.apache.spark.sql.types.DoubleType)
+    df.mapPartitions { it: Iterator[org.apache.spark.sql.Row] =>
+      it.map { row =>
+        val vars = idx.map { case (ph, i) => ph -> String.valueOf(row.get(i)) }
+        val msgs = Seq(ChatMessage("user", Judge.fillTemplate(template, vars)))
+        val scores = judges.map(j => scoreFn(Judge.parseLabel(j.run(msgs))))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ scores.sum / scores.size)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}
+
+/** Deterministic mock eligibility judge: first hex digit d of
+  * sha256(model·\n·prompt): d<6 → "eligible", d<b →
+  * "partially_eligible", else "ineligible". SQL mirror in scoreSql.
+  */
+final case class MockEligibilityJudge(model: String) extends LlmClient {
+
+  override def cacheId: String = s"mock-elig:$model"
+
+  override def complete(msgs: Seq[ChatMessage], attempt: Int): LlmResponse = {
+    val user = msgs.reverse.find(_.role == "user").map(_.content).getOrElse("")
+    val d = LlmClient.sha256Hex(model + "\n" + user).charAt(0)
+    val label =
+      if (d < '6') "eligible"
+      else if (d < 'b') "partially_eligible"
+      else "ineligible"
+    LlmResponse(s"""{"label": "$label"}""", "stop")
+  }
+}
+
+object MockEligibilityJudge {
+  /** DuckDB mirror of eligibilityScore(parseLabel(mock(model, p))). */
+  def scoreSql(model: String, promptSql: String): String =
+    s"""(CASE WHEN substring(sha256('$model' || chr(10) || $promptSql), 1, 1) < '6' THEN 1.0
+       | WHEN substring(sha256('$model' || chr(10) || $promptSql), 1, 1) < 'b' THEN 0.25
+       | ELSE 0.0 END)""".stripMargin
+}
+
 /** Deterministic mock judge: the verdict is a pure function of
   * (model, prompt) — first hex digit d of sha256(model·\n·prompt):
   * d < 8 → clean JSON "supported"; d in [8, f) → fence-wrapped JSON

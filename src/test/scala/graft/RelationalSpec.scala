@@ -46,6 +46,14 @@ class RelationalSpec extends SparkSpec {
     assert(dist("val") > 100 && dist("val") < 300)
   }
 
+  test("observeWith surfaces running metrics after the action (ST3)") {
+    val obs = new org.apache.spark.sql.Observation("filter_ratio")
+    val d = Relational.observeWith(df, obs,
+      "n" -> count(lit(1)), "n_a" -> count(when(col("k") === "a", 1)))
+    d.collect()
+    assert(obs.get("n") == 6L && obs.get("n_a") == 3L)
+  }
+
   test("scopeProjectValid drops rows whose scoped values are all invalid") {
     val d = Seq(("ok", "v"), ("NA", "  "), ("", "N/A"), ("x", "NA"))
       .toDF("c1", "c2")
