@@ -20,6 +20,14 @@ import graft.functions.GraftFunctions._
   * declarative rule is deterministic and scale-stable — see SURVEY
   * §7.4 on invariant-level parity.)
   *
+  * Why not ml.feature.MinHashLSH (SURVEY §7.1.4 considered it): the
+  * MLlib estimator requires CountVectorizer→Vector UDT conversion
+  * (leaves codegen, materializes a vocabulary model), its hash family
+  * is not reproducible in ANSI SQL (no oracle), and
+  * approxSimilarityJoin hides the banding — the expression/aggregate
+  * formulation here stays in whole-stage codegen end-to-end, needs no
+  * fitted model, and is verified bit-for-bit against DuckDB.
+  *
   * Hashing: one 60-bit md5 base hash per shingle, folded to 30 bits,
   * then a universal-hash family h_i(x) = ((2i+1)·x + 7919i + 12345)
   * mod (2^31-1) generates the "permutations" — the same construction
