@@ -146,8 +146,8 @@ object AdvancedQueries {
         |      + tok * ${Cost.DefaultIoRatio} / 1000000.0 * ${Cost.DefaultOutPricePerM}, 9) AS cost_usd
         |  FROM t)
         |SELECT source, COUNT(*) AS n_rows, SUM(tok) AS sum_in_tokens,
-        |  round(SUM(tok) / COUNT(*), 2) AS avg_in_tokens,
-        |  round(SUM(cost_usd), 6) AS total_cost_usd
+        |  CAST(round(CAST(SUM(tok)::DECIMAL(18,6) / COUNT(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_in_tokens,
+        |  CAST(round(SUM(cost_usd::DECIMAL(18,9)), 6) AS DOUBLE) AS total_cost_usd
         |FROM c GROUP BY source ORDER BY source""".stripMargin)),
 
     // S9-shape — multimodal plumbing: opaque binary payload through the

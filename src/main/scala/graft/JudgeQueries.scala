@@ -65,10 +65,10 @@ object JudgeQueries {
       |    CAST(factuality >= 0.5 AS INT) AS ok
       |  FROM cleaned)
       |SELECT name,
-      |  round(sum(factuality) / count(*), 2) AS factuality_mean,
+      |  CAST(round(CAST(sum(CAST(factuality AS DECIMAL(18,6))) / count(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS factuality_mean,
       |  min(factuality) AS factuality_min,
       |  max(factuality) AS factuality_max,
-      |  round(sum(ok) * 1.0 / count(*), 2) AS ok_rate,
+      |  CAST(round(CAST(sum(ok) * 1.0 / count(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS ok_rate,
       |  count(*) AS n
       |FROM scored
       |GROUP BY ROLLUP(name)
@@ -111,6 +111,44 @@ object JudgeQueries {
         |p AS (SELECT doc_id, name, $promptSql AS prompt FROM j)
         |SELECT doc_id, name, (${scores.mkString(" + ")}) / ${JudgeModels.size} AS eligibility
         |FROM p ORDER BY doc_id""".stripMargin
+      }),
+
+    // A5 (eligibility) — grouped rubric report: mean/min/max + pass
+    // rate via ROLLUP, same shape as the factuality report.
+    QueryDef("judge_eligibility_metrics",
+      (s, dir) => {
+        val in = judgeInput(s, dir)
+        JudgePanels.scoreWith(in, Template,
+            Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+            JudgeModels.map(MockEligibilityJudge(_)),
+            Judge.eligibilityScore, "eligibility")
+          .createOrReplaceTempView("judged_elig")
+        s.sql("""SELECT name,
+          |  CAST(round(CAST(sum(CAST(eligibility AS DECIMAL(18,6))) / count(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS elig_mean,
+          |  min(eligibility) AS elig_min,
+          |  max(eligibility) AS elig_max,
+          |  CAST(round(CAST(sum(CAST(eligibility >= 0.5 AS INT)) * 1.0 / count(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS elig_rate,
+          |  count(*) AS n
+          |FROM judged_elig
+          |GROUP BY ROLLUP(name)
+          |ORDER BY name NULLS FIRST""".stripMargin)
+      },
+      Some {
+        val scores = JudgeModels.map(m => MockEligibilityJudge.scoreSql(m, "prompt"))
+        s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, name, $promptSql AS prompt FROM j),
+        |judged_elig AS (
+        |  SELECT name, (${scores.mkString(" + ")}) / ${JudgeModels.size} AS eligibility
+        |  FROM p)
+        |SELECT name,
+        |  CAST(round(CAST(sum(CAST(eligibility AS DECIMAL(18,6))) / count(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS elig_mean,
+        |  min(eligibility) AS elig_min,
+        |  max(eligibility) AS elig_max,
+        |  CAST(round(CAST(sum(CAST(eligibility >= 0.5 AS INT)) * 1.0 / count(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS elig_rate,
+        |  count(*) AS n
+        |FROM judged_elig
+        |GROUP BY ROLLUP(name)
+        |ORDER BY name NULLS FIRST""".stripMargin
       }),
 
     // A5 — the metrics report over the judged frame, via spark.sql of

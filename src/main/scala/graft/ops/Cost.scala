@@ -36,11 +36,18 @@ object Cost {
   /** Grouped cost report: rows, token sum/mean, total cost. */
   def costReport(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
     val withTok = withCost(df, textCol)
+    // means and money go through decimal before rounding: rounding the
+    // double quotient diverges from the oracle at *.xx5 boundaries
+    // (double 0.575 is 0.57499…, which DuckDB rounds down but Spark's
+    // toString-canonicalizing round rounds up)
+    import org.apache.spark.sql.types.DecimalType
     withTok.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("in_tokens")).as("sum_in_tokens"),
-        round(sum(col("in_tokens")) / count(lit(1)), 2).as("avg_in_tokens"),
-        round(sum(col("cost_usd")), 6).as("total_cost_usd"))
+        round((sum(col("in_tokens")).cast(DecimalType(18, 6)) / count(lit(1)))
+          .cast(DecimalType(18, 6)), 2).cast("double").as("avg_in_tokens"),
+        round(sum(col("cost_usd").cast(DecimalType(18, 9))), 6)
+          .cast("double").as("total_cost_usd"))
   }
 }
