@@ -1,12 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark driver: runs every registered query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query medians.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * median is reported — this VM shows order-of-magnitude wall-clock
+  * swings (SCALING.md), so single-shot numbers are not comparable
+  * across rounds. SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset
+  * for local iteration.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size scan splits to the SF: the default openCost (4 MiB) keeps
+      // every small-SF parquet in ONE split, so scan-heavy expression
+      // pipelines (shingling, hashing) run on 1 of 32 cores. On a real
+      // cluster the same knobs are sized to the executor count.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,22 +41,32 @@ object Bench {
         .groupBy(col("v")).count()
         .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // isolate queries: drop cached data/broadcasts accumulated by
-      // the previous query so its GC debt isn't billed to this one
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      // noop sink forces full evaluation of every output column;
-      // count() would let Catalyst prune the projections being timed.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val queries = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        // isolate runs: drop cached data/broadcasts accumulated by the
+        // previous query so its GC debt isn't billed to this one
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        // noop sink forces full evaluation of every output column;
+        // count() would let Catalyst prune the projections being timed.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

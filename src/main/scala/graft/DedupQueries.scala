@@ -19,6 +19,13 @@ object DedupQueries {
   private val Bands = 16
   private val Rows = 4
   private val ShingleN = 5
+  /** Hot-shingle document-frequency cap (jaccard) and LSH bucket-size
+    * cap (verified pairs): the quadratic-skew guards. Inert at test
+    * scale (max observed df is 4) but structural at 100 TB; both are
+    * mirrored verbatim in the oracles below.
+    */
+  private val MaxShingleDf = 1000
+  private val MaxBucketSize = 1000
 
   /** DuckDB mirror of md5Long. */
   private def md5LongSql(x: String) = s"('0x' || substring(md5($x), 1, 15))::BIGINT"
@@ -30,9 +37,10 @@ object DedupQueries {
     s"list_distinct(list_transform(range(1, len(w) - ${ShingleN - 2}), i -> array_to_string(w[i:i+${ShingleN - 1}], ' ')))"
 
   /** Generated CTE chain: shingle → base30 → 64 min-aggregates →
-    * 16 band values (UNION ALL) → candidate pairs.
+    * 16 band values (UNION ALL), ending at the `bands` CTE shared by
+    * both LSH oracles.
     */
-  private def lshPairsSql: String = {
+  private def lshBandsSql: String = {
     val mins = (0 until NumPerms)
       .map(i => s"min((b * ${2L * i + 1} + ${7919L * i + 12345L}) % $P) AS m$i")
       .mkString(",\n    ")
@@ -48,12 +56,23 @@ object DedupQueries {
        |    $mins
        |  FROM hb GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** Candidate-pair CTEs (bucket-size-capped, mirroring
+    * lshCandidatePairs' maxBucketSize guard; docs are unique per
+    * bucket so count(*) is the bucket size).
+    */
+  private def lshPairsSql: String =
+    s"""$lshBandsSql,
+       |ok AS (
+       |  SELECT band, bv FROM bands GROUP BY band, bv
+       |  HAVING count(*) BETWEEN 2 AND $MaxBucketSize),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
-  }
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.bv = a.bv)""".stripMargin
 
   /** Generated DuckDB mirror of Similarity.simhash (16-bit). */
   private def simhashSql: String = {
@@ -96,37 +115,51 @@ object DedupQueries {
     // J1 — MinHash-LSH near-dup detection: doc_ids dropped because they
     // share an LSH band bucket with a lower-id doc (first-seen-wins,
     // most_dup=0; reference etl_slimpajama_dc_proc.py:146-158).
+    // Window formulation: "shares a bucket with a lower id" ⟺
+    // "id > min(id) over the bucket" — no pair self-join, linear in
+    // bucket size (the oracle mirrors the same window).
     QueryDef("dedup_minhash_lsh",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         val sig = Similarity.minhashSignatures(d, "doc_id", "text", NumPerms, ShingleN)
-        Similarity.lshCandidatePairs(sig, "doc_id", Bands, Rows)
-          .select(col("id_b").as("doc_id")).distinct()
+        Similarity.lshDroppedIds(sig, "doc_id", Bands, Rows)
           .orderBy(col("doc_id"))
       },
-      Some(s"""$lshPairsSql
-        |SELECT DISTINCT id_b AS doc_id FROM pairs ORDER BY doc_id""".stripMargin)),
+      Some(s"""$lshBandsSql
+        |SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bv) AS mn
+        |  FROM bands)
+        |WHERE doc_id > mn ORDER BY doc_id""".stripMargin)),
 
     // J1-exact — n-gram Jaccard pairs via inverted-index self-join
     // (the exact counterpart the LSH path approximates).
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        Similarity.jaccardPairs(d, "doc_id", "text", ShingleN, 0.5)
+        Similarity.jaccardPairs(d, "doc_id", "text", ShingleN, 0.5, MaxShingleDf)
           .orderBy(col("id_a"), col("id_b"))
       },
+      // Mirrors jaccardPairs exactly: pair support counted over the
+      // distinct (doc, shingle-hash) index with the df cap; na/nb are
+      // uncapped distinct-shingle counts. dex is distinct (doc_id, h)
+      // so a 60-bit hash collision merges identically on both engines.
       Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, $shinglesSql AS ss FROM w),
-        |ex AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |dex AS (SELECT DISTINCT doc_id, ${md5LongSql("s")} AS h FROM ex),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        |ok AS (SELECT h FROM dex GROUP BY h
+        |       HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
         |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common,
-        |         any_value(a.n) AS na, any_value(b.n) AS nb
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM dex a JOIN dex b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.h = a.h
         |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |       round(common::DOUBLE / (na + nb - common), 6) AS jaccard
-        |FROM p
-        |WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.5
+        |SELECT p.id_a, p.id_b,
+        |       round(common::DOUBLE / (ca.n + cb.n - common), 6) AS jaccard
+        |FROM p JOIN cnt ca ON ca.doc_id = p.id_a
+        |       JOIN cnt cb ON cb.doc_id = p.id_b
+        |WHERE round(common::DOUBLE / (ca.n + cb.n - common), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
 
     // J1-pipeline — LSH recall + exact-Jaccard precision: the
@@ -136,7 +169,7 @@ object DedupQueries {
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         Similarity.lshVerifiedPairs(d, "doc_id", "text", 0.5,
-            NumPerms, ShingleN, Bands, Rows)
+            NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""$lshPairsSql,

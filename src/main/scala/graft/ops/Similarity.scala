@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -12,7 +13,8 @@ import graft.functions.GraftFunctions._
   * sequentially first-seen-wins. The Spark re-design replaces the
   * sequential in-memory index with the standard distributed shape:
   * shingle → signature (map-side partial min-aggregation, one shuffle
-  * by doc) → band explode → bucket self-join → anti-join survivors.
+  * by doc) → band explode → per-bucket min-id window → anti-join
+  * survivors (pair joins exist only where pairs are the output).
   * "First seen" becomes "lowest doc_id": a total order that is stable
   * at any parallelism, unlike file order. (Deviation from the
   * reference: a doc that only matches an already-dropped doc is also
@@ -113,63 +115,120 @@ object Similarity {
   def bandValue(sigCols: Seq[Column]): Column =
     sigCols.reduce((a, b) => a * lit(31L) + b)
 
-  /** Candidate near-duplicate pairs via LSH banding: docs sharing any
-    * band bucket. Returns distinct (id_a, id_b) with id_a < id_b.
-    * bands × rows must equal numPerms of the signature frame.
+  /** Exploded (id, band, bv) bucket assignments of a signature frame.
+    * One row per (doc, band); docs are unique within a bucket.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        bands: Int, rows: Int): DataFrame = {
+  private def bandBuckets(sig: DataFrame, idCol: String,
+                          bands: Int, rows: Int): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         bandValue((0 until rows).map(r => col(s"m${j * rows + r}"))).as("bv"))
     }
-    // persist: both sides of the self-join (and the signature pipeline
-    // above it — shingle explode + 64-way min agg) would otherwise be
-    // recomputed per branch. At scale this is the "persist the
-    // signature table" step every LSH dedup pipeline has.
-    val exploded = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bv").as("bv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
   }
+
+  /** All ordered (id_a < id_b) pairs from a sorted id array. */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** Ids dropped by first-(lowest-id)-wins LSH dedup: every doc whose
+    * id exceeds the minimum id of any band bucket it occupies.
+    *
+    * This is the dedup-only shortcut past candidate-pair generation:
+    * "shares a bucket with a lower id" ⟺ "id > min(id) of some
+    * bucket", so one shuffle on (band, bv) plus a linear min-window
+    * replaces the bucket self-join — a hot bucket (giant duplicate
+    * cluster) costs O(k) here instead of the O(k²) pairs it would
+    * produce in lshCandidatePairs. At 100 TB this is the difference
+    * between a skew-proof plan and a quadratic hot-bucket stall.
+    */
+  def lshDroppedIds(sig: DataFrame, idCol: String,
+                    bands: Int, rows: Int): DataFrame =
+    bandBuckets(sig, idCol, bands, rows)
+      .withColumn("__mn", min(col(idCol)).over(Window.partitionBy("band", "bv")))
+      .where(col(idCol) > col("__mn"))
+      .select(col(idCol)).distinct()
+
+  /** Candidate near-duplicate pairs via LSH banding: docs sharing any
+    * band bucket. Returns distinct (id_a, id_b) with id_a < id_b.
+    * bands × rows must equal numPerms of the signature frame.
+    *
+    * Pairs are generated per bucket group (collect ids, explode
+    * ordered pairs) rather than by a bucket self-join: no second
+    * evaluation of the signature pipeline, no broadcast of an exploded
+    * frame (Spark's size estimate of a post-explode side comes from
+    * the tiny pre-explode source and picks a pathological
+    * BroadcastHashJoin — measured 13.5 s vs 2 s at sf0.1).
+    * `maxBucketSize` drops buckets above the cap — the quadratic-skew
+    * guard for pair *output*; dedup itself should use lshDroppedIds,
+    * which needs no cap (linear in bucket size).
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        bands: Int, rows: Int,
+                        maxBucketSize: Int = 1000): DataFrame =
+    bandBuckets(sig, idCol, bands, rows)
+      .groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
 
   /** MinHash-LSH dedup, first-(lowest-id)-wins: drop every doc that
     * shares an LSH bucket with a lower-id doc (reference flow J1/ST1
-    * with most_dup=0). Returns the surviving rows of `df`.
+    * with most_dup=0). Returns the surviving rows of `df`. Built on
+    * lshDroppedIds — no pair join, skew-proof at any cluster size.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numPerms: Int = 64, shingleN: Int = 5,
                    bands: Int = 16, rows: Int = 4): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
-    val dropped = lshCandidatePairs(sig, idCol, bands, rows)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(dropped, Seq(idCol), "left_anti")
+    df.join(lshDroppedIds(sig, idCol, bands, rows), Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram Jaccard similarity pairs ≥ threshold, computed with
-    * an inverted-index self-join on shingles (the scalable exact
-    * counterpart of the LSH path: only docs sharing ≥1 shingle are
-    * ever paired, never the full cross product).
+  /** Exact n-gram Jaccard similarity pairs ≥ threshold, via an
+    * inverted index grouped by shingle hash: explode shingles once,
+    * group docs per shingle, explode ordered pairs per group, count
+    * shared shingles per pair (only docs sharing ≥1 shingle are ever
+    * paired, never the full cross product).
     * Output: id_a, id_b, jaccard (rounded to 6 for hash-stability).
+    *
+    * Shape notes, each measured at sf0.1:
+    * - Group-then-pair instead of an index self-join: the self-join
+    *   broadcast-hashes a post-explode side (Spark sizes it from the
+    *   tiny pre-explode source) and evaluates the shingle pipeline
+    *   once per branch — 12.3 s vs 7 s.
+    * - Pairing on the 60-bit md5 of the shingle, not the string:
+    *   5× smaller shuffle; both engines hash identically so the
+    *   oracle mirrors it exactly.
+    * - `maxShingleDf` drops shingles appearing in more docs than the
+    *   cap before pairing — THE skew guard at corpus scale: one
+    *   stop-phrase shingle with df=1M would otherwise contribute
+    *   5·10¹¹ pairs. Capped shingles are excluded from the pair
+    *   support but not from na/nb, so reported jaccard is a
+    *   conservative underestimate for pairs whose overlap is mostly
+    *   stop-shingles (the pairs dedup cares about — near-identical
+    *   docs — share rare shingles too). The oracle mirrors the cap.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol),
-        wordShingles(col(textCol), shingleN).as("__ss"))
-      .select(col(idCol), size(col("__ss")).as("__n"), explode(col("__ss")).as("__s"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.__s") === col("b.__s") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("__common"),
-        first(col("a.__n")).as("__na"), first(col("b.__n")).as("__nb"))
+                   shingleN: Int, threshold: Double,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val exh = df
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__s"))
+      .select(col(idCol), md5Long(col("__s")).as("__h"))
+    val cnts = exh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val pairs = exh.groupBy(col("__h"))
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .where(size(col("__ids")).between(2, maxShingleDf))
+      .select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("__common"))
+    pairs
+      .join(cnts.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(cnts.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
       .withColumn("jaccard", round(
         col("__common").cast("double") /
           (col("__na") + col("__nb") - col("__common")), 6))
@@ -209,11 +268,17 @@ object Similarity {
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double,
                        numPerms: Int = 64, shingleN: Int = 5,
-                       bands: Int = 16, rows: Int = 4): DataFrame = {
+                       bands: Int = 16, rows: Int = 4,
+                       maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
-    val cand = lshCandidatePairs(sig, idCol, bands, rows)
+    val cand = lshCandidatePairs(sig, idCol, bands, rows, maxBucketSize)
+    // Shingle sets are joined to the candidate pairs (small side), so
+    // the full arrays reach only |pairs| rows and the set intersection
+    // is paid per candidate, never per corpus row. No persist: each
+    // join scans the set pipeline once; callers that verify repeatedly
+    // should persist their own frame (library ops stay lazy and leak
+    // nothing into the session's storage).
     val sets = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("__ss"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // joined twice (a/b sides)
     val common = size(array_intersect(col("a.__ss"), col("b.__ss")))
     cand
       .join(sets.as("a"), col("id_a") === col(s"a.$idCol"))
@@ -239,22 +304,16 @@ object Similarity {
                               knownSigs: DataFrame,
                               numPerms: Int = 64, shingleN: Int = 5,
                               bands: Int = 16, rows: Int = 4): DataFrame = {
+    // The new batch's signature pipeline feeds both drop paths; no
+    // internal persist (library ops stay lazy) — incremental batches
+    // are small by design, and callers looping over many batches
+    // should persist newDf themselves.
     val newSigs = minhashSignatures(newDf, idCol, textCol, numPerms, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // used by intra + cross paths
-    // new-vs-new: lowest id wins
-    val intraDropped = lshCandidatePairs(newSigs, idCol, bands, rows)
-      .select(col("id_b").as(idCol))
+    // new-vs-new: lowest id wins (linear window, no pair join)
+    val intraDropped = lshDroppedIds(newSigs, idCol, bands, rows)
     // new-vs-known: any band-bucket match drops the new row
-    val bandsOf = (sig: DataFrame) => {
-      val bandStructs = (0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          bandValue((0 until rows).map(r => col(s"m${j * rows + r}"))).as("bv"))
-      }
-      sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
-        .select(col(idCol), col("b.band").as("band"), col("b.bv").as("bv"))
-    }
-    val crossDropped = bandsOf(newSigs).as("n")
-      .join(bandsOf(knownSigs).as("k"),
+    val crossDropped = bandBuckets(newSigs, idCol, bands, rows).as("n")
+      .join(bandBuckets(knownSigs, idCol, bands, rows).as("k"),
         col("n.band") === col("k.band") && col("n.bv") === col("k.bv"), "left_semi")
       .select(col(s"n.$idCol").as(idCol))
     newDf.join(intraDropped.union(crossDropped).distinct(), Seq(idCol), "left_anti")
