@@ -118,15 +118,19 @@ object TextQueries {
         |       ELSE 0 END AS n_shingles
         |FROM s ORDER BY doc_id""".stripMargin)),
 
-    // Rolling polynomial fingerprint (order-sensitive content hash) —
-    // no compact ANSI-SQL equivalent; driver records rows-only check,
-    // exactness is covered by TextSpec.
+    // Rolling polynomial fingerprint (order-sensitive content hash).
+    // Oracle: the same left fold via list_reduce, seeded by prepending
+    // the 0 initial value (DuckDB's list_reduce uses the head as init).
     QueryDef("text_rolling_fingerprint",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         d.select(col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
           .orderBy(col("doc_id"))
       },
-      None)
+      Some("""SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT, list_transform(string_split(lower(text), ' '),
+        |    w -> (('0x' || substring(md5(w), 1, 15))::BIGINT % 2147483647))),
+        |  (a, b) -> (a * 31 + b) % 2147483647) AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

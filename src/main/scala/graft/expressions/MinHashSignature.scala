@@ -35,7 +35,10 @@ case class MinHashSignature(
   private val P = 2147483647L // 2^31 - 1
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // eval returns null for a group that saw no shingles (e.g. all-null
+  // child input); declaring nullable=false would let codegen'd
+  // consumers read garbage from the unsafe row in that case.
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 

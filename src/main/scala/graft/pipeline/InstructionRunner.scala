@@ -36,9 +36,21 @@ object InstructionRunner {
     * json2str_kv, utils.py:20-27): project the row into a
     * map<string,string> result column. Pure expression — column
     * pruning still reaches the scan for untouched columns.
+    *
+    * Atomic types render via cast (the reference's str()); nested
+    * struct/map/array columns render via to_json, matching the
+    * reference's json.dumps branch — cast would produce Spark's
+    * bracket syntax, which no downstream JSON consumer parses.
     */
   def stringifyKv(df: DataFrame, cols: Seq[String], outCol: String): DataFrame = {
-    val kvs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val kvs = cols.flatMap { c =>
+      val rendered = df.schema(c).dataType match {
+        case _: StructType | _: MapType | _: ArrayType => to_json(col(c))
+        case _ => col(c).cast("string")
+      }
+      Seq(lit(c), rendered)
+    }
     df.withColumn(outCol, map(kvs: _*))
   }
 

@@ -27,7 +27,9 @@ object Judge {
     * parsing (reference llm_json_clean, eval_with_facts.py:558-561).
     */
   def cleanJson(resp: String): String = {
-    val afterThink = resp.split("</think>").last
+    // limit -1 keeps a trailing empty segment: a response *ending* in
+    // "</think>" must parse as empty, not as the think-block content
+    val afterThink = resp.split("</think>", -1).last
     afterThink.replaceAll("```json", "").replaceAll("```", "").trim
   }
 
@@ -107,7 +109,7 @@ object JudgePanels {
   * sha256(model·\n·prompt): d<6 → "eligible", d<b →
   * "partially_eligible", else "ineligible". SQL mirror in scoreSql.
   */
-final case class MockEligibilityJudge(model: String) extends LlmClient {
+final case class MockEligibilityJudge(override val model: String) extends LlmClient {
 
   override def cacheId: String = s"mock-elig:$model"
 
@@ -137,7 +139,7 @@ object MockEligibilityJudge {
   * text (exercises the parse-fail 0.5 path). SQL mirror in
   * MockJudgeClient.scoreSql.
   */
-final case class MockJudgeClient(model: String) extends LlmClient {
+final case class MockJudgeClient(override val model: String) extends LlmClient {
 
   override def cacheId: String = s"mock-judge:$model"
 

@@ -26,12 +26,18 @@ trait LlmClient extends Serializable {
   def ping(): Boolean =
     complete(Seq(ChatMessage("user", "Hi"))).content.nonEmpty
 
+  /** Model identity this client speaks to (mixed into the cache key;
+    * the request payload for HTTP implementations).
+    */
+  def model: String = "default"
+
   /** Identity mixed into the cache key. The reference holds one LRU
     * per LlmCli instance (llm_cli.py:58-61); this JVM-wide cache is
-    * shared across clients, so two judge models sending the same
-    * prompt must not collide.
+    * shared across clients, so two instances of the same client class
+    * pointed at different models must not collide — hence the model
+    * is part of the default key.
     */
-  def cacheId: String = getClass.getName
+  def cacheId: String = getClass.getName + ":" + model
 
   /** Cached + retried completion — the entry point operators use.
     * Response cache keyed by sha256 of the conversation (llm_cli.py:
@@ -114,7 +120,7 @@ object LlmCache {
   * Simulates length-stops deterministically (hash suffix "00") to
   * exercise the retry path without affecting the final content.
   */
-final case class MockLlmClient(model: String = "mock") extends LlmClient {
+final case class MockLlmClient(override val model: String = "mock") extends LlmClient {
 
   override def complete(msgs: Seq[ChatMessage], attempt: Int): LlmResponse = {
     val sys = msgs.find(_.role == "system").map(_.content).getOrElse("")

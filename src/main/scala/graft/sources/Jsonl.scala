@@ -56,9 +56,12 @@ object Jsonl {
     * existing output unless appending).
     */
   def guardedWrite(df: DataFrame, path: String, append: Boolean): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    // resolve the path's OWN filesystem: FileSystem.get(conf) returns
+    // the default FS, which silently checks the wrong store when path
+    // has a non-default scheme (e.g. s3a:// with a local default)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(p)
     require(append || !exists,
       s"output $path exists; pass append=true to add to it")
     write(df, path, append)

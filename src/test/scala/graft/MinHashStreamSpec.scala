@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.streaming.{MinHashLocal, MinHashStream}
+import graft.streaming.MinHashStream.DocIn
+
+/** Streaming MinHash-LSH dedup (ST1 strict parity): per-row signature
+  * math must be bit-identical to the batch expression pipeline, and
+  * the bucket-keyed state must drop collisions within AND across
+  * micro-batches (the reference's sequential first-seen-wins index,
+  * etl_slimpajama_dc_proc.py:119-166).
+  */
+class MinHashStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog in the garden today"
+  private val near2 = "the quick brown fox jumps over the lazy dog in the garden now"
+  private val far = "completely different content about spark query engines and shuffles here"
+
+  test("per-row signature math matches the batch expression pipeline bit-for-bit") {
+    val docs = Seq((0L, near1), (1L, near2), (2L, far), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val batch = Similarity.minhashSignatures(docs, "doc_id", "text", 64, 5)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i))).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L), "short doc must have no batch signature")
+    for (id <- Seq(0L, 1L, 2L)) {
+      val text = Seq(near1, near2, far)(id.toInt)
+      val local = MinHashLocal.signature(text, 64, 5).get.toSeq
+      assert(local == batch(id), s"signature mismatch for doc $id")
+    }
+    assert(MinHashLocal.signature("too short", 64, 5).isEmpty)
+  }
+
+  test("streaming dedup drops bucket collisions within and across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val q = MinHashStream.minhashDedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("mhdedup")
+      .outputMode("complete").start()
+
+    // batch 1: 0 and 1 are near-dups (share buckets) → 1 dropped;
+    // 2 is far → survives; 3 has no signature → survives
+    mem.addData(DocIn(0L, near1), DocIn(1L, near2), DocIn(2L, far),
+      DocIn(3L, "too short"))
+    q.processAllAvailable()
+    val after1 = spark.sql("SELECT doc_id, dropped FROM mhdedup")
+      .as[(Long, Boolean)].collect().toMap
+    assert(after1 == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
+
+    // batch 2: 10 duplicates doc 0 → dropped via state from batch 1
+    // (cross-batch); 11 is new → survives
+    mem.addData(DocIn(10L, near1),
+      DocIn(11L, "some entirely fresh sentence with enough words to shingle properly"))
+    q.processAllAvailable()
+    val after2 = spark.sql("SELECT doc_id, dropped FROM mhdedup")
+      .as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(after2(10L), "cross-batch duplicate must be dropped by bucket state")
+    assert(!after2(11L))
+
+    // single-batch verdicts match the batch window rule (lowest id wins)
+    val batchDropped = Similarity.lshDroppedIds(
+        Similarity.minhashSignatures(
+          Seq((0L, near1), (1L, near2), (2L, far)).toDF("doc_id", "text"),
+          "doc_id", "text", 64, 5), "doc_id", 16, 4)
+      .as[Long].collect().toSet
+    assert(batchDropped == after1.filter(_._2).keySet)
+  }
+}
