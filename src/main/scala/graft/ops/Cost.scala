@@ -33,6 +33,17 @@ object Cost {
           inTok * lit(ioRatio) / lit(1e6) * lit(outPricePerM), 9))
   }
 
+  /** Exact token count under a learned BPE merges table (see
+    * expressions.BpeTokenCount): the deployment-grade counter for
+    * models whose merges.txt is available. The regex estimate above
+    * stays the oracle-gated default.
+    */
+  def bpeVocabTokenCount(c: Column, vocab: graft.expressions.BpeVocab): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.BpeTokenCount(GraftColumnBridge.expression(c), vocab))
+  }
+
   /** Grouped cost report: rows, token sum/mean, total cost. */
   def costReport(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame = {
     val withTok = withCost(df, textCol)
