@@ -176,6 +176,39 @@ object AdvancedQueries {
         | ('0x' || substring(sha256(text), 3, 2))::INT / 255.0 AS f1,
         | ('0x' || substring(sha256(text), 5, 2))::INT / 255.0 AS f2,
         | ('0x' || substring(sha256(text), 7, 2))::INT / 255.0 AS f3
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // S9-shape — deterministic frame sampling: every 4th 32-byte frame
+    // of the binary payload as a scan-time expression (the video/audio
+    // "sample k frames before decoding" step). The oracle mirrors the
+    // byte math over VARCHAR — exact here because the synthetic corpus
+    // is ASCII (byte slicing == char slicing); the Spark expression
+    // itself is byte-exact on any payload.
+    QueryDef("multimodal_frame_sample",
+      (s, dir) => {
+        val frames = Multimodal.frameSample(
+          col("text").cast("binary"), frameBytes = 32, everyNth = 4)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), frames.as("frames"))
+          .select(col("doc_id"),
+            size(col("frames")).as("n_frames"),
+            md5(get(col("frames"), lit(0))).as("first_md5"),
+            // element_at(.., 0) throws under ANSI — guard empty arrays
+            when(size(col("frames")) > 0,
+              md5(element_at(col("frames"), size(col("frames")))))
+              .as("last_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 32
+        |      THEN list_transform(range(0, (length(text) - 32) // 128 + 1),
+        |                          i -> substring(text, i * 128 + 1, 32))
+        |      ELSE [] END AS frames
+        |  FROM documents)
+        |SELECT doc_id, len(frames) AS n_frames,
+        |  CASE WHEN len(frames) > 0 THEN md5(frames[1]) END AS first_md5,
+        |  CASE WHEN len(frames) > 0 THEN md5(frames[len(frames)]) END AS last_md5
+        |FROM f ORDER BY doc_id""".stripMargin))
   )
 }

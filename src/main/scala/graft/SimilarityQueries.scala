@@ -16,6 +16,7 @@ object SimilarityQueries {
   private val NumQueryVecs = 10
   private val TopK = 5
   private val NumPlanes = 6
+  private val NumCells = 8 // IVF coarse-quantizer size
 
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
     * i-1 matches Spark's 0-based transform index).
@@ -98,6 +99,74 @@ object SimilarityQueries {
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
         |  FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF ANN (nprobe=1): a deterministic coarse quantizer — the first
+    // NumCells vectors act as centroids; every vector is assigned to
+    // its max-cosine centroid (broadcast nested-loop over NumCells
+    // rows, then one map-side-combined min-struct aggregation), and
+    // search touches only the query's cell. At scale the centroid set
+    // is a trained k-means codebook loaded the same way; the plan
+    // shape — O(rows × C) scan-local scoring, no shuffle before the
+    // cell-restricted join — is the IVF contract. Assignment ranks by
+    // the ROUNDED cosine so both engines agree at ulp boundaries.
+    QueryDef("ann_ivf_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val cents = e.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"))
+        // bounded cross product: every vector × NumCells centroids,
+        // broadcast so scoring is scan-local
+        val cells = e.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("emb"), col("nrm"),
+            struct(
+              (-round(dotProduct(col("emb"), col("cemb")) /
+                (col("nrm") * col("cnrm")), 6)).as("negcos"),
+              col("cid").as("cid")).as("__c"))
+          .groupBy(col("vec_id"))
+          .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"),
+            min(col("__c")).getField("cid").as("cell"))
+        val q = cells.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"), col("cell").as("qcell"))
+        val scored = cells.join(broadcast(q),
+            col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < $NumCells),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+        |  FROM embeddings e CROSS JOIN c),
+        |cells AS (
+        |  SELECT vec_id, embedding, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM assigned)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb, cell AS qcell
+        |  FROM cells WHERE vec_id < $NumQueryVecs),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM cells e JOIN q ON e.cell = q.qcell AND e.vec_id <> q.query_id),
         |ranked AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS rank

@@ -22,6 +22,27 @@ object Multimodal {
 
   val FeatureDim = 4
 
+  /** Deterministic frame sampling over a binary payload: every
+    * `everyNth`-th `frameBytes`-sized frame, as an array of binary
+    * slices — the video/audio "sample k frames before decoding" step
+    * as a pure scan-time expression (no shuffle, codegen'd, works on
+    * any container where frames are fixed-stride; variable-stride
+    * containers need the mapPartitions decoder bridge below instead).
+    * Payloads shorter than one frame yield an empty array.
+    */
+  def frameSample(bin: org.apache.spark.sql.Column, frameBytes: Int,
+                  everyNth: Int): org.apache.spark.sql.Column = {
+    val stride = frameBytes * everyNth
+    // (len - frame) / stride: non-negative double division cast to int
+    // truncates toward zero = floor, giving the last full-frame index
+    when(length(bin) >= frameBytes,
+      transform(
+        sequence(lit(0),
+          ((length(bin) - lit(frameBytes)) / lit(stride)).cast("int")),
+        i => bin.substr(i * stride + lit(1), lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType),
     StructField("digest", StringType),
