@@ -131,6 +131,50 @@ object TextQueries {
         |  list_prepend(0::BIGINT, list_transform(string_split(lower(text), ' '),
         |    w -> (('0x' || substring(md5(w), 1, 15))::BIGINT % 2147483647))),
         |  (a, b) -> (a * 31 + b) % 2147483647) AS rfp
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Repetition signals (Gopher-style duplicate-content filters):
+    // duplicate-word fraction (1 - distinct/total) and most-frequent-
+    // bigram fraction. Integer counts all the way; the final ratios go
+    // through the decimal-quotient pattern (see ops/Cost) so the two
+    // engines round identically at .xx5 boundaries.
+    QueryDef("text_repetition",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+        val w = split(col("text"), " ")
+        val base = d.select(col("doc_id"),
+          size(w).as("nw"), size(array_distinct(w)).as("ndw"),
+          explode(Text.wordBigrams(col("text"))).as("bg"))
+        val perBg = base.groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("c"),
+            first(col("nw")).as("nw"), first(col("ndw")).as("ndw"))
+        perBg.groupBy(col("doc_id"))
+          .agg(max(col("c")).as("m"), sum(col("c")).as("tot"),
+            first(col("nw")).as("nw"), first(col("ndw")).as("ndw"))
+          .select(col("doc_id"),
+            round(((col("nw") - col("ndw")).cast(DecimalType(18, 6)) / col("nw"))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("dup_word_frac"),
+            round((col("m").cast(DecimalType(18, 6)) / col("tot"))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("top_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM w),
+        |perbg AS (
+        |  SELECT doc_id, bg, count(*) AS c,
+        |    any_value(nw) AS nw, any_value(ndw) AS ndw
+        |  FROM base GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, max(c) AS m, sum(c) AS tot,
+        |    any_value(nw) AS nw, any_value(ndw) AS ndw
+        |  FROM perbg GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(round(CAST((nw - ndw)::DECIMAL(18,6) / nw AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_word_frac,
+        |  CAST(round(CAST(m::DECIMAL(18,6) / tot AS DECIMAL(18,8)), 6) AS DOUBLE) AS top_bigram_frac
+        |FROM agg ORDER BY doc_id""".stripMargin))
   )
 }

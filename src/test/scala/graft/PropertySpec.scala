@@ -90,6 +90,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: streaming signature math matches the batch expressions on random texts") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val textGen = Gen.chooseNum(5, 25)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    forSamples(Gen.listOfN(4, textGen), 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = Similarity.minhashSignatures(df, "doc_id", "text", 16, 3)
+        .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val local = graft.streaming.MinHashLocal.signature(t, 16, 3).get.toSeq
+        assert(local == batch(i.toLong), s"doc $i diverged")
+      }
+    }
+  }
+
+  test("property: frameSample covers every stride offset and exact frame width") {
+    forSamples(Gen.zip(Gen.chooseNum(0, 200), Gen.chooseNum(1, 4)), 8) {
+      case (len, nth) =>
+        val payload = Array.tabulate(len)(_.toByte)
+        val frames = Seq(Tuple1(payload)).toDF("p")
+          .select(graft.ops.Multimodal.frameSample(col("p"), 8, nth).as("f"))
+          .as[Seq[Array[Byte]]].head()
+        val expected =
+          if (len < 8) 0 else (len - 8) / (8 * nth) + 1
+        assert(frames.size == expected)
+        frames.zipWithIndex.foreach { case (f, i) =>
+          assert(f.length == 8)
+          assert(f.toSeq == payload.slice(i * 8 * nth, i * 8 * nth + 8).toSeq)
+        }
+    }
+  }
+
+  test("property: BPE token count never exceeds the character count and is stable") {
+    val v = graft.expressions.BpeVocab.fromMerges(Iterator("a b", "ab c", "d e"))
+    forSamples(Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", " ", "1")), 10) {
+      chars =>
+        val s = chars.mkString
+        val n1 = v.countTokens(s)
+        assert(n1 == v.countTokens(s))
+        assert(n1 <= s.count(_ != ' '))
+        if (s.replace(" ", "").nonEmpty) assert(n1 > 0)
+    }
+  }
+
   test("property: userPrompt is total — None iff every scoped value invalid") {
     val valueGen = Gen.oneOf[String](
       null, "", " ", "NA", "N/A", "\n", "x", "hello world")
