@@ -143,15 +143,21 @@ object TextQueries {
         import org.apache.spark.sql.types.DecimalType
         val d = Tables.load(s, dir, "documents")
         val w = split(col("text"), " ")
-        val base = d.select(col("doc_id"),
-          size(w).as("nw"), size(array_distinct(w)).as("ndw"),
-          explode(Text.wordBigrams(col("text"))).as("bg"))
-        val perBg = base.groupBy(col("doc_id"), col("bg"))
-          .agg(count(lit(1)).as("c"),
-            first(col("nw")).as("nw"), first(col("ndw")).as("ndw"))
+        // per-doc word stats on a separate (tiny) scan branch, joined
+        // at the end: the exploded bigram branch stays 2 columns wide
+        // and its aggregations need no first() carry-alongs
+        val stats = d.select(col("doc_id"),
+          size(w).as("nw"), size(array_distinct(w)).as("ndw"))
+        // bigrams group on their 60-bit md5 — an 8-byte shuffle key
+        // instead of a ~15-byte string (both engines hash identically,
+        // so the oracle mirrors it; a collision merges the same way)
+        val perBg = d
+          .select(col("doc_id"), explode(Text.wordBigrams(col("text"))).as("bg0"))
+          .select(col("doc_id"), md5Long(col("bg0")).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
         perBg.groupBy(col("doc_id"))
-          .agg(max(col("c")).as("m"), sum(col("c")).as("tot"),
-            first(col("nw")).as("nw"), first(col("ndw")).as("ndw"))
+          .agg(max(col("c")).as("m"), sum(col("c")).as("tot"))
+          .join(stats, "doc_id")
           .select(col("doc_id"),
             round(((col("nw") - col("ndw")).cast(DecimalType(18, 6)) / col("nw"))
               .cast(DecimalType(18, 8)), 6).cast("double").as("dup_word_frac"),
@@ -160,10 +166,14 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |base AS (
+        |b0 AS (
         |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
-        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bgs
         |  FROM w),
+        |base AS (
+        |  SELECT doc_id, nw, ndw,
+        |    ('0x' || substring(md5(bgs), 1, 15))::BIGINT AS bg
+        |  FROM b0),
         |perbg AS (
         |  SELECT doc_id, bg, count(*) AS c,
         |    any_value(nw) AS nw, any_value(ndw) AS ndw
