@@ -75,6 +75,34 @@ class EhrPipelineSpec extends SparkSpec {
     assert(traces.where(!col("finished")).count() == 1)
   }
 
+  test("nested patient struct renders as JSON through stage 0 and the map stage") {
+    // a genuinely nested record (struct + array), not a pre-serialized
+    // JSON string: stage 0 must render it via to_json so the prompt
+    // carries parseable JSON, matching the reference's json.dumps branch
+    val nested = ehrRows
+      .withColumn("patient",
+        struct(lit(61).as("age"), lit("F").as("gender"),
+          array(lit("hypertension"), lit("cad")).as("conditions")))
+      .where(col("patient_id") === 1L)
+    val expectedJson =
+      """{"age":61,"gender":"F","conditions":["hypertension","cad"]}"""
+
+    val st0 = InstructionRunner.stringifyKv(nested,
+      Seq("patient_id", "patient", "encounters", "medications"), "s0")
+    val rendered = st0.select(element_at(col("s0"), "patient"))
+      .as[String].head()
+    assert(rendered == expectedJson)
+
+    // and the map stage consumes the JSON rendering in its prompt
+    val out = InstructionRunner.runStage(st0, mapStage, MockLlmClient(), "s0", "r")
+      .select(element_at(col("r"), "demographics")).as[String].head()
+    val ins = mapStage.instructions.head
+    val user = s"# patient\n$expectedJson\n"
+    val expected = "RE:" + LlmClient.sha256Hex(
+      Prompts.sysPrompt(ins) + "\n" + user).take(16) + ":" + user.take(40)
+    assert(out == expected)
+  }
+
   test("EHR flow end-to-end through JSONL source and sinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ehr").toString
     graft.sources.Jsonl.write(ehrRows, s"$dir/in")
