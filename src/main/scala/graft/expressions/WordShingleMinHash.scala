@@ -1,0 +1,52 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole MinHash signature of a text column in one per-row pass: word
+  * shingles → md5-based 30-bit base hash → numPerms affine minima,
+  * with no intermediate shingle strings materialized into the plan
+  * (no explode, no aggregation, no shuffle — the signature becomes a
+  * scan-time projection).
+  *
+  * Shares graft.streaming.MinHashLocal's math, which MinHashStreamSpec
+  * proves bit-identical to the expression pipeline
+  * (ops.Similarity.minhashSignatures) and therefore to the DuckDB
+  * oracles. Null when the document has fewer than shingleN words
+  * (mirrors the explode path, where such docs produce no signature
+  * row).
+  *
+  * CodegenFallback: the per-row loop (MessageDigest + running minima)
+  * is irregular imperative code; it replaces an explode + 64-slot
+  * hash aggregate + exchange, so leaving whole-stage codegen for this
+  * one projection is the cheaper side of the trade (measured — see
+  * SCALING.md).
+  */
+case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingle_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_minhash expects a string column, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.streaming.MinHashLocal
+      .signature(v.asInstanceOf[UTF8String].toString, numPerms, shingleN)
+      .map(new GenericArrayData(_)).orNull
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleMinHash =
+    copy(child = newChild)
+}

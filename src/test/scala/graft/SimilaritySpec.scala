@@ -17,6 +17,17 @@ class SimilaritySpec extends SparkSpec {
   private def docs = Seq((0L, near1), (1L, near2), (2L, far))
     .toDF("doc_id", "text")
 
+  test("one-pass signature expression matches the explode+aggregate formulation") {
+    val fromSf = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    val a = Similarity.minhashSignatures(fromSf, "doc_id", "text", 64, 5)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = Similarity.minhashSignaturesExploded(fromSf, "doc_id", "text", 64, 5)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a.keySet == b.keySet && a.keySet.nonEmpty)
+    a.foreach { case (id, sig) => assert(sig == b(id), s"doc $id") }
+  }
+
   test("LSH finds the known near-duplicate pair and not the far pair") {
     val sig = Similarity.minhashSignatures(docs, "doc_id", "text", 64, 5)
     val pairs = Similarity.lshCandidatePairs(sig, "doc_id", 16, 4)
