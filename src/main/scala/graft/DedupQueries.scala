@@ -172,8 +172,12 @@ object DedupQueries {
             NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
           .orderBy(col("id_a"), col("id_b"))
       },
+      // ss mirrors the Spark side's hashed shingle sets: distinct
+      // md5Long values of the distinct shingles
       Some(s"""$lshPairsSql,
-        |ss AS (SELECT doc_id, $shinglesSql AS ss FROM w),
+        |ss AS (SELECT doc_id,
+        |  list_distinct(list_transform($shinglesSql,
+        |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS ss FROM w),
         |v AS (
         |  SELECT p.id_a, p.id_b,
         |    round(len(list_intersect(a.ss, b.ss))::DOUBLE /

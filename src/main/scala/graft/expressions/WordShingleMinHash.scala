@@ -50,3 +50,35 @@ case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingleMinHash =
     copy(child = newChild)
 }
+
+/** 60-bit md5 hashes of a text's distinct word shingles in one per-row
+  * pass — the inverted-index featurization without ever materializing
+  * shingle strings into the plan (an exploded long is ~5× narrower
+  * than an exploded shingle string, and the md5 runs over a reused
+  * buffer instead of per-shingle UTF8String allocations). Hash per
+  * distinct STRING, so the count of array elements equals the distinct
+  * shingle count exactly as the SQL formulation computes it. Empty
+  * array for docs with fewer than shingleN words (mirrors
+  * Similarity.wordShingles).
+  */
+case class WordShingleHashes(child: Expression, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes expects a string column, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else new GenericArrayData(graft.streaming.MinHashLocal
+      .shingleHashes(v.asInstanceOf[UTF8String].toString, shingleN))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}

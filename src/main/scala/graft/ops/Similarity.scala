@@ -234,12 +234,20 @@ object Similarity {
     *   stop-shingles (the pairs dedup cares about — near-identical
     *   docs — share rare shingles too). The oracle mirrors the cap.
     */
+  /** One-pass distinct-shingle-hash featurization (native expression;
+    * see expressions.WordShingleHashes): no shingle strings in the
+    * plan. Array element count = distinct shingle count.
+    */
+  def shingleHashes(text: Column, shingleN: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.WordShingleHashes(expression(text), shingleN))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
                    maxShingleDf: Int = 1000): DataFrame = {
     val exh = df
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__s"))
-      .select(col(idCol), md5Long(col("__s")).as("__h"))
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleN)).as("__h"))
     val cnts = exh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val pairs = exh.groupBy(col("__h"))
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
@@ -293,13 +301,16 @@ object Similarity {
                        maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
     val cand = lshCandidatePairs(sig, idCol, bands, rows, maxBucketSize)
-    // Shingle sets are joined to the candidate pairs (small side), so
-    // the full arrays reach only |pairs| rows and the set intersection
-    // is paid per candidate, never per corpus row. No persist: each
-    // join scans the set pipeline once; callers that verify repeatedly
-    // should persist their own frame (library ops stay lazy and leak
-    // nothing into the session's storage).
-    val sets = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("__ss"))
+    // Shingle HASH sets (distinct longs) are joined to the candidate
+    // pairs (small side), so the arrays reach only |pairs| rows and
+    // the set intersection is paid per candidate, never per corpus
+    // row — and it intersects 8-byte longs, not shingle strings (the
+    // oracle mirrors the same hashed-set intersection). No persist:
+    // each join scans the set pipeline once; callers that verify
+    // repeatedly should persist their own frame (library ops stay
+    // lazy and leak nothing into the session's storage).
+    val sets = df.select(col(idCol),
+      array_distinct(shingleHashes(col(textCol), shingleN)).as("__ss"))
     val common = size(array_intersect(col("a.__ss"), col("b.__ss")))
     cand
       .join(sets.as("a"), col("id_a") === col(s"a.$idCol"))

@@ -104,6 +104,13 @@ object MinHashLocal {
     else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).distinct
   }
 
+  /** md5Long of each distinct shingle (hash per distinct STRING — the
+    * array may contain equal longs if two shingles collide, exactly
+    * like hashing the exploded distinct strings in SQL).
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] =
+    wordShingles(text, n).iterator.map(md5Long).toArray
+
   /** MinHash signature; None when the doc has too few words. */
   def signature(text: String, numPerms: Int, shingleN: Int): Option[Array[Long]] = {
     val shingles = wordShingles(text, shingleN)
