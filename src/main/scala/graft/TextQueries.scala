@@ -150,10 +150,17 @@ object TextQueries {
           size(w).as("nw"), size(array_distinct(w)).as("ndw"))
         // bigrams group on their 60-bit md5 — an 8-byte shuffle key
         // instead of a ~15-byte string (both engines hash identically,
-        // so the oracle mirrors it; a collision merges the same way)
+        // so the oracle mirrors it; a collision merges the same way).
+        // The hashes come from the one-pass native featurizer
+        // (non-distinct: counts are per occurrence), so no bigram
+        // string ever enters the plan.
+        val bgHashes = {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.expressions.WordShingleHashes(
+            expression(col("text")), 2, distinct = false))
+        }
         val perBg = d
-          .select(col("doc_id"), explode(Text.wordBigrams(col("text"))).as("bg0"))
-          .select(col("doc_id"), md5Long(col("bg0")).as("bg"))
+          .select(col("doc_id"), explode(bgHashes).as("bg"))
           .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
         perBg.groupBy(col("doc_id"))
           .agg(max(col("c")).as("m"), sum(col("c")).as("tot"))

@@ -51,17 +51,20 @@ case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
     copy(child = newChild)
 }
 
-/** 60-bit md5 hashes of a text's distinct word shingles in one per-row
-  * pass — the inverted-index featurization without ever materializing
-  * shingle strings into the plan (an exploded long is ~5× narrower
-  * than an exploded shingle string, and the md5 runs over a reused
-  * buffer instead of per-shingle UTF8String allocations). Hash per
-  * distinct STRING, so the count of array elements equals the distinct
-  * shingle count exactly as the SQL formulation computes it. Empty
-  * array for docs with fewer than shingleN words (mirrors
-  * Similarity.wordShingles).
+/** 60-bit md5 hashes of a text's word shingles in one per-row pass —
+  * the inverted-index featurization without ever materializing shingle
+  * strings into the plan (an exploded long is ~5× narrower than an
+  * exploded shingle string, and the md5 runs over a reused buffer
+  * instead of per-shingle UTF8String allocations).
+  *
+  * distinct=true hashes each distinct STRING once (array length =
+  * distinct shingle count, exactly as the SQL formulation computes
+  * it); distinct=false emits one hash per occurrence in document
+  * order (the repetition-signal featurization). Empty array for docs
+  * with fewer than shingleN words (mirrors Similarity.wordShingles).
   */
-case class WordShingleHashes(child: Expression, shingleN: Int)
+case class WordShingleHashes(child: Expression, shingleN: Int,
+                             distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -75,8 +78,12 @@ case class WordShingleHashes(child: Expression, shingleN: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else new GenericArrayData(graft.streaming.MinHashLocal
-      .shingleHashes(v.asInstanceOf[UTF8String].toString, shingleN))
+    else {
+      val text = v.asInstanceOf[UTF8String].toString
+      new GenericArrayData(
+        if (distinct) graft.streaming.MinHashLocal.shingleHashes(text, shingleN)
+        else graft.streaming.MinHashLocal.shingleHashesAll(text, shingleN))
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =

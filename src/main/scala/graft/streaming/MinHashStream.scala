@@ -111,6 +111,16 @@ object MinHashLocal {
   def shingleHashes(text: String, n: Int): Array[Long] =
     wordShingles(text, n).iterator.map(md5Long).toArray
 
+  /** Positional (non-distinct) variant: one hash per shingle
+    * occurrence, in document order.
+    */
+  def shingleHashesAll(text: String, n: Int): Array[Long] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) Array.emptyLongArray
+    else (0 to w.length - n).iterator
+      .map(i => md5Long(w.slice(i, i + n).mkString(" "))).toArray
+  }
+
   /** MinHash signature; None when the doc has too few words. */
   def signature(text: String, numPerms: Int, shingleN: Int): Option[Array[Long]] = {
     val shingles = wordShingles(text, shingleN)
