@@ -94,22 +94,32 @@ object LlmClient {
   */
 object LlmCache {
   private val Capacity = 10000
-  private val map = new java.util.LinkedHashMap[String, String](256, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
-      size() > Capacity
-  }
+  private val Stripes = 16 // lock striping: executors run tens of task
+  // threads; a single synchronized LRU serializes every lookup (the
+  // access-order LinkedHashMap mutates on get, so even reads need the
+  // write lock). Sharding by key hash keeps contention negligible;
+  // per-stripe LRU capacity sums to the reference's 10k budget.
+  private val maps = Array.fill(Stripes)(
+    new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+        size() > Capacity / Stripes
+    })
+
+  private def stripe(key: String) =
+    maps(Math.floorMod(key.hashCode, Stripes))
 
   def getOrCompute(key: String)(compute: => String): String = {
-    val cached = map.synchronized(Option(map.get(key)))
+    val m = stripe(key)
+    val cached = m.synchronized(Option(m.get(key)))
     cached.getOrElse {
       val v = compute // computed outside the lock: LLM calls are slow
-      map.synchronized(map.put(key, v))
+      m.synchronized(m.put(key, v))
       v
     }
   }
 
-  def clear(): Unit = map.synchronized(map.clear())
-  def size: Int = map.synchronized(map.size())
+  def clear(): Unit = maps.foreach(m => m.synchronized(m.clear()))
+  def size: Int = maps.map(m => m.synchronized(m.size())).sum
 }
 
 /** Deterministic offline stand-in for a chat model (the build/test
