@@ -133,6 +133,28 @@ object TextQueries {
         |  (a, b) -> (a * 31 + b) % 2147483647) AS rfp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Pretraining cleanup pass: URLs/e-mails dropped, control chars
+    // stripped, whitespace squeezed. Output compared via md5 + length
+    // so the whole cleaned text is hash-gated without shipping it.
+    QueryDef("text_clean",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val cleaned = Text.cleanText(col("text"))
+        d.select(col("doc_id"), md5(cleaned).as("clean_md5"),
+            length(cleaned).as("clean_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text,
+        |    'https?://[^ ]+', ' ', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+        |    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', ' ', 'g'),
+        |    '\\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id, md5(t) AS clean_md5, length(t) AS clean_len
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Repetition signals (Gopher-style duplicate-content filters):
     // duplicate-word fraction (1 - distinct/total) and most-frequent-
     // bigram fraction. Integer counts all the way; the final ratios go

@@ -86,6 +86,22 @@ object Text {
     (lengthOk * 0.3 + wordLenOk * 0.2 + punctOk * 0.2 + stopSig * 0.3)
   }
 
+  /** Pretraining-corpus text cleanup: drop URLs and e-mail addresses,
+    * strip non-printable control characters, collapse whitespace runs,
+    * trim. Patterns deliberately stay in the regex subset Java and
+    * RE2 interpret identically so the oracle can mirror them.
+    */
+  val UrlPattern = """https?://[^ ]+"""
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ControlPattern = """[\x00-\x08\x0b\x0c\x0e-\x1f]"""
+
+  def cleanText(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlPattern, " ")
+    val noMail = regexp_replace(noUrl, EmailPattern, " ")
+    val noCtl = regexp_replace(noMail, ControlPattern, " ")
+    trim(regexp_replace(noCtl, """\s+""", " "))
+  }
+
   /** Positional (non-distinct) word bigrams — the unit of the
     * top-bigram repetition signal. Shorter-than-2-word docs yield [].
     */

@@ -99,6 +99,16 @@ class OpenAiClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(requests.size() == 1)
   }
 
+  test("a persistently failing endpoint surfaces a clear error after bounded retries") {
+    requests.clear(); LlmCache.clear()
+    script = List("#status:503", "#status:503", "#status:503", "#status:503")
+    val e = intercept[RuntimeException] {
+      freshClient().run(Seq(ChatMessage("user", "hello q4b")))
+    }
+    assert(e.getMessage.contains("after 3 attempts"))
+    assert(requests.size() == 3, "transportRetries=2 bounds the attempts")
+  }
+
   test("same-class clients with different models never share cache entries") {
     requests.clear(); script = Nil; LlmCache.clear()
     val msgs = Seq(ChatMessage("user", "hello q5"))

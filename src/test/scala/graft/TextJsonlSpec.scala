@@ -19,6 +19,13 @@ class TextJsonlSpec extends SparkSpec {
     assert(got == Seq("en", "es", "de", "und"))
   }
 
+  test("cleanText drops urls and emails, strips control chars, squeezes whitespace") {
+    val dirty = "see https://ex.com/a?b=1 or  mail bob@ex-ample.org  now\t\tok "
+    val got = Seq(dirty).toDF("text")
+      .select(Text.cleanText(col("text"))).as[String].head()
+    assert(got == "see or mail now ok")
+  }
+
   test("rollingFingerprint matches a plain-Scala reimplementation") {
     val text = "spark window batch merge"
     val expected = text.toLowerCase.split(" ").foldLeft(0L) { (h, w) =>
