@@ -29,7 +29,11 @@ final case class BpeVocab(merges: IndexedSeq[(String, String)]) extends Serializ
     graft.functions.GraftFunctions.BpeTokenPattern)
 
   def encodePreToken(s: String): Seq[String] = {
-    var symbols = s.map(_.toString)
+    // split by code point, not UTF-16 char: a supplementary-plane
+    // character (emoji etc.) must stay one symbol, or no merges entry
+    // could ever match it and outputs would carry lone surrogates
+    var symbols: IndexedSeq[String] = s.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toIndexedSeq
     var done = symbols.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -64,11 +68,13 @@ object BpeVocab {
 
   /** Parse merges.txt content: one "left right" pair per line, rank =
     * line order; blank lines and the optional "#version" header are
-    * skipped (the format HF/GPT-2 tokenizers publish).
+    * skipped (the format HF/GPT-2 tokenizers publish). Only the
+    * literal "#version" header is dropped — merge rules whose left
+    * symbol is '#' (markdown/code vocabularies have them) are real.
     */
   def fromMerges(lines: Iterator[String]): BpeVocab =
     BpeVocab(lines.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val sp = l.split(" ", 2)
         require(sp.length == 2, s"bad merges line: '$l'")

@@ -93,10 +93,14 @@ object Similarity {
     * The 64-column unpack after the array projection is safe:
     * Spark ≥3.3's CollapseProject refuses to duplicate non-cheap
     * producer expressions, so the signature is evaluated once per row
-    * (verified via explain + timing; a naive per-row formulation of 64
-    * array_min(transform(...)) lambda columns was measured 50× slower
-    * because lambda expressions are excluded from subexpression
-    * elimination — see minhashSignaturesExploded for the prior shape).
+    * (a naive per-row formulation of 64 array_min(transform(...))
+    * lambda columns was measured 50× slower because lambda expressions
+    * are excluded from subexpression elimination — see
+    * minhashSignaturesExploded for the prior shape). The short-doc
+    * filter uses the cheap word-count predicate BELOW the projection:
+    * filtering on the signature's own nullness would let predicate
+    * pushdown clone the expensive expression into the Filter and
+    * evaluate it twice per row (caught by explain during review).
     *
     * Input: (idCol, textCol). Output: idCol, m0..m{numPerms-1}.
     * Docs with fewer than `shingleN` words are dropped (no signature).
@@ -106,8 +110,8 @@ object Similarity {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val sig = column(graft.expressions.WordShingleMinHash(
       expression(col(textCol)), numPerms, shingleN))
-    df.select(col(idCol), sig.as("__sig"))
-      .where(col("__sig").isNotNull)
+    df.where(size(split(col(textCol), " ")) >= shingleN)
+      .select(col(idCol), sig.as("__sig"))
       .select(col(idCol) +:
         (0 until numPerms).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }

@@ -102,17 +102,6 @@ object Text {
     trim(regexp_replace(noCtl, """\s+""", " "))
   }
 
-  /** Positional (non-distinct) word bigrams — the unit of the
-    * top-bigram repetition signal. Shorter-than-2-word docs yield [].
-    */
-  def wordBigrams(text: Column): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(2)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Rolling polynomial fingerprint over words, mod 2^31-1 — a
     * content-defined document identity that is stable under
     * re-partitioning (left fold in array order) and cheap to compare.

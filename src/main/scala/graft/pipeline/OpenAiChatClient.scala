@@ -44,9 +44,11 @@ final case class OpenAiChatClient(
     maxConcurrency: Int = 8,
     transportRetries: Int = 3) extends LlmClient {
 
-  // endpoint + model identify the cache entry; two clients pointed at
-  // different servers or models never share responses
-  override def cacheId: String = s"$baseUrl#$model"
+  // endpoint + model + sampling params identify the cache entry: two
+  // clients on the same endpoint/model but different temperature or
+  // token budget must not return each other's completions (the
+  // reference keeps one LRU per client instance for the same reason)
+  override def cacheId: String = s"$baseUrl#$model#t=$temperature#mt=$maxTokens"
 
   @transient private lazy val http: JHttpClient =
     JHttpClient.newBuilder()

@@ -83,9 +83,12 @@ final class GraftServer(clients: Map[String, LlmClient], sandbox: Sandbox,
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         (200, mapper.writeValueAsString(f(body)))
       } catch {
-        case e: IllegalArgumentException =>
+        // malformed request JSON is the CLIENT's fault: Jackson parse
+        // errors map to 400 like unknown-model errors, not 500
+        case e @ (_: IllegalArgumentException |
+                  _: com.fasterxml.jackson.core.JsonProcessingException) =>
           (400, s"""{"error":${mapper.writeValueAsString(
-            mapper.getNodeFactory.textNode(e.getMessage))}}""")
+            mapper.getNodeFactory.textNode(String.valueOf(e.getMessage)))}}""")
         case e: Exception =>
           (500, s"""{"error":${mapper.writeValueAsString(
             mapper.getNodeFactory.textNode(String.valueOf(e)))}}""")

@@ -45,6 +45,22 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq(Some(2), Some(0), None))
   }
 
+  test("'#'-left merge rules are real; only the #version header is skipped") {
+    val v = BpeVocab.fromMerges("#version: 0.2\n# #\n## #\n".linesIterator)
+    assert(v.encodePreToken("###") == Seq("###"))
+    assert(v.encodePreToken("##") == Seq("##"))
+  }
+
+  test("supplementary-plane characters stay one symbol (no surrogate splitting)") {
+    val party = new String(Character.toChars(0x1F389)) // one non-BMP code point
+    val v = BpeVocab.fromMerges(Iterator.empty)
+    assert(v.encodePreToken(party) == Seq(party))
+    assert(v.encodePreToken(party + party).size == 2)
+    // and a merge rule naming the code point applies
+    val v2 = BpeVocab.fromMerges(Iterator(s"$party $party"))
+    assert(v2.encodePreToken(party + party) == Seq(party + party))
+  }
+
   test("merges file round-trips through load") {
     val f = java.nio.file.Files.createTempFile("merges", ".txt")
     java.nio.file.Files.write(f, "h e\nl l\n".getBytes("UTF-8"))

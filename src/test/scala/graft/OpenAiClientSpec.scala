@@ -120,5 +120,8 @@ class OpenAiClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(requests.size() == 2)
     // the mocks inherit the same model-aware default
     assert(MockLlmClient("x").cacheId != MockLlmClient("y").cacheId)
+    // same endpoint+model but different sampling params don't collide
+    assert(freshClient("m-a").copy(temperature = 0.9).cacheId
+      != freshClient("m-a").cacheId)
   }
 }

@@ -59,6 +59,10 @@ class ServingSpec extends AnyFunSuite {
 
       val (c3, err) = post(base, "/tableqa/codeact", """{"llm": "nope"}""")
       assert(c3 == 400 && err.contains("unknown model"))
+
+      // malformed request JSON is a client error, not a server fault
+      val (c4, _) = post(base, "/chat", """{bad""")
+      assert(c4 == 400)
     } finally srv.stop()
   }
 }
