@@ -133,6 +133,50 @@ object TextQueries {
         |  (a, b) -> (a * 31 + b) % 2147483647) AS rfp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Context-window chunking: 64-word chunks, 48-word stride (25 %
+    // overlap); one output row per chunk, keyed (doc_id, chunk_id),
+    // with the md5 of each chunk hash-gating the exact split points.
+    QueryDef("text_chunk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"),
+            posexplode(Text.wordChunks(col("text"), 64, 48))
+              .as(Seq("chunk_id", "chunk")))
+          .select(col("doc_id"), col("chunk_id"),
+            size(split(col("chunk"), " ")).as("n_words"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |    array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+        |  FROM w, LATERAL unnest(range(0, (len(w) - 1) // 48 + 1)) AS t(i))
+        |SELECT doc_id, chunk_id,
+        |  len(string_split(chunk, ' ')) AS n_words,
+        |  md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Deterministic domain-mixing sample: per-source acceptance
+    // fractions (the pretraining mixture weights), decided by detHash
+    // over doc_id — partitioning-independent and reproducible in SQL,
+    // unlike rand(seed). Odd sources keep 1/4, even keep 3/4.
+    QueryDef("mix_sample_documents",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val oddSrc = regexp_extract(col("source"), "([0-9]+)$", 1)
+          .cast("int") % 2 === 1
+        val keepM = when(oddSrc, 250L).otherwise(750L)
+        d.where(detHash(1000L, col("doc_id")) < keepM)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, count(*) AS n_kept FROM documents
+        |WHERE ${detHashSql(1000L, Seq("doc_id"))} <
+        |  CASE WHEN regexp_extract(source, '([0-9]+)$$', 1)::INT % 2 = 1
+        |       THEN 250 ELSE 750 END
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Pretraining cleanup pass: URLs/e-mails dropped, control chars
     // stripped, whitespace squeezed. Output compared via md5 + length
     // so the whole cleaned text is hash-gated without shipping it.

@@ -102,6 +102,23 @@ object Text {
     trim(regexp_replace(noCtl, """\s+""", " "))
   }
 
+  /** Context-window chunking: split a document into word chunks of
+    * `chunkWords` with `strideWords` between chunk starts (stride <
+    * chunk gives overlap). The standard pretraining prep for packing
+    * long documents into bounded sequences, as a pure scan-time
+    * expression — chunk assignment never shuffles. The tail chunk may
+    * be shorter; docs shorter than one chunk yield themselves.
+    */
+  def wordChunks(text: Column, chunkWords: Int, strideWords: Int): Column = {
+    val w = split(text, " ")
+    // chunk starts at 0, stride, 2·stride, … while start < word count:
+    // nChunks = floor((nw-1)/stride)+1 (non-negative double division
+    // cast to int truncates = floor)
+    transform(
+      sequence(lit(0), ((size(w) - 1) / lit(strideWords)).cast("int")),
+      i => concat_ws(" ", slice(w, i * strideWords + lit(1), lit(chunkWords))))
+  }
+
   /** Rolling polynomial fingerprint over words, mod 2^31-1 — a
     * content-defined document identity that is stable under
     * re-partitioning (left fold in array order) and cheap to compare.
