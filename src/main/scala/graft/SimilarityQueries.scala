@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.ops.Similarity
 
-/** Approximate-nearest-neighbor search over the `embeddings` table:
-  * brute-force cosine top-k as the exact baseline, and a
-  * random-hyperplane sign-LSH bucketed variant as the scale path
+/** Embedding-table operators: int8 quantization (storage), and
+  * approximate-nearest-neighbor search — brute-force cosine top-k as
+  * the exact baseline, a random-hyperplane sign-LSH bucketed variant
   * (bucket at scan time → candidates shrink by ~2^planes before any
-  * pairwise work).
+  * pairwise work), and an IVF (nprobe=1) variant with a deterministic
+  * coarse quantizer.
   */
 object SimilarityQueries {
 
@@ -29,6 +30,43 @@ object SimilarityQueries {
     }.mkString(" + ")
 
   def defs: Seq[QueryDef] = Seq(
+
+    // Symmetric int8 quantization of the embedding column — the
+    // standard 4× storage shrink for corpus-scale vector tables:
+    // q_i = floor(x_i·127/max|x| + 0.5) with the per-vector scale kept
+    // for dequantization. floor(x+0.5) instead of round(): both
+    // engines floor the same IEEE double, with no rounding-mode or
+    // double-toString ambiguity. Gated via the quantized vector's md5.
+    QueryDef("embedding_quantize_int8",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val maxAbs = aggregate(col("emb"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x)))
+        // scale = 0 (all-zero vector) would make x/scale NaN, which
+        // ANSI long-casts reject on both engines — quantize to 0
+        val q = e.withColumn("scale", maxAbs)
+          .withColumn("qvec", transform(col("emb"),
+            x => when(col("scale") === 0.0, lit(0L))
+              .otherwise(floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("long"))))
+        q.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            md5(concat_ws(",", col("qvec").cast("array<string>"))).as("q_md5"),
+            aggregate(col("qvec"), lit(0L), (a, b) => a + b).as("q_sum"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(emb, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE floor(x * 127.0 / scale + 0.5)::BIGINT END) AS qvec
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  md5(array_to_string(qvec, ',')) AS q_md5,
+        |  list_sum(qvec)::BIGINT AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin)),
 
     // Exact ANN baseline: for each query vector (vec_id < 10), the
     // top-5 cosine neighbors over the full table. The tiny query side
