@@ -41,6 +41,10 @@ object SimilarityQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          // zero-length vectors are meaningless to quantize, and the
+          // engines disagree on empty-list aggregates (Spark returns
+          // the fold seed, DuckDB NULL) — exclude them on both sides
+          .where(size(col("emb")) > 0)
         val maxAbs = aggregate(col("emb"), lit(0.0),
           (acc, x) => greatest(acc, abs(x)))
         // scale = 0 (all-zero vector) would make x/scale NaN, which
@@ -57,7 +61,7 @@ object SimilarityQueries {
       Some("""WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
         |    list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(embedding) > 0),
         |q AS (
         |  SELECT vec_id, scale,
         |    list_transform(emb, x -> CASE WHEN scale = 0 THEN 0

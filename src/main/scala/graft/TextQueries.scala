@@ -151,7 +151,8 @@ object TextQueries {
         |c AS (
         |  SELECT doc_id, i AS chunk_id,
         |    array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
-        |  FROM w, LATERAL unnest(range(0, (len(w) - 1) // 48 + 1)) AS t(i))
+        |  FROM w, LATERAL unnest(
+        |    range(0, (greatest(len(w) - 64, 0) + 47) // 48 + 1)) AS t(i))
         |SELECT doc_id, chunk_id,
         |  len(string_split(chunk, ' ')) AS n_words,
         |  md5(chunk) AS chunk_md5
@@ -164,8 +165,12 @@ object TextQueries {
     QueryDef("mix_sample_documents",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val oddSrc = regexp_extract(col("source"), "([0-9]+)$", 1)
-          .cast("int") % 2 === 1
+        // digitless sources must not abort the query under ANSI casts:
+        // empty extract → null → the non-odd (750) branch, matching
+        // the oracle's try_cast + NULL%2 semantics
+        val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1)
+        val oddSrc = when(srcNum === "", lit(null).cast("int"))
+          .otherwise(srcNum.cast("int")) % 2 === 1
         val keepM = when(oddSrc, 250L).otherwise(750L)
         d.where(detHash(1000L, col("doc_id")) < keepM)
           .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
@@ -173,7 +178,7 @@ object TextQueries {
       },
       Some(s"""SELECT source, count(*) AS n_kept FROM documents
         |WHERE ${detHashSql(1000L, Seq("doc_id"))} <
-        |  CASE WHEN regexp_extract(source, '([0-9]+)$$', 1)::INT % 2 = 1
+        |  CASE WHEN try_cast(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 2 = 1
         |       THEN 250 ELSE 750 END
         |GROUP BY source ORDER BY source""".stripMargin)),
 

@@ -77,7 +77,12 @@ object BpeVocab {
       .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val sp = l.split(" ", 2)
-        require(sp.length == 2, s"bad merges line: '$l'")
+        // the published format has no comments besides the #version
+        // header, so a spaceless line is corruption — fail loudly
+        // rather than silently dropping a rank slot
+        require(sp.length == 2,
+          s"merges line is not a 'left right' pair: '$l' " +
+            "(only the #version header may be non-rule content)")
         (sp(0), sp(1))
       }.toIndexedSeq)
 

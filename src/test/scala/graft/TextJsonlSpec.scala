@@ -31,13 +31,17 @@ class TextJsonlSpec extends SparkSpec {
       Seq(text).toDF("t").select(Text.wordChunks(col("t"), c, s))
         .as[Seq[String]].head()
     val words = (1 to 10).map(i => s"w$i").mkString(" ")
-    // chunk 4 / stride 3 over 10 words → starts 0,3,6,9
+    // chunk 4 / stride 3 over 10 words → starts 0,3,6 and STOP: the
+    // window at 6 reaches the end, so no suffix-duplicate tail chunk
     assert(chunksOf(words, 4, 3) == Seq(
-      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
     // doc shorter than one chunk → itself
     assert(chunksOf("a b", 5, 5) == Seq("a b"))
     // no overlap when stride == chunk
     assert(chunksOf(words, 5, 5) == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+    // short tail still emitted when it carries NEW words
+    assert(chunksOf((1 to 11).map(i => s"w$i").mkString(" "), 5, 5)
+      == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10", "w11"))
   }
 
   test("rollingFingerprint matches a plain-Scala reimplementation") {
