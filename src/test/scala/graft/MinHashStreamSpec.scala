@@ -34,6 +34,31 @@ class MinHashStreamSpec extends SparkSpec {
     assert(MinHashLocal.signature("too short", 64, 5).isEmpty)
   }
 
+  test("streaming corpus pipeline composes: clean -> quality filter -> LSH dedup") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    // the batch text operators apply unchanged to a streaming frame;
+    // dedup verdicts come from the stateful bucket operator
+    val cleaned = mem.toDS()
+      .withColumn("text", graft.ops.Text.cleanText(col("text")))
+      .where(length(col("text")) > 20)
+      .as[DocIn]
+    val q = MinHashStream.minhashDedupStream(cleaned)
+      .writeStream.format("memory").queryName("pipe_dedup")
+      .outputMode("complete").start()
+    mem.addData(
+      DocIn(1L, s"  see https://spam.example  $near1  "),
+      DocIn(2L, near1),             // near-dup of 1 after cleanup
+      DocIn(3L, "too short"),       // filtered out before dedup
+      DocIn(4L, far))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, dropped FROM pipe_dedup")
+      .as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(got.keySet == Set(1L, 2L, 4L), "short doc must be filtered upstream")
+    assert(!got(1L) && got(2L) && !got(4L))
+  }
+
   test("streaming dedup drops bucket collisions within and across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[DocIn]
