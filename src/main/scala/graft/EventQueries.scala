@@ -184,6 +184,30 @@ object EventQueries {
       Some("""SELECT user_id, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | COUNT(DISTINCT event_type) AS n_types
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Cohort retention matrix: users grouped by first-seen day, counted
+    // per day-offset of return. The first-seen frame is one row per
+    // user (tiny next to the event log) so the join back broadcasts —
+    // at 100 TB the event scan shuffles once on user_id for the
+    // first-seen agg and once for the (cohort, offset) rollup.
+    QueryDef("events_retention",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val days = e.select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        days.join(broadcast(first), "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH d AS (SELECT user_id, ts::DATE AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, (day - cohort_day) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
