@@ -188,6 +188,52 @@ object DedupQueries {
         |SELECT id_a, id_b, jaccard FROM v
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Chunk-level shared-content pairs (substring-dedup family at
+    // chunk granularity): doc pairs sharing ≥2 identical 64-word
+    // chunks (48-word stride). Same group-then-pair inverted index as
+    // the shingle paths — chunks group by md5, groups above the df cap
+    // drop (boilerplate chunks shared by thousands of docs are
+    // non-discriminative AND would blow up quadratically). Input is
+    // documents ∪ (first 100 docs re-keyed) so cross-doc chunk sharing
+    // actually exists in the synthetic corpus.
+    QueryDef("dedup_chunk_shared",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val u = d.select(col("doc_id"), col("text"))
+          .union(d.where(col("doc_id") < 100L)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        val dex = u
+          .select(col("doc_id"),
+            explode(graft.ops.Text.wordChunks(col("text"), 64, 48)).as("chunk"))
+          .select(col("doc_id"), md5(col("chunk")).as("h"))
+        dex.groupBy(col("h"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .where(size(col("ids")).between(2, MaxShingleDf))
+          .select(explode(Similarity.orderedPairs(col("ids"))).as("p"))
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM u),
+        |c AS (
+        |  SELECT doc_id, md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS h
+        |  FROM w, LATERAL unnest(
+        |    range(0, (greatest(len(w) - 64, 0) + 47) // 48 + 1)) AS t(i)),
+        |dex AS (SELECT DISTINCT doc_id, h FROM c),
+        |ok AS (SELECT h FROM dex GROUP BY h
+        |       HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |  FROM dex a JOIN dex b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p
+        |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin)),
+
     // SimHash — 16-bit signature per doc (near-dup = small hamming
     // distance; the signature is the verifiable deterministic core).
     QueryDef("dedup_simhash",

@@ -153,8 +153,10 @@ object Similarity {
       .select(col(idCol), col("b.band").as("band"), col("b.bv").as("bv"))
   }
 
-  /** All ordered (id_a < id_b) pairs from a sorted id array. */
-  private def orderedPairs(ids: Column): Column =
+  /** All ordered (id_a < id_b) pairs from a sorted id array (shared by
+    * the group-then-pair inverted-index operators).
+    */
+  private[graft] def orderedPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
