@@ -145,7 +145,7 @@ object AdvancedQueries {
         |    round(tok / 1000000.0 * ${Cost.DefaultInPricePerM}
         |      + tok * ${Cost.DefaultIoRatio} / 1000000.0 * ${Cost.DefaultOutPricePerM}, 9) AS cost_usd
         |  FROM t)
-        |SELECT source, COUNT(*) AS n_rows, SUM(tok) AS sum_in_tokens,
+        |SELECT source, COUNT(*) AS n_rows, SUM(tok)::BIGINT AS sum_in_tokens,
         |  CAST(round(CAST(SUM(tok)::DECIMAL(18,6) / COUNT(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_in_tokens,
         |  CAST(round(SUM(cost_usd::DECIMAL(18,9)), 6) AS DOUBLE) AS total_cost_usd
         |FROM c GROUP BY source ORDER BY source""".stripMargin)),
@@ -206,7 +206,7 @@ object AdvancedQueries {
         |                          i -> substring(text, i * 128 + 1, 32))
         |      ELSE [] END AS frames
         |  FROM documents)
-        |SELECT doc_id, len(frames) AS n_frames,
+        |SELECT doc_id, len(frames)::INT AS n_frames,
         |  CASE WHEN len(frames) > 0 THEN md5(frames[1]) END AS first_md5,
         |  CASE WHEN len(frames) > 0 THEN md5(frames[len(frames)]) END AS last_md5
         |FROM f ORDER BY doc_id""".stripMargin))

@@ -27,6 +27,15 @@ object DedupQueries {
   private val MaxShingleDf = 1000
   private val MaxBucketSize = 1000
 
+  /** Per-label block-size cap for embedding-cosine dedup: labels above
+    * this row count are sub-blocked by a CosineSubPlanes-bit sign-LSH
+    * bucket instead of pairing exactly. 50 is deliberately below the
+    * test tables' hottest label (218 rows at sf0.1) so the guard is
+    * exercised by the gate, not just by the spec.
+    */
+  private val MaxCosineBlock = 50
+  private val CosineSubPlanes = 4
+
   /** DuckDB mirror of md5Long. */
   private def md5LongSql(x: String) = s"('0x' || substring(md5($x), 1, 15))::BIGINT"
 
@@ -82,7 +91,7 @@ object DedupQueries {
     s"""WITH t AS (SELECT doc_id,
        |    list_transform(string_split(text, ' '), tok -> ${md5LongSql("tok")}) AS hs
        |  FROM documents)
-       |SELECT doc_id, $terms AS sh
+       |SELECT doc_id, ($terms)::BIGINT AS sh
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
@@ -245,31 +254,35 @@ object DedupQueries {
       Some(simhashSql)),
 
     // Embedding-cosine near-dup: same-label pairs above a similarity
-    // threshold. Label acts as the blocking key (at 100 TB the
-    // blocking key bounds the pair blow-up; an unblocked variant is
-    // the ANN path in SimilarityQueries).
+    // threshold. Label acts as the blocking key, and a per-label
+    // block-size guard (MaxCosineBlock) routes hot labels through
+    // sign-LSH sub-blocking — one label with 1M vectors would
+    // otherwise be 5·10¹¹ pairs, the exact skew class
+    // MaxShingleDf/MaxBucketSize guard on the shingle paths. The cap
+    // is live at test scale (labels > 50 rows sub-block at sf0.1) and
+    // mirrored verbatim in the oracle.
     QueryDef("dedup_embedding_cosine",
       (s, dir) => {
-        // norms are computed once per row (O(n)), so each of the
-        // O(n²/labels) pairs pays only one dot product
         val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("emb"))
-          .withColumn("nrm", vectorNorm(col("emb")))
-        val a = e.as("a")
-        val b = e.as("b")
-        a.join(b, col("a.label") === col("b.label") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            round(dotProduct(col("a.emb"), col("b.emb")) /
-              (col("a.nrm") * col("b.nrm")), 6).as("cos"))
-          .where(col("cos") >= 0.4)
+        Similarity.cosineDedupBlocked(e, "vec_id", "label", "embedding",
+            minCos = 0.4, maxBlockSize = MaxCosineBlock,
+            subPlanes = CosineSubPlanes)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      Some(s"""WITH e0 AS (
+        |  SELECT vec_id, label, embedding,
+        |    count(*) OVER (PARTITION BY label) AS n_lbl
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, embedding,
+        |    CASE WHEN n_lbl <= $MaxCosineBlock THEN -1
+        |      ELSE ${SimilarityQueries.bucketSql("embedding", CosineSubPlanes)}
+        |    END AS blk
+        |  FROM e0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |FROM e a JOIN e b
+        |  ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin))
   )

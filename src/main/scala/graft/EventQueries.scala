@@ -85,7 +85,7 @@ object EventQueries {
         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM g)
-        |SELECT user_id, MAX(session_seq) AS n_sessions, COUNT(*) AS n_events
+        |SELECT user_id, MAX(session_seq)::BIGINT AS n_sessions, COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Funnel: users whose first signup precedes their first purchase.
@@ -188,16 +188,17 @@ object EventQueries {
 
     // Cohort retention matrix: users grouped by first-seen day, counted
     // per day-offset of return. The first-seen frame is one row per
-    // user (tiny next to the event log) so the join back broadcasts —
-    // at 100 TB the event scan shuffles once on user_id for the
-    // first-seen agg and once for the (cohort, offset) rollup.
+    // DISTINCT user — billions of rows at 100 TB, so no broadcast hint:
+    // both sides hash-partition on user_id (the first-seen agg already
+    // shuffled on it), the join is one co-located exchange, and AQE
+    // demotes it to broadcast at runtime when the frame really is small.
     QueryDef("events_retention",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
         val days = e.select(col("user_id"), to_date(col("ts")).as("day"))
         val first = days.groupBy(col("user_id"))
           .agg(min(col("day")).as("cohort_day"))
-        days.join(broadcast(first), "user_id")
+        days.join(first, "user_id")
           .groupBy(col("cohort_day"),
             datediff(col("day"), col("cohort_day")).as("day_offset"))
           .agg(countDistinct(col("user_id")).as("n_users"))
@@ -205,7 +206,7 @@ object EventQueries {
       },
       Some("""WITH d AS (SELECT user_id, ts::DATE AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
-        |SELECT cohort_day, (day - cohort_day) AS day_offset,
+        |SELECT cohort_day, (day - cohort_day)::INT AS day_offset,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))

@@ -131,7 +131,7 @@ object RelationalQueries {
           .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       },
       Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        | year(l_shipdate) AS l_year, $sumRevenue AS revenue
+        | year(l_shipdate)::INT AS l_year, $sumRevenue AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN supplier ON l_suppkey = s_suppkey
@@ -312,7 +312,7 @@ object RelationalQueries {
           .select(col("doc_id"), wordCount(col("text")).as("n_words"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_words
+      Some("""SELECT doc_id, len(string_split(text, ' '))::INT AS n_words
         |FROM documents
         |WHERE len(string_split(text, ' ')) >= 60
         |ORDER BY doc_id""".stripMargin)),

@@ -20,10 +20,11 @@ object SimilarityQueries {
   private val NumCells = 8 // IVF coarse-quantizer size
 
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
-    * i-1 matches Spark's 0-based transform index).
+    * i-1 matches Spark's 0-based transform index). Shared with the
+    * capped cosine-dedup oracle in DedupQueries.
     */
-  private def bucketSql(embExpr: String): String =
-    (0 until NumPlanes).map { k =>
+  private[graft] def bucketSql(embExpr: String, planes: Int = NumPlanes): String =
+    (0 until planes).map { k =>
       s"""(CASE WHEN (SELECT sum(x * ((((${k}::BIGINT * 131 + i - 1) * 2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5))
          |  FROM (SELECT unnest($embExpr::DOUBLE[]) AS x, generate_subscripts($embExpr, 1) AS i)) > 0
          | THEN ${1L << k} ELSE 0 END)""".stripMargin
@@ -105,7 +106,7 @@ object SimilarityQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
-        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
     // Scale-path ANN: sign-LSH bucket at scan time, search only the
@@ -145,7 +146,7 @@ object SimilarityQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
-        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
     // IVF ANN (nprobe=1): a deterministic coarse quantizer — the first
@@ -213,7 +214,7 @@ object SimilarityQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
-        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
   )
 }

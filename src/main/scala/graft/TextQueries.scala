@@ -31,8 +31,8 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""SELECT doc_id,
-        | len(string_split(text, ' ')) AS n_words,
-        | len(regexp_extract_all(text, '$BpeTokenPattern')) AS n_tokens
+        | len(string_split(text, ' '))::INT AS n_words,
+        | len(regexp_extract_all(text, '$BpeTokenPattern'))::INT AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Quality scoring — length band, punct ratio, stopword ratio, mean
@@ -115,7 +115,7 @@ object TextQueries {
         |  CASE WHEN length(t) >= 7
         |       THEN len(list_distinct(list_transform(range(1, length(t) - 5),
         |                                             i -> t[i:i+6])))
-        |       ELSE 0 END AS n_shingles
+        |       ELSE 0 END::INT AS n_shingles
         |FROM s ORDER BY doc_id""".stripMargin)),
 
     // Rolling polynomial fingerprint (order-sensitive content hash).
@@ -153,8 +153,8 @@ object TextQueries {
         |    array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
         |  FROM w, LATERAL unnest(
         |    range(0, (greatest(len(w) - 64, 0) + 47) // 48 + 1)) AS t(i))
-        |SELECT doc_id, chunk_id,
-        |  len(string_split(chunk, ' ')) AS n_words,
+        |SELECT doc_id, chunk_id::INT AS chunk_id,
+        |  len(string_split(chunk, ' '))::INT AS n_words,
         |  md5(chunk) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
@@ -201,7 +201,7 @@ object TextQueries {
         |    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', ' ', 'g'),
         |    '\\s+', ' ', 'g')) AS t
         |  FROM documents)
-        |SELECT doc_id, md5(t) AS clean_md5, length(t) AS clean_len
+        |SELECT doc_id, md5(t) AS clean_md5, length(t)::INT AS clean_len
         |FROM c ORDER BY doc_id""".stripMargin)),
 
     // Repetition signals (Gopher-style duplicate-content filters):

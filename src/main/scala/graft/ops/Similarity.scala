@@ -383,4 +383,43 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup pairs under a label blocking key, with
+    * a per-label block-size guard: labels at or under `maxBlockSize`
+    * rows pair exactly (block key −1), larger labels are sub-blocked
+    * by `signLshBucket(emb, subPlanes)` so a hot label of n rows costs
+    * O((n/2^subPlanes)²) per bucket instead of O(n²) — the same skew
+    * discipline as `maxShingleDf`/`maxBucketSize` on the shingle
+    * paths. Within an oversized label only same-bucket pairs are
+    * emitted (recall < 1 on hot labels, the standard LSH trade; raise
+    * recall with band repetitions like `lshBandBuckets` if needed).
+    * The label-count window and the bucket assignment each ride the
+    * one hash-partition-by-label exchange the self-join needs anyway.
+    */
+  def cosineDedupBlocked(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String,
+      minCos: Double,
+      maxBlockSize: Int,
+      subPlanes: Int): DataFrame = {
+    val e = df
+      .select(col(idCol), col(labelCol),
+        col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+      .withColumn("__blk",
+        when(count(lit(1)).over(Window.partitionBy(col(labelCol)))
+            <= maxBlockSize, lit(-1L))
+          .otherwise(signLshBucket(col("__emb"), subPlanes)))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col(s"a.$labelCol") === col(s"b.$labelCol") &&
+        col("a.__blk") === col("b.__blk") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(dotProduct(col("a.__emb"), col("b.__emb")) /
+          (col("a.__nrm") * col("b.__nrm")), 6).as("cos"))
+      .where(col("cos") >= minCos)
+  }
 }

@@ -103,6 +103,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(1L))
   }
 
+  test("cosineDedupBlocked: cold labels pair exactly, a hot label sub-blocks by LSH bucket") {
+    val cap = 10
+    val planes = 4
+    // deterministic synthetic embeddings; label "hot" has 3× the cap
+    def vec(i: Int): Array[Double] =
+      Array.tabulate(8)(d => math.sin(i * 131 + d * 17) + (if (d == i % 8) 2.0 else 0.0))
+    val hot = (0 until cap * 3).map(i => (i.toLong, "hot", vec(i)))
+    val cold = (100 until 100 + cap).map(i => (i.toLong, "cold", vec(i)))
+    val e = (hot ++ cold).toDF("vec_id", "label", "embedding")
+
+    val got = Similarity.cosineDedupBlocked(e, "vec_id", "label", "embedding",
+        minCos = -1.0, maxBlockSize = cap, subPlanes = planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // brute-force reference: all same-label pairs, bucket-filtered for hot
+    val bkt = e.select(col("vec_id"),
+        Similarity.signLshBucket(col("embedding").cast("array<double>"), planes))
+      .as[(Long, Long)].collect().toMap
+    val rows = (hot ++ cold).map(t => (t._1, t._2))
+    val want = (for {
+      (ia, la) <- rows; (ib, lb) <- rows
+      if la == lb && ia < ib
+      if la == "cold" || bkt(ia) == bkt(ib)
+    } yield (ia, ib)).toSet
+
+    assert(got == want)
+    // the guard must actually bite: some same-label hot pair is dropped
+    val allHot = (for ((ia, _, _) <- hot; (ib, _, _) <- hot if ia < ib) yield (ia, ib)).toSet
+    assert((allHot -- got).nonEmpty, "hot label produced all pairs — cap did not engage")
+    // and every cold pair survives
+    val allCold = (for ((ia, _, _) <- cold; (ib, _, _) <- cold if ia < ib) yield (ia, ib)).toSet
+    assert(allCold.subsetOf(got))
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),

@@ -48,23 +48,25 @@ def main():
             continue
         ok_schema = list(got.columns) == list(want.columns)
         ok_rows = len(got) == len(want)
+        # Dtype-STRICT: the driver's value-hash is sensitive to dtype
+        # (e.g. DuckDB HUGEINT arrives as float64 where Spark writes
+        # int64 and the rendered values then hash differently), so a
+        # dtype mismatch is a FAIL here even when every value matches.
         ok_vals = ok_schema and ok_rows and got.equals(want)
         if ok_schema and ok_rows and not ok_vals:
-            # dtype-only mismatches (int32 vs int64 …) count as equal;
-            # the driver hashes values, not dtypes
-            value_diff = False
             for c in got.columns:
                 if got[c].equals(want[c]):
                     continue
+                if got[c].dtype != want[c].dtype:
+                    print(f"  {name}.{c}: dtype mismatch "
+                          f"spark={got[c].dtype} oracle={want[c].dtype} "
+                          f"(driver hash WILL differ — cast the oracle)")
                 neq = ~(got[c].eq(want[c]) | (got[c].isna() & want[c].isna()))
                 if neq.any():
-                    value_diff = True
                     i = neq[neq].index[0]
                     print(f"  {name}.{c} differs at row {i}: "
                           f"spark={got[c][i]!r} oracle={want[c][i]!r} "
                           f"(dtype {got[c].dtype} vs {want[c].dtype})")
-            if not value_diff:
-                ok_vals = True
         if ok_vals:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
