@@ -3,10 +3,31 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels the generated code calls directly: UTF8String in,
+  * UnsafeArrayData (primitive long[]) out — no InternalRow boxing, no
+  * Expression.eval dispatch, and the unsafe array writes straight into
+  * the surrounding projection's UnsafeRow without conversion. A Scala
+  * top-level object compiles to static forwarders, so generated Java
+  * calls `graft.expressions.ShingleKernels.m(...)` with no
+  * `MODULE$` indirection.
+  */
+object ShingleKernels {
+  def minhashOrNull(text: UTF8String, numPerms: Int, shingleN: Int): ArrayData =
+    graft.streaming.MinHashLocal.signature(text.toString, numPerms, shingleN)
+      .map(UnsafeArrayData.fromPrimitiveArray).orNull
+
+  def shingleHashes(text: UTF8String, shingleN: Int, distinct: Boolean): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      if (distinct) graft.streaming.MinHashLocal.shingleHashes(text.toString, shingleN)
+      else graft.streaming.MinHashLocal.shingleHashesAll(text.toString, shingleN))
+}
 
 /** Whole MinHash signature of a text column in one per-row pass: word
   * shingles → md5-based 30-bit base hash → numPerms affine minima,
@@ -21,14 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (mirrors the explode path, where such docs produce no signature
   * row).
   *
-  * CodegenFallback: the per-row loop (MessageDigest + running minima)
-  * is irregular imperative code; it replaces an explode + 64-slot
-  * hash aggregate + exchange, so leaving whole-stage codegen for this
-  * one projection is the cheaper side of the trade (measured — see
-  * SCALING.md).
+  * doGenCode emits a direct static call into ShingleKernels, so the
+  * surrounding projection stays in whole-stage codegen and the per-row
+  * cost is exactly the kernel (MessageDigest + running minima) — no
+  * CodegenFallback boxing of the input row, no eval() dispatch.
   */
 case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -42,9 +62,23 @@ case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else graft.streaming.MinHashLocal
-      .signature(v.asInstanceOf[UTF8String].toString, numPerms, shingleN)
-      .map(new GenericArrayData(_)).orNull
+    else ShingleKernels.minhashOrNull(v.asInstanceOf[UTF8String], numPerms, shingleN)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // not nullSafeCodeGen: the result is null for short docs even when
+    // the input is non-null, so isNull must be re-derived from the call
+    val childGen = child.genCode(ctx)
+    val arrayData = classOf[ArrayData].getName
+    val kernels = ShingleKernels.getClass.getName.stripSuffix("$")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $arrayData ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = $kernels.minhashOrNull(${childGen.value}, $numPerms, $shingleN);
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleMinHash =
@@ -62,10 +96,13 @@ case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
   * it); distinct=false emits one hash per occurrence in document
   * order (the repetition-signal featurization). Empty array for docs
   * with fewer than shingleN words (mirrors Similarity.wordShingles).
+  *
+  * Codegen'd like WordShingleMinHash: a static kernel call keeps the
+  * stage in whole-stage codegen.
   */
 case class WordShingleHashes(child: Expression, shingleN: Int,
                              distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"
@@ -78,12 +115,13 @@ case class WordShingleHashes(child: Expression, shingleN: Int,
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else {
-      val text = v.asInstanceOf[UTF8String].toString
-      new GenericArrayData(
-        if (distinct) graft.streaming.MinHashLocal.shingleHashes(text, shingleN)
-        else graft.streaming.MinHashLocal.shingleHashesAll(text, shingleN))
-    }
+    else ShingleKernels.shingleHashes(v.asInstanceOf[UTF8String], shingleN, distinct)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ShingleKernels.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernels.shingleHashes($c, $shingleN, $distinct);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =

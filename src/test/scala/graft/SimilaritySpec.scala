@@ -103,6 +103,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(1L))
   }
 
+  test("featurizer expressions run under CODEGEN_ONLY (no silent interpreted fallback)") {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFall = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val d = docs.select(
+        column(graft.expressions.WordShingleMinHash(
+          expression(col("text")), 16, 5)).as("sig"),
+        column(graft.expressions.WordShingleHashes(
+          expression(col("text")), 5, distinct = true)).as("hs"),
+        column(graft.expressions.WordShingleHashes(
+          expression(col("text")), 5, distinct = false)).as("hsAll"))
+      val rows = d.collect()
+      assert(rows.length == 3)
+      // and the values still match the interpreted kernel
+      val sig0 = rows.head.getSeq[Long](0)
+      val expect = graft.streaming.MinHashLocal.signature(near1, 16, 5).get.toSeq
+      assert(sig0 == expect)
+    } finally {
+      prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFall.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("cosineDedupBlocked: cold labels pair exactly, a hot label sub-blocks by LSH bucket") {
     val cap = 10
     val planes = 4
