@@ -29,6 +29,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_HASH_MODE=xxhash64 benches the production hash mode
+    // (Verify/oracle runs never set this — they stay on md5)
+    sys.env.get("SPARK_GRAFT_HASH_MODE").foreach(m =>
+      spark.conf.set(graft.functions.GraftFunctions.HashModeKey, m))
     // JVM warm-up: a tiny query touching higher-order functions and a
     // shuffle, so the first timed query doesn't absorb the one-time
     // Janino/lambda codegen cost (~5-15 s, measured) that every

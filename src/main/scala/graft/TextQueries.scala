@@ -228,7 +228,8 @@ object TextQueries {
         val bgHashes = {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           column(graft.expressions.WordShingleHashes(
-            expression(col("text")), 2, distinct = false))
+            expression(col("text")), 2, distinct = false,
+            xx = graft.functions.GraftFunctions.hashModeIsXx))
         }
         val perBg = d
           .select(col("doc_id"), explode(bgHashes).as("bg"))

@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * vote rule, same packing), which pays nested-lambda machinery and
   * is excluded from codegen CSE.
   */
-case class SimHash16(child: Expression) extends UnaryExpression {
+case class SimHash16(child: Expression, xx: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -26,11 +27,11 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHashOps.simhash16(input.asInstanceOf[UTF8String].toString)
+    SimHashOps.simhash16(input.asInstanceOf[UTF8String].toString, xx)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.SimHashOps.simhash16($c.toString())")
+      s"graft.expressions.SimHashOps.simhash16($c.toString(), $xx)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -59,14 +60,16 @@ object SimHashOps {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
-  def simhash16(s: String): Long = {
+  def simhash16(s: String, xx: Boolean = false): Long = {
     val votes = new Array[Int](Bits)
     var start = 0
     val len = s.length
     var i = 0
     while (i <= len) {
       if (i == len || s.charAt(i) == ' ') {
-        val h = md5Long(s.substring(start, i))
+        val h =
+          if (xx) graft.streaming.MinHashLocal.xxHash60(s.substring(start, i))
+          else md5Long(s.substring(start, i))
         var b = 0
         while (b < Bits) {
           votes(b) += (((h >> b) & 1L) * 2 - 1).toInt

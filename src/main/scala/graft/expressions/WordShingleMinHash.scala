@@ -19,14 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `MODULE$` indirection.
   */
 object ShingleKernels {
-  def minhashOrNull(text: UTF8String, numPerms: Int, shingleN: Int): ArrayData =
-    graft.streaming.MinHashLocal.signature(text.toString, numPerms, shingleN)
+  def minhashOrNull(text: UTF8String, numPerms: Int, shingleN: Int,
+                    xx: Boolean): ArrayData =
+    graft.streaming.MinHashLocal.signature(text.toString, numPerms, shingleN, xx)
       .map(UnsafeArrayData.fromPrimitiveArray).orNull
 
-  def shingleHashes(text: UTF8String, shingleN: Int, distinct: Boolean): ArrayData =
+  def shingleHashes(text: UTF8String, shingleN: Int, distinct: Boolean,
+                    xx: Boolean): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
-      if (distinct) graft.streaming.MinHashLocal.shingleHashes(text.toString, shingleN)
-      else graft.streaming.MinHashLocal.shingleHashesAll(text.toString, shingleN))
+      if (distinct) graft.streaming.MinHashLocal.shingleHashes(text.toString, shingleN, xx)
+      else graft.streaming.MinHashLocal.shingleHashesAll(text.toString, shingleN, xx))
 }
 
 /** Whole MinHash signature of a text column in one per-row pass: word
@@ -47,7 +49,8 @@ object ShingleKernels {
   * cost is exactly the kernel (MessageDigest + running minima) — no
   * CodegenFallback boxing of the input row, no eval() dispatch.
   */
-case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
+case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int,
+    xx: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -62,7 +65,7 @@ case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else ShingleKernels.minhashOrNull(v.asInstanceOf[UTF8String], numPerms, shingleN)
+    else ShingleKernels.minhashOrNull(v.asInstanceOf[UTF8String], numPerms, shingleN, xx)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -76,7 +79,7 @@ case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
       boolean ${ev.isNull} = true;
       $arrayData ${ev.value} = null;
       if (!${childGen.isNull}) {
-        ${ev.value} = $kernels.minhashOrNull(${childGen.value}, $numPerms, $shingleN);
+        ${ev.value} = $kernels.minhashOrNull(${childGen.value}, $numPerms, $shingleN, $xx);
         ${ev.isNull} = (${ev.value} == null);
       }""")
   }
@@ -101,7 +104,7 @@ case class WordShingleMinHash(child: Expression, numPerms: Int, shingleN: Int)
   * stage in whole-stage codegen.
   */
 case class WordShingleHashes(child: Expression, shingleN: Int,
-                             distinct: Boolean = true)
+                             distinct: Boolean = true, xx: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -115,13 +118,13 @@ case class WordShingleHashes(child: Expression, shingleN: Int,
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else ShingleKernels.shingleHashes(v.asInstanceOf[UTF8String], shingleN, distinct)
+    else ShingleKernels.shingleHashes(v.asInstanceOf[UTF8String], shingleN, distinct, xx)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernels = ShingleKernels.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $kernels.shingleHashes($c, $shingleN, $distinct);")
+      s"${ev.value} = $kernels.shingleHashes($c, $shingleN, $distinct, $xx);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =

@@ -51,11 +51,16 @@ object GraftFunctions {
   /** Whitespace word count (reference: etl_slimpajama_dc_proc.py:142). */
   def wordCount(c: Column): Column = size(split(c, " "))
 
-  /** Document fingerprint: md5 of whitespace-normalized lowercased text
-    * (content-defined identity for exact dedup; md5 matches DuckDB's).
+  /** Document fingerprint: hash of whitespace-normalized lowercased
+    * text (content-defined identity for exact dedup). md5 hex in
+    * oracle mode (matches DuckDB's md5); xxhash64 hex in production
+    * mode — same normalization, same collision contract at 16 vs 32
+    * hex chars of width.
     */
-  def fingerprint(c: Column): Column =
-    md5(lower(regexp_replace(c, "\\s+", " ")))
+  def fingerprint(c: Column): Column = {
+    val norm = lower(regexp_replace(c, "\\s+", " "))
+    if (hashModeIsXx) lower(hex(xxhash64(norm))) else md5(norm)
+  }
 
   /** sha-256 cache key of a ChatML conversation
     * (reference: llm_cli.py:101-104).
@@ -66,7 +71,7 @@ object GraftFunctions {
   def simhash16(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(
-      graft.expressions.SimHash16(GraftColumnBridge.expression(c)))
+      graft.expressions.SimHash16(GraftColumnBridge.expression(c), hashModeIsXx))
   }
 
   /** Distinct char n-gram count via the native Catalyst expression
@@ -88,6 +93,9 @@ object GraftFunctions {
   val DetHashPrime = 1000003L
 
   def detHash(m: Long, keys: Column*): Column = {
+    // xxhash64 mode: one codegen'd hash over all keys, better mixing
+    // than the LCG and no per-key mod chain (pmod handles the sign)
+    if (hashModeIsXx) return pmod(xxhash64(keys: _*), lit(m))
     // Mod at every step keeps all intermediates < ~2^52: h < P, so
     // h*31 + k%P < 2^26 and the final product < P * 2654435761 < 2^52.
     // An unreduced fold overflows long for keys ≥ ~10^6 (ANSI mode
@@ -180,6 +188,33 @@ object GraftFunctions {
     */
   def md5Long(salt: Int, c: Column): Column =
     md5Long(concat(lit(salt.toString), lit(":"), c))
+
+  /** Session conf key selecting the 60-bit hash primitive under the
+    * hash-based operators: "md5" (default — reproducible in DuckDB
+    * ANSI SQL, the harness/oracle mode) or "xxhash64" (the deployment
+    * default at 100 TB: Spark's codegen'd XxHash64 is ~10× cheaper per
+    * row than md5 and needs no hex/conv round-trip; no SQL oracle,
+    * verified instead by in-engine cross-checks — see HashModeSpec).
+    * Read once at plan-construction time on the driver, and threaded
+    * into the native kernels as a constructor flag so executors never
+    * consult session state.
+    */
+  val HashModeKey = "spark.graft.hashMode"
+
+  def hashModeIsXx: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .exists(_.conf.get(HashModeKey, "md5") == "xxhash64")
+
+  /** The mode-selected 60-bit positive hash: both branches produce a
+    * value in [0, 2^60), so every downstream modular-arithmetic bound
+    * (minhash family < 2^62, detHash fold < 2^52) holds in either
+    * mode. xxhash64 keeps whole-stage codegen with zero allocations;
+    * md5 pays hex+conv but is expressible in the DuckDB oracle.
+    */
+  def hash60(c: Column): Column =
+    if (hashModeIsXx) shiftrightunsigned(xxhash64(c), 4)
+    else md5Long(c)
 
   /** BPE-ish tokenizer: letter runs, digit runs, or single non-space
     * symbols — the word-piece boundary heuristic used for token

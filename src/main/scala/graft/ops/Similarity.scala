@@ -74,8 +74,11 @@ object Similarity {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** 30-bit base hash of a shingle (md5-derived, engine-portable). */
-  def base30(s: Column): Column = pmod(md5Long(s), lit(Base30Mod))
+  /** 30-bit base hash of a shingle (mode-selected 60-bit hash folded
+    * to 30 bits — md5-derived and engine-portable by default,
+    * xxhash64 under spark.graft.hashMode=xxhash64).
+    */
+  def base30(s: Column): Column = pmod(hash60(s), lit(Base30Mod))
 
   /** i-th member of the affine universal hash family over a 30-bit
     * base hash. All values < 2^31-1.
@@ -109,7 +112,7 @@ object Similarity {
                         numPerms: Int, shingleN: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val sig = column(graft.expressions.WordShingleMinHash(
-      expression(col(textCol)), numPerms, shingleN))
+      expression(col(textCol)), numPerms, shingleN, hashModeIsXx))
     df.where(size(split(col(textCol), " ")) >= shingleN)
       .select(col(idCol), sig.as("__sig"))
       .select(col(idCol) +:
@@ -246,7 +249,8 @@ object Similarity {
     */
   def shingleHashes(text: Column, shingleN: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    column(graft.expressions.WordShingleHashes(expression(text), shingleN))
+    column(graft.expressions.WordShingleHashes(expression(text), shingleN,
+      distinct = true, xx = hashModeIsXx))
   }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -280,7 +284,7 @@ object Similarity {
   val SimHashBits = 16
 
   def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => md5Long(t))
+    val hashes = transform(split(text, " "), t => hash60(t))
     val zeros = array_repeat(lit(0L), SimHashBits)
     val votes = aggregate(hashes, zeros, (acc, h) =>
       zip_with(acc,

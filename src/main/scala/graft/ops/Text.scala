@@ -136,6 +136,6 @@ object Text {
     aggregate(
       words(text),
       lit(0L),
-      (h, w) => pmod(h * lit(31L) + pmod(md5Long(w), lit(M)), lit(M)))
+      (h, w) => pmod(h * lit(31L) + pmod(hash60(w), lit(M)), lit(M)))
   }
 }

@@ -97,6 +97,22 @@ object MinHashLocal {
     acc >>> 4
   }
 
+  /** xxhash64(seed 42, Spark's xxhash64 function) folded to 60 bits —
+    * the JVM twin of GraftFunctions.hash60's xxhash64 branch
+    * (shiftrightunsigned(xxhash64(c), 4)). Hashes the same UTF-8
+    * bytes Spark's XxHash64 sees for a string column.
+    */
+  def xxHash60(s: String): Long = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L) >>> 4
+  }
+
+  /** Mode-selected 60-bit hash (GraftFunctions.hash60's JVM twin). */
+  def hash60(s: String, xx: Boolean): Long =
+    if (xx) xxHash60(s) else md5Long(s)
+
   /** Distinct word n-grams; split with limit -1 like Spark's split. */
   def wordShingles(text: String, n: Int): Seq[String] = {
     val w = text.split(" ", -1)
@@ -108,27 +124,28 @@ object MinHashLocal {
     * array may contain equal longs if two shingles collide, exactly
     * like hashing the exploded distinct strings in SQL).
     */
-  def shingleHashes(text: String, n: Int): Array[Long] =
-    wordShingles(text, n).iterator.map(md5Long).toArray
+  def shingleHashes(text: String, n: Int, xx: Boolean = false): Array[Long] =
+    wordShingles(text, n).iterator.map(hash60(_, xx)).toArray
 
   /** Positional (non-distinct) variant: one hash per shingle
     * occurrence, in document order.
     */
-  def shingleHashesAll(text: String, n: Int): Array[Long] = {
+  def shingleHashesAll(text: String, n: Int, xx: Boolean = false): Array[Long] = {
     val w = text.split(" ", -1)
     if (w.length < n) Array.emptyLongArray
     else (0 to w.length - n).iterator
-      .map(i => md5Long(w.slice(i, i + n).mkString(" "))).toArray
+      .map(i => hash60(w.slice(i, i + n).mkString(" "), xx)).toArray
   }
 
   /** MinHash signature; None when the doc has too few words. */
-  def signature(text: String, numPerms: Int, shingleN: Int): Option[Array[Long]] = {
+  def signature(text: String, numPerms: Int, shingleN: Int,
+                xx: Boolean = false): Option[Array[Long]] = {
     val shingles = wordShingles(text, shingleN)
     if (shingles.isEmpty) None
     else {
       val sig = Array.fill(numPerms)(Long.MaxValue)
       shingles.foreach { s =>
-        val base = md5Long(s) % Base30Mod
+        val base = hash60(s, xx) % Base30Mod
         var i = 0
         while (i < numPerms) {
           val h = (base * (2L * i + 1) + (7919L * i + 12345L)) % MersennePrime31
