@@ -161,34 +161,14 @@ object SimilarityQueries {
     QueryDef("ann_ivf_topk",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-          .withColumn("nrm", vectorNorm(col("emb")))
+        // deterministic fallback codebook: first-NumCells corpus
+        // vectors. A trained k-means table loads via
+        // Similarity.loadCentroids(spark, path) instead — same plan,
+        // spec-covered in SimilaritySpec.
         val cents = e.where(col("vec_id") < NumCells)
-          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-            col("nrm").as("cnrm"))
-        // bounded cross product: every vector × NumCells centroids,
-        // broadcast so scoring is scan-local
-        val cells = e.join(broadcast(cents), lit(true))
-          .select(col("vec_id"), col("emb"), col("nrm"),
-            struct(
-              (-round(dotProduct(col("emb"), col("cemb")) /
-                (col("nrm") * col("cnrm")), 6)).as("negcos"),
-              col("cid").as("cid")).as("__c"))
-          .groupBy(col("vec_id"))
-          .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"),
-            min(col("__c")).getField("cid").as("cell"))
-        val q = cells.where(col("vec_id") < NumQueryVecs)
-          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
-            col("nrm").as("qnrm"), col("cell").as("qcell"))
-        val scored = cells.join(broadcast(q),
-            col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(desc("cos"), col("neighbor_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= TopK)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        Similarity.ivfTopK(e, "vec_id", "embedding", cents,
+            col("vec_id") < NumQueryVecs, TopK)
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH c AS (

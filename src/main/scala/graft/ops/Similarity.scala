@@ -388,6 +388,68 @@ object Similarity {
       when(proj > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (nprobe=1) approximate-nearest-neighbor top-k against an
+    * explicit centroid codebook table (`cid: long, cemb:
+    * array<double>`): every vector is assigned to its max-cosine
+    * centroid (broadcast nested-loop over the C codebook rows, then
+    * one map-side-combined min-struct aggregation — O(rows × C)
+    * scan-local work, no shuffle before the cell-restricted join),
+    * and each query searches only its own cell. The codebook is a
+    * DataFrame so a trained k-means table loads exactly like the BPE
+    * merges file (any parquet/CSV source — see loadCentroids); a
+    * deterministic fallback (first-N corpus vectors) keeps the oracle
+    * reproducible. Assignment ranks by the ROUNDED cosine so engines
+    * agree at ulp boundaries.
+    *
+    * Returns (query_id, neighbor_id, cos, rank) for rows matching
+    * `queryPred`, rank 1..topK by descending cosine.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              centroids: DataFrame, queryPred: Column, topK: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    val c = centroids.select(col("cid"),
+        col("cemb").cast("array<double>").as("__cemb"))
+      .withColumn("__cnrm", vectorNorm(col("__cemb")))
+    val cells = e.join(broadcast(c), lit(true))
+      .select(col(idCol), col("__emb"), col("__nrm"),
+        struct(
+          (-round(dotProduct(col("__emb"), col("__cemb")) /
+            (col("__nrm") * col("__cnrm")), 6)).as("negcos"),
+          col("cid").as("cid")).as("__c"))
+      .groupBy(col(idCol))
+      .agg(first(col("__emb")).as("__emb"), first(col("__nrm")).as("__nrm"),
+        min(col("__c")).getField("cid").as("cell"))
+    val q = cells.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__emb").as("__qemb"),
+        col("__nrm").as("__qnrm"), col("cell").as("qcell"))
+    val scored = cells.join(broadcast(q),
+        col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(dotProduct(col("__qemb"), col("__emb")) /
+          (col("__qnrm") * col("__nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
+  /** Load an IVF codebook from a parquet or CSV table with columns
+    * (cid, cemb). CSV expects cemb as a comma-joined number string
+    * (the portable export format for a trained k-means codebook).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val df =
+      if (path.endsWith(".csv"))
+        spark.read.option("header", "true").csv(path)
+          .select(col("cid").cast("long"),
+            split(col("cemb"), ",").cast("array<double>").as("cemb"))
+      else spark.read.parquet(path)
+    df.select(col("cid").cast("long"),
+      col("cemb").cast("array<double>").as("cemb"))
+  }
+
   /** Embedding-cosine near-dup pairs under a label blocking key, with
     * a per-label block-size guard: labels at or under `maxBlockSize`
     * rows pair exactly (block key −1), larger labels are sub-blocked

@@ -36,10 +36,25 @@ object MinHashStream {
     * dropped=true iff some band bucket was already claimed by an
     * earlier doc. Query it with OutputMode.Complete/Update (an
     * unwindowed aggregation); survivors are `dropped = false`.
+    *
+    * State lifecycle: a bucket claim is a one-bit flag, so the state
+    * store grows with DISTINCT buckets seen — the same unbounded
+    * contract as the reference's in-memory index (its index also
+    * never evicts). For long-running streams pass `stateTtl`: claims
+    * then expire `stateTtl` of processing time after their last hit
+    * (GroupStateTimeout.ProcessingTimeTimeout — the timeout resets
+    * every time the bucket is re-touched, so hot buckets never
+    * expire). An expired claim means a later duplicate of a
+    * long-silent document is treated as first-seen — the standard
+    * bounded-memory dedup window trade. For exact unbounded dedup at
+    * scale, compact instead: periodically snapshot survivors'
+    * signatures to a table and seed a fresh stream via the batch
+    * `minhashDedupIncremental` path.
     */
   def minhashDedupStream(docs: Dataset[DocIn],
                          numPerms: Int = 64, shingleN: Int = 5,
-                         bands: Int = 16, rows: Int = 4): DataFrame = {
+                         bands: Int = 16, rows: Int = 4,
+                         stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val hits = docs.flatMap { d =>
       MinHashLocal.signature(d.text, numPerms, shingleN) match {
@@ -53,18 +68,29 @@ object MinHashStream {
           Seq(BucketHit(-1L - d.doc_id, d.doc_id))
       }
     }
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val verdicts = hits
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[Boolean, DocVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: Long, it: Iterator[BucketHit], state) =>
-          val ids = it.map(_.doc_id).toSeq.distinct.sorted
-          val out =
-            if (state.exists) ids.map(DocVerdict(_, dropped = true))
-            else DocVerdict(ids.head, dropped = false) +:
-              ids.tail.map(DocVerdict(_, dropped = true))
-          state.update(true)
-          out.iterator
+          if (state.hasTimedOut) {
+            // claim expired with no new hits: drop it so the store
+            // stays O(buckets-active-within-ttl)
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = it.map(_.doc_id).toSeq.distinct.sorted
+            val out =
+              if (state.exists) ids.map(DocVerdict(_, dropped = true))
+              else DocVerdict(ids.head, dropped = false) +:
+                ids.tail.map(DocVerdict(_, dropped = true))
+            state.update(true)
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.iterator
+          }
       }
     verdicts.groupBy(col("doc_id"))
       .agg(max(col("dropped")).as("dropped"))

@@ -94,4 +94,46 @@ class MinHashStreamSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(batchDropped == after1.filter(_._2).keySet)
   }
+
+  test("stateTtl: claims persist across batches within the ttl and expire after it") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val ttl = java.time.Duration.ofMillis(1500)
+    // With ProcessingTimeTimeout the query triggers batches
+    // back-to-back to service timeouts, so processAllAvailable()'s
+    // no-new-data latch never fires — poll the sink instead.
+    val q = MinHashStream.minhashDedupStream(mem.toDS(), stateTtl = Some(ttl))
+      .writeStream.format("memory").queryName("mhdedup_ttl")
+      .outputMode("complete").start()
+    def verdicts(): Map[Long, Boolean] =
+      spark.sql("SELECT doc_id, dropped FROM mhdedup_ttl")
+        .as[(Long, Boolean)].collect().toMap
+    def awaitDoc(id: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!verdicts().contains(id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(verdicts().contains(id), s"doc $id never reached the sink")
+    }
+
+    // batch 1: claim the near1 buckets
+    mem.addData(DocIn(0L, near1), DocIn(1L, far))
+    awaitDoc(0L); awaitDoc(1L)
+    assert(verdicts() == Map(0L -> false, 1L -> false))
+
+    // batch 2 (well inside the ttl): duplicate still dropped
+    mem.addData(DocIn(10L, near1))
+    awaitDoc(10L)
+    assert(verdicts()(10L), "within-ttl duplicate must be dropped")
+
+    // wait past the ttl: the continuously-running batches fire the
+    // timeout callback and remove the claim, so a re-arriving
+    // duplicate is first-seen again
+    Thread.sleep(ttl.toMillis + 2000)
+    mem.addData(DocIn(21L, near1))
+    awaitDoc(21L)
+    val fin = verdicts()
+    q.stop()
+    assert(!fin(21L),
+      "post-ttl duplicate must be first-seen again (claim expired)")
+  }
 }

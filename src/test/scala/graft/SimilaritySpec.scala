@@ -165,6 +165,38 @@ class SimilaritySpec extends SparkSpec {
     assert(allCold.subsetOf(got))
   }
 
+  test("ivfTopK: external codebook (parquet and csv) matches the inline centroid frame") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val inline = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val expected = Similarity.ivfTopK(e, "vec_id", "embedding", inline,
+      col("vec_id") < 10, 5).orderBy("query_id", "rank").collect().toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("codebook").toString
+    // parquet codebook — the production k-means export shape
+    inline.select(col("cid"), col("cemb").cast("array<double>").as("cemb"))
+      .write.mode("overwrite").parquet(s"$dir/cb.parquet")
+    val viaParquet = Similarity.ivfTopK(e, "vec_id", "embedding",
+      Similarity.loadCentroids(spark, s"$dir/cb.parquet"),
+      col("vec_id") < 10, 5).orderBy("query_id", "rank").collect().toSeq
+    assert(viaParquet == expected)
+
+    // csv codebook — portable text export (cemb comma-joined)
+    inline.select(col("cid"),
+        org.apache.spark.sql.functions.concat_ws(",",
+          // double BEFORE string: float->string->double does not
+          // round-trip, double->string->double does
+          col("cemb").cast("array<double>").cast("array<string>")).as("cemb"))
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/cb.csv")
+    val viaCsv = Similarity.ivfTopK(e, "vec_id", "embedding",
+      Similarity.loadCentroids(spark, s"$dir/cb.csv"),
+      col("vec_id") < 10, 5).orderBy("query_id", "rank").collect().toSeq
+    assert(viaCsv == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),
