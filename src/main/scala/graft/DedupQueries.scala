@@ -140,6 +140,33 @@ object DedupQueries {
         |  FROM bands)
         |WHERE doc_id > mn ORDER BY doc_id""".stripMargin)),
 
+    // Transitive dup CLUSTERS from the LSH candidate pairs: connected
+    // components via iterative min-label propagation (one survivor
+    // per component, not per edge — A near B near C collapses to one
+    // cluster even when A and C share no bucket). The oracle computes
+    // the same closure with a recursive CTE; cluster id = min doc_id
+    // of the component on both engines.
+    QueryDef("dedup_clusters",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text", NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands, Rows, MaxBucketSize)
+        Similarity.connectedComponents(pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id, cluster FROM cc ORDER BY doc_id""".stripMargin)),
+
     // J1-exact — n-gram Jaccard pairs via inverted-index self-join
     // (the exact counterpart the LSH path approximates).
     QueryDef("dedup_ngram_jaccard",

@@ -388,6 +388,56 @@ object Similarity {
       when(proj > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Connected components over an undirected pair frame (`id_a,
+    * id_b`) — the transitive-closure step that turns near-dup PAIRS
+    * into dup CLUSTERS (a survivor per cluster, not per pair edge).
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converged when the
+    * global label sum stops falling (labels are monotonically
+    * non-increasing, so the decimal sum is a strict progress
+    * measure — one scalar action per round, never a row collect).
+    *
+    * Cost: O(diameter) rounds × two hash-partition exchanges (the
+    * neighbor join and the min-groupBy share the node key). Near-dup
+    * clusters are shallow (dup families link through shared buckets),
+    * so diameter is small in practice; for adversarial chain graphs
+    * switch to large-star/small-star (O(log n) rounds) — same loop
+    * skeleton. Labels persist per round and unpersist as soon as the
+    * next round materializes, so peak storage is 2×|nodes|.
+    *
+    * Returns (doc_id, cluster) for every node appearing in `edges`,
+    * cluster = the minimum doc id of the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val und = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
+      .union(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.groupBy(col("node"))
+      .agg(least(min(col("nbr")), col("node")).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lblSum = labels.agg(sum(col("lbl").cast("decimal(38,0)")))
+      .head.getDecimal(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = und.as("u").join(labels.as("l"), col("u.nbr") === col("l.node"))
+        .select(col("u.node").as("node"), col("l.lbl").as("lbl"))
+      val next = labels.select(col("node"), col("lbl")).union(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(lblSum) == 0
+      lblSum = nextSum
+      it += 1
+    }
+    und.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** IVF (nprobe=1) approximate-nearest-neighbor top-k against an
     * explicit centroid codebook table (`cid: long, cemb:
     * array<double>`): every vector is assigned to its max-cosine

@@ -165,6 +165,17 @@ class SimilaritySpec extends SparkSpec {
     assert(allCold.subsetOf(got))
   }
 
+  test("connectedComponents: transitive chains collapse, separate components stay apart") {
+    // chain 1-2-3-4 (diameter 3, multiple propagation rounds), pair
+    // 10-11, and a high-id pair whose min is not the global min
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Similarity.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ivfTopK: external codebook (parquet and csv) matches the inline centroid frame") {
     import org.apache.spark.sql.functions.{col, lit}
     val e = Tables.load(spark, sfDir, "embeddings")
