@@ -186,6 +186,49 @@ object EventQueries {
         | COUNT(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Exact value percentiles per event type (p50/p90/p99) — Spark's
+    // percentile == DuckDB's quantile_cont (both linear-interpolate
+    // over the sorted values; exact, not a sketch). At 100 TB switch
+    // to approx_percentile per partition-tree merge; the exact form
+    // is the oracle-checkable contract.
+    QueryDef("events_percentiles",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.9)"), 6).as("p90"),
+            round(expr("percentile(value, 0.99)"), 6).as("p99"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Daily event-type matrix via the pivot operator (fixed pivot
+    // domain keeps the schema deterministic and avoids the
+    // distinct-scan pivot() otherwise runs; missing cells coalesce to
+    // 0 to match the oracle's FILTER counts).
+    QueryDef("events_pivot_daily",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = e.select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy(col("day")).pivot("event_type", types).count()
+        p.select(col("day") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT ts::DATE AS day,
+        | COUNT(*) FILTER (event_type = 'click') AS click,
+        | COUNT(*) FILTER (event_type = 'error') AS error,
+        | COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Cohort retention matrix: users grouped by first-seen day, counted
     // per day-offset of return. The first-seen frame is one row per
     // DISTINCT user — billions of rows at 100 TB, so no broadcast hint:

@@ -304,6 +304,32 @@ object RelationalQueries {
         |GROUP BY o_orderpriority
         |ORDER BY cnt DESC, o_orderpriority""".stripMargin)),
 
+    // Hierarchical rollup report: (priority, status) -> priority
+    // subtotals -> grand total in one pass (Spark Expand feeds a
+    // single hash aggregate — no re-scan per level, the shape that
+    // matters when the fact table is 100 TB). Rollup nulls coalesce
+    // to 'ALL' so ordering needs no cross-engine NULLS FIRST/LAST
+    // gymnastics.
+    QueryDef("orders_rollup",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        o.rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("n_orders"), col("sum_price"))
+          .orderBy(col("priority"), col("status"))
+      },
+      Some("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin)),
+
     // P5 — low-length filter (etl_slimpajama_dc_proc.py:140-144).
     QueryDef("length_filter_documents",
       (s, dir) => {

@@ -17,7 +17,73 @@ object TextQueries {
   private def swLang(i: Int) = Text.LangProfiles(i)._2.map(w => s"'$w'").mkString(", ")
   private val punctSql = """[.,!?;:''"()\-]""" // '' = escaped quote inside SQL literal
 
+  /** BM25 parameters and a fixed keyword query over the corpus
+    * vocabulary (shared by the Spark plan and the oracle).
+    */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("spark", "join", "scan", "window", "table")
+
   def defs: Seq[QueryDef] = Seq(
+
+    // Keyword search scoring: BM25 top-20 over the documents table for
+    // a fixed term set. Plan shape at 100 TB: tf is one scan +
+    // groupBy(doc, term) on query terms only (the isin filter prunes
+    // before the shuffle); df and the corpus stats are tiny aggregates
+    // broadcast back; the final per-doc sum shuffles once on doc_id.
+    // Per-term scores round to 6dp and sum as DECIMAL so the total is
+    // addition-order-independent across engines and partitionings.
+    QueryDef("text_bm25_topk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("dl", size(col("w")))
+        val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+          .where(col("t").isin(Bm25Terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("t"))
+          .agg(count(lit(1)).as("tf"))
+        val stats = d.agg(count(lit(1)).as("ndocs"), avg(col("dl")).as("avgdl"))
+        val dfreq = d.select(col("doc_id"),
+            explode(array_distinct(col("w"))).as("t"))
+          .where(col("t").isin(Bm25Terms: _*))
+          .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        val term = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("ndocs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+          .withColumn("s",
+            round(col("idf") * col("tf") * lit(Bm25K1 + 1) /
+              (col("tf") + lit(Bm25K1) *
+                (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 6)
+              .cast("decimal(18,6)"))
+        term.groupBy(col("doc_id"))
+          .agg(round(sum(col("s")), 4).cast("double").as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS ndocs, avg(dl) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, t, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
+        |  WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (
+        |  SELECT t, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS t FROM d)
+        |  WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY 1),
+        |term AS (
+        |  SELECT tf.doc_id,
+        |    round(ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${Bm25K1 + 1} /
+        |      (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)), 6)::DECIMAL(18,6) AS s
+        |  FROM tf JOIN dfreq USING (t) CROSS JOIN stats)
+        |SELECT doc_id,
+        |  CAST(round(CAST(sum(s) AS DECIMAL(18,6)), 4) AS DOUBLE) AS bm25
+        |FROM term GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
     // F12 + A7/L14 — word + BPE-ish token counts per document
     // (reference: etl_slimpajama_dc_proc.py:142; cost_estimator_inf.py:35-78).
