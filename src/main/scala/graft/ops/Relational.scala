@@ -163,4 +163,20 @@ object Relational {
     df.groupBy(key.map(col): _*).agg(agg.as("agg_val"))
       .orderBy(desc("agg_val"), col(key.head))
       .limit(k)
+
+  /** Persist a frame as a bucketed + in-bucket-sorted parquet table —
+    * the 100 TB lever for repeated joins/aggregations on a stable key
+    * (fact-to-fact joins, iterative dedup over the same corpus):
+    * both sides bucketed by the same key and count join with NO
+    * shuffle exchange and no sort (BucketingSpec asserts the plan).
+    * Bucket count rule of thumb at scale: total size / 128 MB,
+    * rounded to a power of two so half/double-bucket joins still
+    * align via bucket coalescing
+    * (spark.sql.bucketing.coalesceBucketsInJoin.enabled).
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
 }
