@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 
 /** Event-stream analytics over the `events` table (batch mirror of the
@@ -194,17 +195,22 @@ object EventQueries {
     QueryDef("events_percentiles",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
+        // decimal-guard the interpolated double before rounding
+        // (Spark rounds the shortest string, DuckDB the binary value;
+        // an 8-digit decimal cast first makes both engines round the
+        // same decimal — the repo-wide quotient-rounding pattern)
+        def pct(q: Double, name: String) =
+          round(expr(s"percentile(value, $q)").cast(DecimalType(18, 8)), 6)
+            .cast("double").as(name)
         e.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            round(expr("percentile(value, 0.5)"), 6).as("p50"),
-            round(expr("percentile(value, 0.9)"), 6).as("p90"),
-            round(expr("percentile(value, 0.99)"), 6).as("p99"))
+            pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(*) AS n,
-        | round(quantile_cont(value, 0.5), 6) AS p50,
-        | round(quantile_cont(value, 0.9), 6) AS p90,
-        | round(quantile_cont(value, 0.99), 6) AS p99
+        | CAST(round(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,8)), 6) AS DOUBLE) AS p50,
+        | CAST(round(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,8)), 6) AS DOUBLE) AS p90,
+        | CAST(round(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,8)), 6) AS DOUBLE) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Daily event-type matrix via the pivot operator (fixed pivot

@@ -52,7 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (children: Seq[Expression]) => children match {
-        case Seq(s) => SimHash16(s)
+        // the builder runs during analysis on the driver, so the
+        // session hash mode is readable here — SQL and Scala entry
+        // points must agree in xxhash64 mode
+        case Seq(s) =>
+          SimHash16(s, graft.functions.GraftFunctions.hashModeIsXx)
         case _ => throw new IllegalArgumentException("simhash16(stringCol)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }

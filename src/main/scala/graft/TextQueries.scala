@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 import graft.ops.Text
 
@@ -51,9 +52,11 @@ object TextQueries {
           .withColumn("idf",
             log((col("ndocs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
           .withColumn("s",
-            round(col("idf") * col("tf") * lit(Bm25K1 + 1) /
+            // decimal-guard before the round (see events_percentiles)
+            round((col("idf") * col("tf") * lit(Bm25K1 + 1) /
               (col("tf") + lit(Bm25K1) *
-                (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 6)
+                (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+              .cast(DecimalType(18, 8)), 6)
               .cast("decimal(18,6)"))
         term.groupBy(col("doc_id"))
           .agg(round(sum(col("s")), 4).cast("double").as("bm25"))
@@ -77,8 +80,8 @@ object TextQueries {
         |  GROUP BY 1),
         |term AS (
         |  SELECT tf.doc_id,
-        |    round(ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${Bm25K1 + 1} /
-        |      (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)), 6)::DECIMAL(18,6) AS s
+        |    round(CAST(ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${Bm25K1 + 1} /
+        |      (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)) AS DECIMAL(18,8)), 6)::DECIMAL(18,6) AS s
         |  FROM tf JOIN dfreq USING (t) CROSS JOIN stats)
         |SELECT doc_id,
         |  CAST(round(CAST(sum(s) AS DECIMAL(18,6)), 4) AS DOUBLE) AS bm25

@@ -406,7 +406,15 @@ object Similarity {
     * next round materializes, so peak storage is 2×|nodes|.
     *
     * Returns (doc_id, cluster) for every node appearing in `edges`,
-    * cluster = the minimum doc id of the component.
+    * cluster = the minimum doc id of the component. The returned
+    * frame IS a persisted (materialized) frame — the iterative
+    * lineage behind it is already computed, and the caller owns the
+    * lifecycle: `.unpersist()` it when done (the same explicit
+    * contract as minhashDedupIncremental's knownSigs). Throws
+    * IllegalStateException instead of returning silently-wrong labels
+    * if `maxIter` rounds don't reach the fixpoint (a component with
+    * diameter > maxIter — raise maxIter, or use a log-rounds
+    * star-contraction variant for adversarial chains).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -416,10 +424,12 @@ object Similarity {
     var labels = und.groupBy(col("node"))
       .agg(least(min(col("nbr")), col("node")).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // sum() over zero rows is null: an empty edge frame is already
+    // converged (empty result), not an NPE
     var lblSum = labels.agg(sum(col("lbl").cast("decimal(38,0)")))
       .head.getDecimal(0)
     var it = 0
-    var converged = false
+    var converged = lblSum == null
     while (!converged && it < maxIter) {
       val prop = und.as("u").join(labels.as("l"), col("u.nbr") === col("l.node"))
         .select(col("u.node").as("node"), col("l.lbl").as("lbl"))
@@ -435,7 +445,17 @@ object Similarity {
       it += 1
     }
     und.unpersist()
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise it")
+    }
+    val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize so the caller-owned handle is the only cache
+    labels.unpersist()
+    out
   }
 
   /** IVF (nprobe=1) approximate-nearest-neighbor top-k against an

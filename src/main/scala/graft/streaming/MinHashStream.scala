@@ -56,8 +56,13 @@ object MinHashStream {
                          bands: Int = 16, rows: Int = 4,
                          stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import docs.sparkSession.implicits._
+    // capture the session hash mode on the driver at plan build, like
+    // the batch operators do — stream and batch signatures must share
+    // a hash family or cross-seam dedup (snapshot -> incremental)
+    // would silently never collide
+    val xx = graft.functions.GraftFunctions.hashModeIsXx
     val hits = docs.flatMap { d =>
-      MinHashLocal.signature(d.text, numPerms, shingleN) match {
+      MinHashLocal.signature(d.text, numPerms, shingleN, xx) match {
         case Some(sig) =>
           MinHashLocal.buckets(sig, bands, rows)
             .map { case (band, bv) => BucketHit(bv * bands + band, d.doc_id) }

@@ -57,6 +57,21 @@ class HashModeSpec extends SparkSpec {
     }
   }
 
+  test("xx mode: streaming signature kernel matches the batch pipeline (cross-seam dedup)") {
+    withXx {
+      // minhashDedupStream captures hashModeIsXx at plan build and
+      // feeds MinHashLocal.signature(…, xx) — the snapshot->incremental
+      // seam only dedups if stream and batch share the hash family
+      val batch = Similarity.minhashSignatures(docs, "doc_id", "text", 64, 5)
+        .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong)).toMap
+      val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      for (id <- Seq(0L, 1L, 2L)) {
+        val local = graft.streaming.MinHashLocal.signature(texts(id), 64, 5, xx = true)
+        assert(local.isDefined && local.get.toSeq == batch(id), s"doc $id")
+      }
+    }
+  }
+
   test("xx mode: native simhash16 matches the composed expression") {
     withXx {
       val native = docs.select(GraftFunctions.simhash16(col("text")))

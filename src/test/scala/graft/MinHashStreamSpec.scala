@@ -98,7 +98,9 @@ class MinHashStreamSpec extends SparkSpec {
   test("stateTtl: claims persist across batches within the ttl and expire after it") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[DocIn]
-    val ttl = java.time.Duration.ofMillis(1500)
+    // generous TTL: the within-ttl batch (state-store init + polls)
+    // must comfortably land inside it even on a loaded machine
+    val ttl = java.time.Duration.ofMillis(8000)
     // With ProcessingTimeTimeout the query triggers batches
     // back-to-back to service timeouts, so processAllAvailable()'s
     // no-new-data latch never fires — poll the sink instead.
@@ -128,7 +130,7 @@ class MinHashStreamSpec extends SparkSpec {
     // wait past the ttl: the continuously-running batches fire the
     // timeout callback and remove the claim, so a re-arriving
     // duplicate is first-seen again
-    Thread.sleep(ttl.toMillis + 2000)
+    Thread.sleep(ttl.toMillis + 3000)
     mem.addData(DocIn(21L, near1))
     awaitDoc(21L)
     val fin = verdicts()

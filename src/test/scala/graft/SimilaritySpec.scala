@@ -176,6 +176,18 @@ class SimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: empty edges yield empty result; low maxIter fails loudly") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Similarity.connectedComponents(empty).count() == 0)
+    // chain 1-2-3-4-5-6 needs >2 propagation rounds; maxIter=1 must
+    // throw rather than return non-converged labels
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Similarity.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
   test("ivfTopK: external codebook (parquet and csv) matches the inline centroid frame") {
     import org.apache.spark.sql.functions.{col, lit}
     val e = Tables.load(spark, sfDir, "embeddings")
