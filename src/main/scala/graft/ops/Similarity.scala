@@ -504,6 +504,65 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Deterministic-init spherical k-means (Lloyd's) codebook trainer
+    * for IVF: seeds are the k vectors with the lowest detHash(id) —
+    * partitioning-independent, unlike rand() sampling — assignment is
+    * max-cosine (matching ivfTopK's cell rule), and each round
+    * recomputes centroids as the per-cell elementwise mean
+    * (posexplode → (cell, dim) avg → reassemble, so the shuffle
+    * carries rows×dim scalars, never whole-vector groups on one
+    * reducer). Cells that lose all members keep their previous
+    * centroid. O(iters) rounds, each: one broadcast-scored scan + one
+    * (cell, dim) aggregation. Centroid floats are reproducible up to
+    * fp-addition order; the resulting codebook is an input artifact
+    * (persist it with writeBucketed/parquet and load via
+    * loadCentroids), so bit-level reproducibility across cluster
+    * layouts is not part of the IVF contract.
+    *
+    * Returns (cid: long 0..k-1, cemb: array<double>).
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, embCol: String,
+                k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = emb
+      .select(col(idCol).as("__id"), col(embCol).cast("array<double>").as("__emb"))
+      .where(size(col("__emb")) > 0)
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("__h"), col("__id"))
+    var cents = e.withColumn("__h", detHash(DetHashPrime, col("__id")))
+      .orderBy(col("__h"), col("__id")).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cid"),
+        col("__emb").as("cemb"))
+    for (_ <- 1 to iters) {
+      val c = cents.withColumn("cnrm", vectorNorm(col("cemb")))
+      val assigned = e.join(broadcast(c), lit(true))
+        .select(col("__id"), col("__emb"),
+          struct(
+            (-round(dotProduct(col("__emb"), col("cemb")) /
+              (col("__nrm") * col("cnrm")), 6)).as("negcos"),
+            col("cid").as("cid")).as("__c"))
+        .groupBy(col("__id"))
+        .agg(first(col("__emb")).as("__emb"),
+          min(col("__c")).getField("cid").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("__emb")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), p => p.getField("m")).as("cemb"))
+      // empty cells keep their previous centroid
+      cents = cents.as("old").join(means.as("new"), Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("new.cemb"), col("old.cemb")).as("cemb"))
+    }
+    val out = cents.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the O(iters)-deep lineage once
+    e.unpersist()
+    out
+  }
+
   /** Load an IVF codebook from a parquet or CSV table with columns
     * (cid, cemb). CSV expects cemb as a comma-joined number string
     * (the portable export format for a trained k-means codebook).

@@ -188,6 +188,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansFit: separable clusters recover their grouping and feed ivfTopK") {
+    import org.apache.spark.sql.functions.col
+    // 3 well-separated direction clusters in R^6 with deterministic jitter
+    def vec(axis: Int, i: Int): Array[Double] =
+      Array.tabulate(6)(d =>
+        (if (d == axis) 10.0 else 0.0) + 0.1 * math.sin(i * 7 + d))
+    val rows = for (axis <- 0 until 3; i <- 0 until 20)
+      yield (axis * 100L + i, vec(axis, i))
+    val e = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansFit(e, "vec_id", "embedding", k = 3, iters = 5)
+    try {
+      assert(cb.count() == 3)
+      // every vector's max-cos centroid groups it with its true cluster
+      val topk = Similarity.ivfTopK(e, "vec_id", "embedding", cb,
+        col("vec_id").isin(0L, 100L, 200L), 5)
+      val got = topk.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect()
+      assert(got.nonEmpty)
+      got.foreach { case (q, n) =>
+        assert(q / 100 == n / 100,
+          s"neighbor $n of query $q crossed a true cluster boundary")
+      }
+    } finally cb.unpersist()
+  }
+
   test("ivfTopK: external codebook (parquet and csv) matches the inline centroid frame") {
     import org.apache.spark.sql.functions.{col, lit}
     val e = Tables.load(spark, sfDir, "embeddings")
