@@ -167,6 +167,41 @@ object DedupQueries {
         |  FROM reach GROUP BY src)
         |SELECT doc_id, cluster FROM cc ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination: fraction of each source's documents
+    // sharing at least one 5-gram shingle hash with a "benchmark" set
+    // (stand-in: the 20 lowest-id docs — a real benchmark table drops
+    // in unchanged). Shape at 100 TB: the benchmark's shingle-hash
+    // set is tiny and BROADCAST; the corpus pays one scan + one
+    // left-semi broadcast join on exploded hashes + one groupBy —
+    // no shuffle of the corpus until the per-source rollup.
+    QueryDef("contamination_check",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val bench = d.where(col("doc_id") < 20)
+          .select(explode(Similarity.shingleHashes(col("text"), ShingleN)).as("h"))
+          .distinct()
+        val docHashes = d.select(col("doc_id"), col("source"),
+          explode(Similarity.shingleHashes(col("text"), ShingleN)).as("h"))
+        val contaminated = docHashes.join(broadcast(bench), Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        d.join(contaminated.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("__c")).as("n_contaminated"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source, unnest($shinglesSql) AS s FROM w),
+        |hx AS (SELECT doc_id, source, ${md5LongSql("s")} AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM hx WHERE doc_id < 20),
+        |cont AS (SELECT DISTINCT doc_id FROM hx
+        |  WHERE h IN (SELECT h FROM bench)),
+        |d AS (SELECT doc_id, source FROM documents)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  COUNT(cont.doc_id) AS n_contaminated
+        |FROM d LEFT JOIN cont USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // J1-exact — n-gram Jaccard pairs via inverted-index self-join
     // (the exact counterpart the LSH path approximates).
     QueryDef("dedup_ngram_jaccard",

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
@@ -87,6 +88,43 @@ object TextQueries {
         |  CAST(round(CAST(sum(s) AS DECIMAL(18,6)), 4) AS DOUBLE) AS bm25
         |FROM term GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Training-batch sequence packing: documents are dealt into
+    // detHash buckets (the per-worker unit at scale — each bucket
+    // packs independently, so no global coordination), pseudo-shuffled
+    // within the bucket by a second detHash, and greedily packed into
+    // 512-word bins by running cumulative sum (a doc that straddles a
+    // boundary starts its bin at the straddle — streaming packing
+    // with overflow, the deterministic distributed analogue of
+    // first-fit). Output is the per-bin occupancy report.
+    QueryDef("pack_sequences",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), wordCount(col("text")).as("nw"))
+          .withColumn("bucket", detHash(8L, col("doc_id")))
+        val w = Window.partitionBy(col("bucket"))
+          .orderBy(detHash(DetHashPrime, col("doc_id")), col("doc_id"))
+        val packed = d.withColumn("cum",
+            sum(col("nw")).over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("nw")) / lit(512.0)).cast("long"))
+        packed.groupBy(col("bucket"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("bin_words"))
+          .orderBy(col("bucket"), col("bin"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::INT AS nw,
+        |    ${detHashSql(8L, Seq("doc_id"))} AS bucket
+        |  FROM documents),
+        |p AS (
+        |  SELECT bucket, nw,
+        |    SUM(nw) OVER (PARTITION BY bucket
+        |      ORDER BY ${detHashSql(1000003L, Seq("doc_id"))}, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT bucket, floor((cum - nw) / 512.0)::BIGINT AS bin,
+        |  COUNT(*) AS n_docs, SUM(nw)::BIGINT AS bin_words
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // F12 + A7/L14 — word + BPE-ish token counts per document
     // (reference: etl_slimpajama_dc_proc.py:142; cost_estimator_inf.py:35-78).
