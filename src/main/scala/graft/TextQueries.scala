@@ -40,15 +40,21 @@ object TextQueries {
         val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .withColumn("dl", size(col("w")))
+        // tf feeds both the score join and the df rollup; Spark has no
+        // DAG-level subtree reuse (the two consumers prune columns
+        // differently, so even exchange reuse misses) — persist the
+        // tiny term-frequency frame rather than re-explode the corpus.
+        // Application-layer persist: Verify/Bench clearCache per query.
         val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
           .where(col("t").isin(Bm25Terms: _*))
           .groupBy(col("doc_id"), col("dl"), col("t"))
           .agg(count(lit(1)).as("tf"))
+          .persist()
         val stats = d.agg(count(lit(1)).as("ndocs"), avg(col("dl")).as("avgdl"))
-        val dfreq = d.select(col("doc_id"),
-            explode(array_distinct(col("w"))).as("t"))
-          .where(col("t").isin(Bm25Terms: _*))
-          .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        // df derives from tf — (doc, term) is unique there, so the
+        // row count per term IS the document frequency; saves a third
+        // corpus scan (the array_distinct explode) and its exchange
+        val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
         val term = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
           .withColumn("idf",
             log((col("ndocs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
@@ -74,11 +80,7 @@ object TextQueries {
         |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
         |  WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
         |  GROUP BY 1, 2, 3),
-        |dfreq AS (
-        |  SELECT t, count(*) AS df
-        |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS t FROM d)
-        |  WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-        |  GROUP BY 1),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
         |term AS (
         |  SELECT tf.doc_id,
         |    round(CAST(ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${Bm25K1 + 1} /
