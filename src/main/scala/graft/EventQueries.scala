@@ -187,6 +187,41 @@ object EventQueries {
         | COUNT(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // As-of join (event attribution): each purchase is matched to the
+    // same user's most recent STRICTLY PRIOR click — the classic
+    // point-in-time lookup Spark lacks as a built-in operator,
+    // expressed as one ignore-nulls last() over a rows-bounded window
+    // (no range join, no pair blow-up: one shuffle on user_id, linear
+    // scan per user). lat_us is exact integer micros.
+    QueryDef("events_asof_attribution",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("prev_click_ts",
+            last(when(col("event_type") === "click", col("ts")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase" &&
+            col("prev_click_ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(col("prev_click_ts")))
+              .as("lat_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH a AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    epoch_us(last_value(CASE WHEN event_type = 'click' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS prev_us
+        |  FROM events)
+        |SELECT event_id, user_id, (ts_us - prev_us) AS lat_us
+        |FROM a
+        |WHERE event_type = 'purchase' AND prev_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin)),
+
     // Exact value percentiles per event type (p50/p90/p99) — Spark's
     // percentile == DuckDB's quantile_cont (both linear-interpolate
     // over the sorted values; exact, not a sketch). At 100 TB switch
