@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CharShingleDistinctCount, DotProduct, MinHashSignature, SimHash16}
+import graft.expressions.{CharShingleDistinctCount, DotProduct, MinHashSignature,
+  SimHash16, WordShingleHashes, WordShingleMinHash}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions for SQL use:
@@ -58,6 +59,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(s) =>
           SimHash16(s, graft.functions.GraftFunctions.hashModeIsXx)
         case _ => throw new IllegalArgumentException("simhash16(stringCol)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingle_minhash"),
+      new ExpressionInfo(classOf[WordShingleMinHash].getName,
+        "word_shingle_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, Literal(perms: Int, _), Literal(n: Int, _)) =>
+          WordShingleMinHash(s, perms, n,
+            graft.functions.GraftFunctions.hashModeIsXx)
+        case _ => throw new IllegalArgumentException(
+          "word_shingle_minhash(stringCol, numPermsLiteral, shingleNLiteral)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName,
+        "word_shingle_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, Literal(n: Int, _)) =>
+          WordShingleHashes(s, n, distinct = true,
+            xx = graft.functions.GraftFunctions.hashModeIsXx)
+        case Seq(s, Literal(n: Int, _), Literal(d: Boolean, _)) =>
+          WordShingleHashes(s, n, distinct = d,
+            xx = graft.functions.GraftFunctions.hashModeIsXx)
+        case _ => throw new IllegalArgumentException(
+          "word_shingle_hashes(stringCol, shingleNLiteral[, distinctLiteral])")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

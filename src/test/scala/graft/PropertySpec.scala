@@ -135,6 +135,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("invariant: pack_sequences conserves every word and emits no empty bins") {
+    val out = SparkEntry.queries("pack_sequences")(spark, sfDir)
+    val packed = out.agg(sum(col("bin_words"))).head.getLong(0)
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(packed == corpus, "packing must conserve the word total")
+    assert(out.where(col("n_docs") <= 0 || col("bin_words") <= 0).count() == 0)
+  }
+
+  test("invariant: contamination_check bounds hold and the benchmark self-contaminates") {
+    val out = SparkEntry.queries("contamination_check")(spark, sfDir)
+    assert(out.where(col("n_contaminated") > col("n_docs")).count() == 0)
+    val total = out.agg(sum(col("n_contaminated"))).head.getLong(0)
+    // every benchmark doc with at least one shingle matches itself
+    val benchWithShingles = Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") < 20 && size(split(col("text"), " ")) >= 5)
+      .count()
+    assert(total >= benchWithShingles)
+  }
+
   test("property: userPrompt is total — None iff every scoped value invalid") {
     val valueGen = Gen.oneOf[String](
       null, "", " ", "NA", "N/A", "\n", "x", "hello world")

@@ -101,6 +101,27 @@ class TextJsonlSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("word_shingle_minhash / word_shingle_hashes SQL registrations match the Scala API") {
+    val d = Tables.load(spark, sfDir, "documents").limit(30)
+    d.createOrReplaceTempView("ws_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, word_shingle_minhash(text, 16, 5) AS sig,
+        |  word_shingle_hashes(text, 5) AS hs,
+        |  word_shingle_hashes(text, 2, false) AS hsAll
+        |FROM ws_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val viaScala = d.select(col("doc_id"),
+        column(graft.expressions.WordShingleMinHash(
+          expression(col("text")), 16, 5)).as("sig"),
+        graft.ops.Similarity.shingleHashes(col("text"), 5).as("hs"),
+        column(graft.expressions.WordShingleHashes(
+          expression(col("text")), 2, distinct = false)).as("hsAll"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaSql.keySet == viaScala.keySet && viaSql.nonEmpty)
+    viaSql.foreach { case (id, v) => assert(v == viaScala(id), s"doc $id") }
+  }
+
   test("minhash_signature SQL registration matches the min-column formulation") {
     val d = Tables.load(spark, sfDir, "documents").limit(20)
     d.createOrReplaceTempView("mh_docs")
