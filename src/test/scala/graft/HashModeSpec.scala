@@ -125,6 +125,18 @@ class HashModeSpec extends SparkSpec {
     assert(md5Fp == xxFp)
   }
 
+  test("xx mode: hash-path queries execute end-to-end (no oracle, but no crashes)") {
+    withXx {
+      val names = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "mix_sample_documents", "text_fingerprint", "text_rolling_fingerprint",
+        "pack_sequences", "group_split_customers")
+      for (n <- names) {
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        assert(rows > 0, s"$n returned no rows in xxhash64 mode")
+      }
+    }
+  }
+
   test("oracle mode is untouched: default signatures equal explicit md5-mode signatures") {
     spark.conf.set(GraftFunctions.HashModeKey, "md5")
     try {
