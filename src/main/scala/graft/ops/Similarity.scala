@@ -391,19 +391,26 @@ object Similarity {
   /** Connected components over an undirected pair frame (`id_a,
     * id_b`) — the transitive-closure step that turns near-dup PAIRS
     * into dup CLUSTERS (a survivor per cluster, not per pair edge).
-    * Iterative min-label propagation: each round every node takes the
-    * minimum label among itself and its neighbors; converged when the
-    * global label sum stops falling (labels are monotonically
-    * non-increasing, so the decimal sum is a strict progress
-    * measure — one scalar action per round, never a row collect).
+    * Each round: min-label propagation (every node takes the minimum
+    * label among itself and its neighbors) followed by pointer
+    * jumping (lbl ← lbl(lbl): labels are node ids, so they resolve
+    * against the label table itself) — the doubling step makes
+    * convergence O(log diameter) rounds, so an adversarial
+    * 10⁶-node duplicate chain needs ~20 rounds, not 10⁶. Converged
+    * when the global label sum stops falling (labels are
+    * monotonically non-increasing, so the decimal sum is a strict
+    * progress measure — one scalar action per round, never a row
+    * collect).
     *
-    * Cost: O(diameter) rounds × two hash-partition exchanges (the
-    * neighbor join and the min-groupBy share the node key). Near-dup
-    * clusters are shallow (dup families link through shared buckets),
-    * so diameter is small in practice; for adversarial chain graphs
-    * switch to large-star/small-star (O(log n) rounds) — same loop
-    * skeleton. Labels persist per round and unpersist as soon as the
-    * next round materializes, so peak storage is 2×|nodes|.
+    * Cost per round: three hash-partition exchanges (neighbor join,
+    * min-groupBy, jump join — all keyed on node/label). Each round's
+    * labels are localCheckpoint(eager)'d: the self-join references
+    * the label plan twice per round, so without lineage truncation
+    * the LOGICAL plan grows exponentially and analysis itself hangs
+    * long before any data moves (persist materializes data but keeps
+    * the full plan). Checkpoint storage for superseded rounds is
+    * reclaimed by the ContextCleaner; each round's frame is
+    * |nodes|×2 longs.
     *
     * Returns (doc_id, cluster) for every node appearing in `edges`,
     * cluster = the minimum doc id of the component. The returned
@@ -423,7 +430,7 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.groupBy(col("node"))
       .agg(least(min(col("nbr")), col("node")).as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // sum() over zero rows is null: an empty edge frame is already
     // converged (empty result), not an NPE
     var lblSum = labels.agg(sum(col("lbl").cast("decimal(38,0)")))
@@ -433,28 +440,32 @@ object Similarity {
     while (!converged && it < maxIter) {
       val prop = und.as("u").join(labels.as("l"), col("u.nbr") === col("l.node"))
         .select(col("u.node").as("node"), col("l.lbl").as("lbl"))
-      val next = labels.select(col("node"), col("lbl")).union(prop)
+      val mins = labels.select(col("node"), col("lbl")).union(prop)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jump: lbl(lbl(n)) ≤ lbl(n) because every label is a
+      // node id and lbl(m) ≤ m — inner join is total over the domain.
+      // The right side is a renamed projection (fresh attribute ids),
+      // not a dataset alias: alias-qualified self-join resolution
+      // breaks on checkpointed plans (AttributeMap key-not-found).
+      val jumpTo = mins.select(col("node").as("__jn"), col("lbl").as("__jl"))
+      val next = mins.join(jumpTo, col("lbl") === col("__jn"))
+        .select(col("node"), col("__jl").as("lbl"))
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)")))
         .head.getDecimal(0)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(lblSum) == 0
       lblSum = nextSum
       it += 1
     }
     und.unpersist()
-    if (!converged) {
-      labels.unpersist()
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it")
-    }
     val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize so the caller-owned handle is the only cache
-    labels.unpersist()
     out
   }
 

@@ -179,13 +179,25 @@ class SimilaritySpec extends SparkSpec {
   test("connectedComponents: empty edges yield empty result; low maxIter fails loudly") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Similarity.connectedComponents(empty).count() == 0)
-    // chain 1-2-3-4-5-6 needs >2 propagation rounds; maxIter=1 must
-    // throw rather than return non-converged labels
+    // chain 1-2-3-4-5-6 needs >1 round even with jumping; maxIter=1
+    // must throw rather than return non-converged labels
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("id_a", "id_b")
     intercept[IllegalStateException] {
       Similarity.connectedComponents(chain, maxIter = 1)
     }
+  }
+
+  test("connectedComponents: a 60-node chain converges within default maxIter via jumping") {
+    // diameter 59 >> 25: only the O(log d) pointer-jumping rounds
+    // bring this under the default budget
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Similarity.connectedComponents(chain)
+    try {
+      val got = cc.as[(Long, Long)].collect().toMap
+      assert(got.size == 60)
+      assert(got.values.forall(_ == 1L), "whole chain must collapse to cluster 1")
+    } finally cc.unpersist()
   }
 
   test("kmeansFit: separable clusters recover their grouping and feed ivfTopK") {
