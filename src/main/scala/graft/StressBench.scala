@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Dev tool: adversarial duplication-stress benchmark (SCALING.md).
+  * Unions the corpus N times with shifted ids so EVERY doc sits in an
+  * N-way identical-duplicate cluster — every LSH bucket is hot, the
+  * regime that used to be quadratic. Not part of the library surface.
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "16").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "65536")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val stressed = (0 until copies).map(i =>
+        d.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    val n = stressed.count()
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"""{"op":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+
+    timed("minhashDedup")(
+      Similarity.minhashDedup(stressed, "doc_id", "text").count())
+    val sig = Similarity.minhashSignatures(stressed, "doc_id", "text", 64, 5)
+    timed("lshCandidatePairs")(
+      Similarity.lshCandidatePairs(sig, "doc_id", 16, 4).count())
+    timed("jaccardPairs")(
+      Similarity.jaccardPairs(stressed, "doc_id", "text", 5, 0.5, 1000).count())
+    timed("lshVerifiedPairs")(
+      Similarity.lshVerifiedPairs(stressed, "doc_id", "text", 0.5, 64, 5, 16, 4, 1000).count())
+    timed("connectedComponents") {
+      val pairs = Similarity.lshCandidatePairs(sig, "doc_id", 16, 4)
+      val cc = Similarity.connectedComponents(pairs)
+      val rows = cc.count()
+      cc.unpersist()
+      rows
+    }
+    println(s"""{"corpus_rows":$n,"copies":$copies,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
