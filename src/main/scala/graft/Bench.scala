@@ -13,21 +13,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Size scan splits to the SF: the default openCost (4 MiB) keeps
-      // every small-SF parquet in ONE split, so scan-heavy expression
-      // pipelines (shingling, hashing) run on 1 of 32 cores. On a real
-      // cluster the same knobs are sized to the executor count.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.files.openCostInBytes", "65536")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = LocalSession.build("32")
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_HASH_MODE=xxhash64 benches the production hash mode
     // (Verify/oracle runs never set this — they stay on md5)

@@ -190,32 +190,35 @@ object EventQueries {
     // As-of join (event attribution): each purchase is matched to the
     // same user's most recent STRICTLY PRIOR click — the classic
     // point-in-time lookup Spark lacks as a built-in operator,
-    // expressed as one ignore-nulls last() over a rows-bounded window
-    // (no range join, no pair blow-up: one shuffle on user_id, linear
-    // scan per user). lat_us is exact integer micros.
+    // expressed as one ignore-nulls last() over a RANGE window on the
+    // integer-micros axis (no range join, no pair blow-up: one
+    // shuffle on user_id, linear scan per user). The range frame ends
+    // at ts−1µs, so a click at the purchase's exact timestamp is
+    // never attributed regardless of event-id order — strictly prior
+    // means strictly prior in TIME. lat_us is exact integer micros.
     QueryDef("events_asof_attribution",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        e.withColumn("prev_click_ts",
-            last(when(col("event_type") === "click", col("ts")),
+          .orderBy(col("ts_us"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        e.withColumn("prev_us",
+            last(when(col("event_type") === "click", col("ts_us")),
               ignoreNulls = true).over(w))
           .where(col("event_type") === "purchase" &&
-            col("prev_click_ts").isNotNull)
+            col("prev_us").isNotNull)
           .select(col("event_id"), col("user_id"),
-            (unix_micros(col("ts")) - unix_micros(col("prev_click_ts")))
-              .as("lat_us"))
+            (col("ts_us") - col("prev_us")).as("lat_us"))
           .orderBy(col("event_id"))
       },
       Some("""WITH a AS (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) AS ts_us,
-        |    epoch_us(last_value(CASE WHEN event_type = 'click' THEN ts END
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
         |        IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS prev_us
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us
         |  FROM events)
         |SELECT event_id, user_id, (ts_us - prev_us) AS lat_us
         |FROM a

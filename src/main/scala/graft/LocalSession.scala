@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One local-session builder for every dev entry point (Verify, Bench,
+  * StressBench, Explain) so the tuning knobs cannot drift between the
+  * tools whose numbers SCALING.md compares:
+  *  - SPARK_GRAFT_CPUS threads (callers pass their default);
+  *  - shuffle partitions sized to the thread count;
+  *  - small-SF scan splitting (default openCost keeps a sub-MB
+  *    parquet on ONE core through a whole expression pipeline);
+  *  - UTC session timezone (timestamp oracles);
+  *  - UI off.
+  */
+object LocalSession {
+  def build(defaultCpus: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "65536")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

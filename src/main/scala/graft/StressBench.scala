@@ -13,11 +13,7 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "16").toInt
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.files.openCostInBytes", "65536")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = LocalSession.build("32")
     spark.sparkContext.setLogLevel("WARN")
 
     val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")

@@ -40,22 +40,21 @@ object TextQueries {
         val d = Tables.load(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .withColumn("dl", size(col("w")))
-        // tf feeds both the score join and the df rollup; Spark has no
-        // DAG-level subtree reuse (the two consumers prune columns
-        // differently, so even exchange reuse misses) — persist the
-        // tiny term-frequency frame rather than re-explode the corpus.
-        // Application-layer persist: Verify/Bench clearCache per query.
         val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
           .where(col("t").isin(Bm25Terms: _*))
           .groupBy(col("doc_id"), col("dl"), col("t"))
           .agg(count(lit(1)).as("tf"))
-          .persist()
         val stats = d.agg(count(lit(1)).as("ndocs"), avg(col("dl")).as("avgdl"))
-        // df derives from tf — (doc, term) is unique there, so the
-        // row count per term IS the document frequency; saves a third
-        // corpus scan (the array_distinct explode) and its exchange
-        val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        val term = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
+        // df derives from tf in the SAME pipeline — (doc, term) is
+        // unique there, so a count window over the term partition IS
+        // the document frequency. One consumer of tf, so nothing is
+        // recomputed (Spark has no DAG-level subtree reuse) and no
+        // cache is needed; the corpus is scanned exactly twice (tf +
+        // the column-pruned stats aggregate).
+        val term = tf
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("t"))))
+          .crossJoin(broadcast(stats))
           .withColumn("idf",
             log((col("ndocs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
           .withColumn("s",
@@ -80,12 +79,15 @@ object TextQueries {
         |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
         |  WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
         |  GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |tfd AS (
+        |  SELECT doc_id, dl, tf,
+        |    COUNT(*) OVER (PARTITION BY t) AS df
+        |  FROM tf),
         |term AS (
-        |  SELECT tf.doc_id,
+        |  SELECT doc_id,
         |    round(CAST(ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${Bm25K1 + 1} /
         |      (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)) AS DECIMAL(18,8)), 6)::DECIMAL(18,6) AS s
-        |  FROM tf JOIN dfreq USING (t) CROSS JOIN stats)
+        |  FROM tfd CROSS JOIN stats)
         |SELECT doc_id,
         |  CAST(round(CAST(sum(s) AS DECIMAL(18,6)), 4) AS DOUBLE) AS bm25
         |FROM term GROUP BY doc_id

@@ -404,13 +404,17 @@ object Similarity {
     *
     * Cost per round: three hash-partition exchanges (neighbor join,
     * min-groupBy, jump join — all keyed on node/label). Each round's
-    * labels are localCheckpoint(eager)'d: the self-join references
+    * frames are re-rooted on their materialized RDD
+    * (createDataFrame(plan.rdd) + persist): the self-join references
     * the label plan twice per round, so without lineage truncation
     * the LOGICAL plan grows exponentially and analysis itself hangs
-    * long before any data moves (persist materializes data but keeps
-    * the full plan). Checkpoint storage for superseded rounds is
-    * reclaimed by the ContextCleaner; each round's frame is
-    * |nodes|×2 longs.
+    * long before any data moves (persist alone materializes data but
+    * keeps the full plan). RDD-rooting — unlike localCheckpoint —
+    * leaves each round a normal cached Dataset, so superseded rounds
+    * unpersist deterministically and peak storage stays 2×|nodes|
+    * (mins + next in flight) rather than accumulating until driver
+    * GC. mins is materialized once per round — both the jump join's
+    * sides read its cache, not a recomputed aggregation.
     *
     * Returns (doc_id, cluster) for every node appearing in `edges`,
     * cluster = the minimum doc id of the component. The returned
@@ -425,12 +429,17 @@ object Similarity {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    // truncate a plan at its materialized RDD: downstream plans see a
+    // flat scan, superseded rounds free their blocks via unpersist
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val und = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
       .union(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.groupBy(col("node"))
-      .agg(least(min(col("nbr")), col("node")).as("lbl"))
-      .localCheckpoint(true)
+    var labels = materialize(und.groupBy(col("node"))
+      .agg(least(min(col("nbr")), col("node")).as("lbl")))
     // sum() over zero rows is null: an empty edge frame is already
     // converged (empty result), not an NPE
     var lblSum = labels.agg(sum(col("lbl").cast("decimal(38,0)")))
@@ -440,32 +449,35 @@ object Similarity {
     while (!converged && it < maxIter) {
       val prop = und.as("u").join(labels.as("l"), col("u.nbr") === col("l.node"))
         .select(col("u.node").as("node"), col("l.lbl").as("lbl"))
-      val mins = labels.select(col("node"), col("lbl")).union(prop)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      val mins = materialize(labels.select(col("node"), col("lbl")).union(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
       // pointer jump: lbl(lbl(n)) ≤ lbl(n) because every label is a
       // node id and lbl(m) ≤ m — inner join is total over the domain.
-      // The right side is a renamed projection (fresh attribute ids),
-      // not a dataset alias: alias-qualified self-join resolution
-      // breaks on checkpointed plans (AttributeMap key-not-found).
+      // The right side is a renamed projection (fresh attribute ids)
+      // so the self-join needs no alias-qualified resolution.
       val jumpTo = mins.select(col("node").as("__jn"), col("lbl").as("__jl"))
-      val next = mins.join(jumpTo, col("lbl") === col("__jn"))
-        .select(col("node"), col("__jl").as("lbl"))
-        .localCheckpoint(true)
+      val next = materialize(mins.join(jumpTo, col("lbl") === col("__jn"))
+        .select(col("node"), col("__jl").as("lbl")))
       val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)")))
         .head.getDecimal(0)
+      mins.unpersist()
+      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(lblSum) == 0
       lblSum = nextSum
       it += 1
     }
     und.unpersist()
-    if (!converged)
+    if (!converged) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it")
+    }
     val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize so the caller-owned handle is the only cache
+    labels.unpersist()
     out
   }
 
@@ -485,14 +497,22 @@ object Similarity {
     * Returns (query_id, neighbor_id, cos, rank) for rows matching
     * `queryPred`, rank 1..topK by descending cosine.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
-              centroids: DataFrame, queryPred: Column, topK: Int): DataFrame = {
-    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
-      .withColumn("__nrm", vectorNorm(col("__emb")))
+  /** Max-cosine cell assignment — THE cell rule shared by ivfTopK
+    * (serving) and kmeansFit (training); one definition so rounding
+    * precision and tie-breaks cannot diverge between the two paths.
+    * `e` must carry (idCol, __emb, __nrm); `centroids` is (cid,
+    * cemb). Broadcast nested-loop over the C codebook rows, then one
+    * map-side-combined min-struct aggregation — O(rows × C)
+    * scan-local work, no shuffle before the per-id combine. Ranks by
+    * the ROUNDED cosine so engines agree at ulp boundaries.
+    * Returns (idCol, __emb, __nrm, cell).
+    */
+  private def assignCells(e: DataFrame, centroids: DataFrame,
+                          idCol: String): DataFrame = {
     val c = centroids.select(col("cid"),
         col("cemb").cast("array<double>").as("__cemb"))
       .withColumn("__cnrm", vectorNorm(col("__cemb")))
-    val cells = e.join(broadcast(c), lit(true))
+    e.join(broadcast(c), lit(true))
       .select(col(idCol), col("__emb"), col("__nrm"),
         struct(
           (-round(dotProduct(col("__emb"), col("__cemb")) /
@@ -501,6 +521,13 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(first(col("__emb")).as("__emb"), first(col("__nrm")).as("__nrm"),
         min(col("__c")).getField("cid").as("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              centroids: DataFrame, queryPred: Column, topK: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    val cells = assignCells(e, centroids, idCol)
     val q = cells.where(queryPred)
       .select(col(idCol).as("query_id"), col("__emb").as("__qemb"),
         col("__nrm").as("__qnrm"), col("cell").as("qcell"))
@@ -535,27 +562,30 @@ object Similarity {
   def kmeansFit(emb: DataFrame, idCol: String, embCol: String,
                 k: Int, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = emb.sparkSession
+    // per-round lineage truncation, as in connectedComponents: cents
+    // is referenced twice per round (assignment + empty-cell join),
+    // so an unmaterialized plan doubles every iteration and analysis
+    // hangs long before the spec's iters=5 would show it
+    def materialize(df: DataFrame): DataFrame = {
+      val m = spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      m
+    }
     val e = emb
       .select(col(idCol).as("__id"), col(embCol).cast("array<double>").as("__emb"))
       .where(size(col("__emb")) > 0)
       .withColumn("__nrm", vectorNorm(col("__emb")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val w = Window.orderBy(col("__h"), col("__id"))
-    var cents = e.withColumn("__h", detHash(DetHashPrime, col("__id")))
-      .orderBy(col("__h"), col("__id")).limit(k)
-      .select((row_number().over(w) - 1).cast("long").as("cid"),
-        col("__emb").as("cemb"))
+    var cents = materialize(
+      e.withColumn("__h", detHash(DetHashPrime, col("__id")))
+        .orderBy(col("__h"), col("__id")).limit(k)
+        .select((row_number().over(w) - 1).cast("long").as("cid"),
+          col("__emb").as("cemb")))
     for (_ <- 1 to iters) {
-      val c = cents.withColumn("cnrm", vectorNorm(col("cemb")))
-      val assigned = e.join(broadcast(c), lit(true))
-        .select(col("__id"), col("__emb"),
-          struct(
-            (-round(dotProduct(col("__emb"), col("cemb")) /
-              (col("__nrm") * col("cnrm")), 6)).as("negcos"),
-            col("cid").as("cid")).as("__c"))
-        .groupBy(col("__id"))
-        .agg(first(col("__emb")).as("__emb"),
-          min(col("__c")).getField("cid").as("cell"))
+      val assigned = assignCells(e, cents, "__id")
       val means = assigned
         .select(col("cell"), posexplode(col("__emb")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
@@ -564,14 +594,15 @@ object Similarity {
         .select(col("cell").as("cid"),
           transform(col("pm"), p => p.getField("m")).as("cemb"))
       // empty cells keep their previous centroid
-      cents = cents.as("old").join(means.as("new"), Seq("cid"), "left")
-        .select(col("cid"),
-          coalesce(col("new.cemb"), col("old.cemb")).as("cemb"))
+      val next = materialize(
+        cents.as("old").join(means.as("new"), Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("new.cemb"), col("old.cemb")).as("cemb")))
+      cents.unpersist()
+      cents = next
     }
-    val out = cents.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the O(iters)-deep lineage once
     e.unpersist()
-    out
+    cents
   }
 
   /** Load an IVF codebook from a parquet or CSV table with columns
