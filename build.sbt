@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench prints its JSON record as the LAST stdout line; the driver's
+// capture keeps only the final 2000 chars, so sbt's "[success] Total
+// time" epilogue would push the record out of the window.
+showSuccess := false
+// Forked run output goes straight to stdout (no "[info] " prefix on
+// the bench JSON line, no "[error]"-tagged Spark INFO logs).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
