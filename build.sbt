@@ -15,6 +15,7 @@ run / fork := true
 // capture keeps only the final 2000 chars, so sbt's "[success] Total
 // time" epilogue would push the record out of the window.
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Forked run output goes straight to stdout (no "[info] " prefix on
 // the bench JSON line, no "[error]"-tagged Spark INFO logs).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -18,7 +18,8 @@ object Queries {
     */
   lazy val all: Seq[QueryDef] = {
     val defs =
-      RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      RelationalQueries.defs ++ StarQueries.defs ++
+        TextQueries.defs ++ DedupQueries.defs ++
         SimilarityQueries.defs ++ PipelineQueries.defs ++ JudgeQueries.defs ++
         EventQueries.defs ++ AdvancedQueries.defs
     val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys

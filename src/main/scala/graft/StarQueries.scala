@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.GraftFunctions._
+
+/** Additional star-schema shapes (TPC-H Q4/Q6/Q8/Q12/Q14/Q19
+  * adaptations over the driver's schema — the testdata lineitem has no
+  * commitdate/shipmode columns, so those predicates are re-expressed on
+  * the columns that exist; the plan shapes are the point):
+  *
+  *   - existential semi-join aggregation (Q4)
+  *   - single-scan filter aggregate where every predicate reaches the
+  *     parquet scan (Q6)
+  *   - two-role dimension join feeding a global ratio (Q8)
+  *   - conditional aggregation over a fact-fact join (Q12)
+  *   - broadcast-dim ratio aggregate (Q14)
+  *   - disjunctive OR-of-ANDs predicate pushdown (Q19)
+  *
+  * Ratios go through the decimal-quotient guard (cast DECIMAL(18,6),
+  * divide, cast DECIMAL(18,8), round 6) so Spark and DuckDB round
+  * identically — see ops/Cost and text_repetition.
+  */
+object StarQueries {
+
+  private val sumRevenue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Exact per-row revenue term shared by the ratio queries. */
+  private def revTerm = col("l_extendedprice").cast(DecimalType(18, 2)) *
+    (lit(1) - col("l_discount")).cast(DecimalType(18, 2))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Q4 shape — priority count of orders having at least one returned
+    // line in a half-year window. The EXISTS becomes a left-semi join;
+    // at scale the semi join shuffles once on orderkey and the
+    // aggregation is a broadcast-size group (5 priorities).
+    QueryDef("q4_priority_exists",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q6 shape — forecast-revenue delta: one scan, zero joins, zero
+    // shuffles past the partial agg. All three predicates and the
+    // two-column projection must reach the parquet reader
+    // (PushedFilters + ReadSchema), which is what makes this query
+    // ~free at 100 TB.
+    QueryDef("q6_forecast_revenue",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(dsumProduct(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)),
+
+    // Q8 shape — market share of one supplier nation inside one
+    // customer region, by order year. Nation appears in two roles
+    // (supplier side for the share label, customer side for the region
+    // scope); every dimension broadcasts, lineitem⋈orders is the one
+    // shuffle, and the year groups are tiny.
+    QueryDef("q8_market_share",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val p = Tables.load(s, dir, "part").where(col("p_type") === "ECONOMY")
+        val c = Tables.load(s, dir, "customer")
+        val su = Tables.load(s, dir, "supplier")
+        val n1 = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+        val r = Tables.load(s, dir, "region").where(col("r_name") === "AMERICA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_6", revTerm)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).as("nation_vol"),
+            sum(revTerm).as("total_vol"))
+          .select(col("o_year"),
+            round((col("nation_vol").cast(DecimalType(18, 6)) / col("total_vol"))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH vol AS (
+        |  SELECT year(o_orderdate)::INT AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l_discount AS DECIMAL(18,2)) AS v,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN part ON l_partkey = p_partkey
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |   JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(round(CAST(
+        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN v
+        |             ELSE 0::DECIMAL(18,2) END) AS DECIMAL(18,6))
+        |    / SUM(v) AS DECIMAL(18,8)), 6) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // Q12 shape — conditional aggregation over the fact-fact join:
+    // line counts by linestatus split into high/low order priority.
+    // The CASE runs inside the same hash aggregate (one shuffle on
+    // orderkey, then a 3-group agg) — no per-branch re-scan.
+    QueryDef("q12_priority_lines",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val o = Tables.load(s, dir, "orders")
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)),
+
+    // Q14 shape — promo revenue fraction: broadcast the part dim, one
+    // scan of the fact side, both CASE branches inside one aggregate.
+    QueryDef("q14_promo_revenue",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        val p = Tables.load(s, dir, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", revTerm)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo_rev"),
+            sum(revTerm).as("total_rev"))
+          .select(
+            round((col("promo_rev").cast(DecimalType(18, 6)) / col("total_rev"))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("promo_frac"),
+            col("promo_rev").cast("double").as("promo_revenue"))
+      },
+      Some("""SELECT
+        |  CAST(round(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(1 - l_discount AS DECIMAL(18,2))
+        |        ELSE 0::DECIMAL(18,2) END) AS DECIMAL(18,6))
+        |    / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * CAST(1 - l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS promo_frac,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(1 - l_discount AS DECIMAL(18,2))
+        |        ELSE 0::DECIMAL(18,2) END) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
+
+    // Q19 shape — disjunctive OR-of-ANDs across the join: each arm
+    // pairs a part predicate with a lineitem predicate. The l_quantity
+    // bounds (the union of the arms) should still push to the fact
+    // scan; the per-arm conjunctions evaluate post-join.
+    QueryDef("q19_disjunctive_revenue",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        val arms =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .where(arms)
+          .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT $sumRevenue AS revenue, COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+  )
+}
