@@ -195,6 +195,37 @@ object SimilarityQueries {
         |    ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
-        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // Per-label embedding centroids — the building block behind class
+    // prototypes, IVF codebook refinement, and drift monitoring. One
+    // posexplode + one (label, dim) hash aggregate: the shuffle
+    // carries labels×dims rows, not the corpus. Sums go through
+    // DECIMAL(18,8) so the distributed mean is order-independent
+    // (floats widened to double first — exact).
+    QueryDef("embedding_centroids",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+        e.select(col("label"), posexplode(col("emb")).as(Seq("dim", "val")))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("val").cast(DecimalType(18, 8))).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            round((col("s").cast(DecimalType(18, 8)) / col("n"))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("centroid"),
+            col("n"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""SELECT label, dim::INT AS dim,
+        |  CAST(round(CAST(CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DECIMAL(18,8))
+        |    / COUNT(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS centroid,
+        |  COUNT(*) AS n
+        |FROM (SELECT label, unnest(range(len(embedding))) AS dim,
+        |        unnest(embedding::DOUBLE[]) AS val
+        |      FROM embeddings)
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin))
   )
 }

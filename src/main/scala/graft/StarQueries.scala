@@ -229,6 +229,28 @@ object StarQueries {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
-        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Skew-resistant salted join (ops/Relational.saltedJoin): events'
+    // user_id is power-law, customer is join-only (too big to
+    // broadcast at 100 TB). The salt spreads each hot user over 8
+    // reducers; the aggregate proves the result is exactly the plain
+    // inner join, which is also what the oracle runs.
+    QueryDef("skew_join_salted",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.ops.Relational.saltedJoin(ev, c, "user_id", "c_custkey",
+            salts = 8, saltBy = Seq(col("event_id")))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin))
   )
 }

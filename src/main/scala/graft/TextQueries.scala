@@ -375,6 +375,48 @@ object TextQueries {
         |SELECT doc_id,
         |  CAST(round(CAST((nw - ndw)::DECIMAL(18,6) / nw AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_word_frac,
         |  CAST(round(CAST(m::DECIMAL(18,6) / tot AS DECIMAL(18,8)), 6) AS DOUBLE) AS top_bigram_frac
-        |FROM agg ORDER BY doc_id""".stripMargin))
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Vocabulary builder — the first step of any tokenizer/BPE
+    // training run: global token counts, deterministic top-k. One
+    // explode + one hash aggregate (map-side partials make the
+    // shuffle |vocab|-sized, not corpus-sized); the final top-k is
+    // TakeOrderedAndProject, not a global sort.
+    QueryDef("vocab_topk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("token"))
+          .limit(20)
+      },
+      Some("""SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 20""".stripMargin)),
+
+    // PII-style redaction: mask a term list, count masked spans per
+    // document. Pure scan-time regex (one pass, codegen'd,
+    // partitioning-independent) — the shape of every large-corpus
+    // scrubbing pass. The term list stands in for the usual
+    // email/phone/SSN patterns (this corpus has no digits).
+    QueryDef("text_redact",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pat = "\\b(key|hash|table|index)\\b"
+        d.select(col("doc_id"),
+            regexp_replace(col("text"), pat, "<redacted>").as("redacted"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .as("n_redactions"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        |  regexp_replace(text, '\b(key|hash|table|index)\b', '<redacted>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '\b(key|hash|table|index)\b'))::INT AS n_redactions
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin))
   )
 }

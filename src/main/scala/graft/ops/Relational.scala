@@ -179,4 +179,31 @@ object Relational {
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(table)
+
+  /** Skew-resistant equi-join (the join-side twin of saltedAgg): the
+    * skewed left side tags each row with a deterministic salt in
+    * [0, salts), the right side is replicated once per salt value, and
+    * the join key becomes (key, salt) — so a hot left key spreads over
+    * `salts` reducers instead of hammering one. The result is exactly
+    * the plain inner join; only the shuffle layout changes.
+    *
+    * Use when the right side is too large to broadcast AND the left
+    * key distribution is power-law (AQE's skew-join split handles
+    * moderate skew on its own; salting is for the pathological single
+    * hot key whose one partition would otherwise exceed executor
+    * memory). Cost: the right side shuffles `salts`× its size —
+    * size salts to the hot key's overload factor, not higher.
+    *
+    * saltBy should be left-side columns that vary per row (ideally a
+    * unique id): they drive only the salt *distribution*, never
+    * correctness.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                 rightKey: String, salts: Int, saltBy: Seq[Column]): DataFrame = {
+    val l = left.withColumn("__salt", detHash(salts.toLong, saltBy: _*))
+    val r = right.withColumn("__salt_r",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l.join(r, col(leftKey) === col(rightKey) && col("__salt") === col("__salt_r"))
+      .drop("__salt", "__salt_r")
+  }
 }

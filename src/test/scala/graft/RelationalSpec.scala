@@ -60,4 +60,22 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.scopeProjectValid(d, Seq("c1", "c2"))
     assert(out.count() == 2)
   }
+
+  test("saltedJoin equals the plain inner join, with a skewed key") {
+    // one pathologically hot key (900 of 1000 rows) + misses on both sides
+    val left = ((1 to 900).map(i => (7L, i)) ++ (1 to 100).map(i => (i.toLong % 5, 1000 + i)))
+      .toDF("k", "row_id")
+    val right = (0L to 10L).map(k => (k, s"dim_$k")).toDF("rk", "payload")
+    val salted = Relational.saltedJoin(left, right, "k", "rk",
+      salts = 8, saltBy = Seq(col("row_id")))
+    val plain = left.join(right, col("k") === col("rk"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "row_id", "rk", "payload").collect().toSet ==
+      plain.select("k", "row_id", "rk", "payload").collect().toSet)
+    // salts actually spread the hot key: >1 distinct salt partition used
+    val spread = left.where(col("k") === 7)
+      .select(graft.functions.GraftFunctions.detHash(8L, col("row_id")).as("s"))
+      .distinct().count()
+    assert(spread > 1, "hot key not spread across salts")
+  }
 }
