@@ -346,6 +346,33 @@ object DedupQueries {
         |FROM e a JOIN e b
         |  ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Incremental-ingest exact path: new snapshot minus the known
+    // corpus by content fingerprint (the exact-hash twin of
+    // minhashDedupIncremental's near-dup path). One anti join on the
+    // fingerprint — the known side ships only its fingerprint column,
+    // so at 100 TB the shuffle carries hashes, not documents. The
+    // "known" snapshot here is simulated as doc_id % 3 != 0.
+    QueryDef("snapshot_diff_new_docs",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val known = d.where(col("doc_id") % 3 =!= 0)
+          .select(fingerprint(col("text")).as("known_fp"))
+        d.withColumn("fp", fingerprint(col("text")))
+          .join(known, col("fp") === col("known_fp"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_new"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |known AS (SELECT fp FROM fp WHERE doc_id % 3 <> 0)
+        |SELECT lang, COUNT(*) AS n_new
+        |FROM fp
+        |WHERE NOT EXISTS (SELECT 1 FROM known WHERE known.fp = fp.fp)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin))
   )
 }

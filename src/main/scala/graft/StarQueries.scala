@@ -251,6 +251,34 @@ object StarQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin))
+        |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Z-order layout key (ops/Layout): Morton-interleave customer ×
+    // order-day so a table written range-partitioned on zkey prunes
+    // parquet files on BOTH predicates. The key itself is a pure
+    // codegen projection — this query gates its bit math against the
+    // oracle; writeZordered's layout effect is spec-asserted
+    // (LayoutSpec).
+    QueryDef("zorder_layout",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        // parquet loads the date as TIMESTAMP_NTZ; session tz is UTC so
+        // the ltz cast is identity and matches DuckDB's epoch_us
+        val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        val zk = graft.ops.Layout.zorderKey2(
+          col("o_custkey").bitwiseAND(lit(65535L)),
+          day.bitwiseAND(lit(65535L)), 16)
+        o.select(col("o_orderkey"), col("o_custkey"),
+            day.as("day"), zk.as("zkey"))
+          .orderBy(col("zkey"), col("o_orderkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT o_orderkey, o_custkey,
+        |  (epoch_us(o_orderdate) // 86400000000) AS day,
+        |  ${graft.ops.Layout.zorderKey2Sql("o_custkey & 65535",
+               "(epoch_us(o_orderdate) // 86400000000) & 65535", 16)} AS zkey
+        |FROM orders
+        |ORDER BY zkey, o_orderkey
+        |LIMIT 20""".stripMargin))
   )
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering keys.
+  *
+  * Parquet scan pruning is driven by per-file (and per-row-group)
+  * min/max statistics, so a table sorted on one column prunes only
+  * that column's predicates. Interleaving the bits of two dimensions
+  * into a Z-order (Morton) key and range-partitioning + sorting on it
+  * keeps BOTH dimensions locally clustered — point/range predicates on
+  * either column skip most files. This is the standard layout lever
+  * for scan-heavy corpora queried along two axes (e.g. customer ×
+  * date): at 100 TB the win is file-count, not CPU.
+  *
+  * The key is a pure scan-time expression (shift/and/or — whole-stage
+  * codegen), so computing it costs one projection; the layout cost is
+  * the one range-partition exchange at write time.
+  */
+object Layout {
+
+  /** Morton/Z-order key of two non-negative int dimensions, `bits`
+    * bits each (bits ≤ 31; the result uses 2·bits bits of a long).
+    * Dimension values are masked to `bits` bits — callers normalize
+    * (bucket/quantize) each dimension into that range first.
+    * a occupies even bit positions, b odd.
+    */
+  def zorderKey2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val aa = a.cast("long")
+    val bb = b.cast("long")
+    (0 until bits).map { k =>
+      val abit = shiftleft(shiftrightunsigned(aa, k).bitwiseAND(lit(1L)), 2 * k)
+      val bbit = shiftleft(shiftrightunsigned(bb, k).bitwiseAND(lit(1L)), 2 * k + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB mirror of zorderKey2 for oracle SQL (same shift/and/or
+    * arithmetic, so both engines compute bit-identical keys).
+    */
+  def zorderKey2Sql(a: String, b: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31)
+    (0 until bits).map { k =>
+      s"(((($a)::BIGINT >> $k) & 1) << ${2 * k}) | (((($b)::BIGINT >> $k) & 1) << ${2 * k + 1})"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Write `df` clustered on the Z-order of two dimensions: range
+    * partition on the key (contiguous key ranges per output file),
+    * sort within partitions, drop the helper column. `files` ≈
+    * target size / 128 MB at scale.
+    */
+  def writeZordered(df: DataFrame, a: Column, b: Column, bits: Int,
+                    files: Int, path: String): Unit =
+    df.withColumn("__zkey", zorderKey2(a, b, bits))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+}

@@ -36,6 +36,16 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select((col("window.start").as("win_start") +: keyCols.map(col) :+ col("n")): _*)
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dimension snapshot (re-read per batch if the source is a
+    * file table, so slowly-changing dims pick up updates). At scale
+    * the dim side is broadcast per batch when small, shuffle-joined
+    * otherwise — same planner rules as batch; no state store involved.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(dim, col(streamKey) === col(dimKey), "left_outer")
+
   // ---- keyed session state (flatMapGroupsWithState) ----
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -38,6 +38,22 @@ class StreamingSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("dk", "label")
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streams.enrichStream(
+        mem.toDF().toDF("ts", "k"), dim, "k", "dk")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    mem.addData((ts(0), "a"), (ts(1), "c"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT k, label FROM enr")
+      .as[(String, Option[String])].collect().toSet
+    q.stop()
+    // matched rows get the dim label; misses survive with null (left outer)
+    assert(rows == Set(("a", Some("alpha")), ("c", None)))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
