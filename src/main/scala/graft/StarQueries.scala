@@ -98,10 +98,13 @@ object StarQueries {
         val n2 = Tables.load(s, dir, "nation")
           .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
         val r = Tables.load(s, dir, "region").where(col("r_name") === "AMERICA")
+        // only the bounded dims (nation 25, region 5) carry a broadcast
+        // hint; part/supplier/customer grow with the corpus, so AQE
+        // decides for them (it still broadcasts at test SF)
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
           .join(broadcast(r), col("c_rk") === col("r_regionkey"))
@@ -175,7 +178,8 @@ object StarQueries {
           .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         val p = Tables.load(s, dir, "part")
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // part grows with the corpus — no forced broadcast (AQE decides)
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "PROMO", revTerm)
               .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo_rev"),
@@ -216,7 +220,8 @@ object StarQueries {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
             col("l_quantity").between(20, 30))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // part grows with the corpus — no forced broadcast (AQE decides)
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .where(arms)
           .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
             .as("revenue"),

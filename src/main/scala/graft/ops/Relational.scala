@@ -203,7 +203,8 @@ object Relational {
     val l = left.withColumn("__salt", detHash(salts.toLong, saltBy: _*))
     val r = right.withColumn("__salt_r",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    l.join(r, col(leftKey) === col(rightKey) && col("__salt") === col("__salt_r"))
+    // frame-qualified refs: leftKey and rightKey may share a name
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt_r"))
       .drop("__salt", "__salt_r")
   }
 }

@@ -77,5 +77,10 @@ class RelationalSpec extends SparkSpec {
       .select(graft.functions.GraftFunctions.detHash(8L, col("row_id")).as("s"))
       .distinct().count()
     assert(spread > 1, "hot key not spread across salts")
+    // same key name on both sides must not be ambiguous
+    val rightSame = right.withColumnRenamed("rk", "k")
+    val sameName = Relational.saltedJoin(left, rightSame, "k", "k",
+      salts = 4, saltBy = Seq(col("row_id")))
+    assert(sameName.count() == plain.count())
   }
 }
