@@ -36,6 +36,14 @@ object DedupQueries {
   private val MaxCosineBlock = 50
   private val CosineSubPlanes = 4
 
+  /** Edit-distance blocking: compare the first EditHeadChars chars of
+    * docs whose (lang, n_chars/EditBandChars) bands touch; keep pairs
+    * within EditMaxDist edits. Head cap bounds the O(n²) DP per pair.
+    */
+  private val EditHeadChars = 256
+  private val EditBandChars = 64
+  private val EditMaxDist = 40
+
   /** DuckDB mirror of md5Long. */
   private def md5LongSql(x: String) = s"('0x' || substring(md5($x), 1, 15))::BIGINT"
 
@@ -233,6 +241,85 @@ object DedupQueries {
         |WHERE round(common::DOUBLE / (ca.n + cb.n - common), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // J1-asymmetric — shingle containment C = common/min(na, nb): the
+    // quote/subset detector. A short doc embedded verbatim in a long
+    // one scores containment ≈ 1 while its Jaccard stays below any
+    // dedup threshold, so this catches the boilerplate-inclusion class
+    // symmetric Jaccard misses. Same inverted-index + df-cap shape as
+    // dedup_ngram_jaccard — one extra column in the final projection,
+    // zero extra shuffles.
+    QueryDef("dedup_containment",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.containmentPairs(d, "doc_id", "text", ShingleN, 0.6, MaxShingleDf)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, $shinglesSql AS ss FROM w),
+        |ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        |dex AS (SELECT DISTINCT doc_id, ${md5LongSql("s")} AS h FROM ex),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        |ok AS (SELECT h FROM dex GROUP BY h
+        |       HAVING count(*) BETWEEN 2 AND $MaxShingleDf),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM dex a JOIN dex b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN ok ON ok.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |       round(common::DOUBLE / least(ca.n, cb.n), 6) AS containment
+        |FROM p JOIN cnt ca ON ca.doc_id = p.id_a
+        |       JOIN cnt cb ON cb.doc_id = p.id_b
+        |WHERE round(common::DOUBLE / least(ca.n, cb.n), 6) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Cluster curation: one representative per dup cluster — the doc
+    // with the most content (max n_chars, ties to the lowest id). This
+    // is the "keep the best copy" step a training-data pipeline runs
+    // after clustering; rn=1 selection and the member count come from
+    // the same window shuffle on cluster, so it adds ONE exchange to
+    // the connected-components output.
+    QueryDef("cluster_representatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text", NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands, Rows, MaxBucketSize)
+        val members = Similarity.connectedComponents(pairs)
+          .join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        members
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster"))))
+          .where(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("rep_id"), col("n_members"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |m AS (
+        |  SELECT cc.doc_id, cc.cluster, d.n_chars
+        |  FROM cc JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT cluster, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM m)
+        |SELECT cluster, doc_id AS rep_id, n_members::BIGINT AS n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
     // J1-pipeline — LSH recall + exact-Jaccard precision: the
     // production near-dup shape (only LSH candidates pay the exact
     // set intersection).
@@ -304,6 +391,55 @@ object DedupQueries {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, n_shared FROM p
         |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Edit-distance near-dup with length-band blocking: pairs whose
+    // 256-char heads are within EditMaxDist Levenshtein edits. Blocking
+    // = (lang, n_chars/64 band), each doc voting for its own band and
+    // the next so boundary-straddling pairs still meet; the per-block
+    // MaxBucketSize cap bounds the quadratic blow-up (real corpora
+    // cluster hard by length — production blocking adds a signature
+    // prefix to the key, same cap discipline). The O(head²) DP runs
+    // only on surviving capped pairs, never on the corpus.
+    QueryDef("dedup_edit_distance",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            substring(col("text"), 1, EditHeadChars).as("__head"),
+            floor(col("n_chars") / EditBandChars).cast("long").as("__b"))
+        val bands = d.select(col("doc_id"), col("lang"),
+          explode(array(col("__b"), col("__b") + 1)).as("__band"))
+        val pairs = bands.groupBy(col("lang"), col("__band"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("__ids"))
+          .where(size(col("__ids")).between(2, MaxBucketSize))
+          .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
+          .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+          .distinct()
+        val heads = d.select(col("doc_id"), col("__head"))
+        pairs
+          .join(heads.select(col("doc_id").as("id_a"), col("__head").as("__ha")), "id_a")
+          .join(heads.select(col("doc_id").as("id_b"), col("__head").as("__hb")), "id_b")
+          .withColumn("lev", levenshtein(col("__ha"), col("__hb")).cast("long"))
+          .where(col("lev") <= EditMaxDist)
+          .select(col("id_a"), col("id_b"), col("lev"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, lang, substring(text, 1, $EditHeadChars) AS head,
+        |    n_chars // $EditBandChars AS b
+        |  FROM documents),
+        |bd AS (SELECT doc_id, lang, unnest([b, b + 1]) AS band FROM d),
+        |ok AS (SELECT lang, band FROM bd GROUP BY 1, 2
+        |       HAVING count(*) BETWEEN 2 AND $MaxBucketSize),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bd a JOIN bd b2
+        |    ON a.lang = b2.lang AND a.band = b2.band AND a.doc_id < b2.doc_id
+        |  JOIN ok ON ok.lang = a.lang AND ok.band = a.band)
+        |SELECT p.id_a, p.id_b, levenshtein(da.head, db.head)::BIGINT AS lev
+        |FROM p JOIN d da ON da.doc_id = p.id_a
+        |       JOIN d db ON db.doc_id = p.id_b
+        |WHERE levenshtein(da.head, db.head) <= $EditMaxDist
+        |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash — 16-bit signature per doc (near-dup = small hamming
     // distance; the signature is the verifiable deterministic core).

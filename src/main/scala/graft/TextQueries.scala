@@ -26,6 +26,15 @@ object TextQueries {
   private val Bm25B = 0.75
   private val Bm25Terms = Seq("spark", "join", "scan", "window", "table")
 
+  /** Exact per-stratum sample size for sample_stratified_exact. */
+  private val StratifiedK = 50
+
+  /** Unigram-LM quality filter: model size and the out-of-vocab
+    * negative-log-likelihood floor (nats).
+    */
+  private val VocabK = 10000
+  private val OovNll = 20.0
+
   def defs: Seq[QueryDef] = Seq(
 
     // Keyword search scoring: BM25 top-20 over the documents table for
@@ -293,6 +302,52 @@ object TextQueries {
         |       THEN 250 ELSE 750 END
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Exact stratified sample: exactly K docs per language, selected
+    // by detHash order (doc_id tiebreak) — the reproducible "same K
+    // rows regardless of partitioning or cluster size" contract that
+    // rand()-based sampling can't give. One window shuffle on lang;
+    // at 100 TB the per-stratum sort is a spillable sort-based
+    // exchange, the same cost class as any global orderBy. K rows per
+    // stratum come out, not a fraction — the shape eval sets need.
+    QueryDef("sample_stratified_exact",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(detHash(DetHashPrime, col("doc_id")), col("doc_id"))
+        d.withColumn("rn", row_number().over(w).cast("int"))
+          .where(col("rn") <= StratifiedK)
+          .select(col("lang"), col("rn"), col("doc_id"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(s"""SELECT lang, rn::INT AS rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ${detHashSql(DetHashPrime, Seq("doc_id"))}, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= $StratifiedK ORDER BY lang, rn""".stripMargin)),
+
+    // Quality-weighted (importance) sample: acceptance probability
+    // grows with document length, capped at 1 — longer docs are kept
+    // preferentially, decided by the same detHash coin as mix_sample
+    // so the draw is deterministic and partitioning-independent. All
+    // arithmetic is integer (weight·1000 = min(n_words,200)·5), so
+    // both engines compare identical values. Pure scan → aggregate:
+    // no shuffle before the per-source rollup.
+    QueryDef("sample_weighted_quality",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val nw = size(split(col("text"), " "))
+        val acc = detHash(1000L, col("doc_id")) < least(nw, lit(200)) * 5
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(acc, lit(1))).as("n_sampled"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (${detHashSql(1000L, Seq("doc_id"))} <
+        |    least(len(string_split(text, ' ')), 200) * 5) AS n_sampled
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Pretraining cleanup pass: URLs/e-mails dropped, control chars
     // stripped, whitespace squeezed. Output compared via md5 + length
     // so the whole cleaned text is hash-gated without shipping it.
@@ -376,6 +431,55 @@ object TextQueries {
         |  CAST(round(CAST((nw - ndw)::DECIMAL(18,6) / nw AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_word_frac,
         |  CAST(round(CAST(m::DECIMAL(18,6) / tot AS DECIMAL(18,8)), 6) AS DOUBLE) AS top_bigram_frac
         |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Unigram LM perplexity proxy (the CCNet-style quality filter):
+    // score each doc by the mean negative log-likelihood of its tokens
+    // under the corpus's own top-K unigram model; out-of-vocab tokens
+    // pay a fixed floor. Shape at 100 TB: the model is a top-K
+    // TakeOrderedAndProject over the token counts (distributed, no
+    // global window) and is BROADCAST back, so the corpus-side scoring
+    // join never shuffles the corpus — the only wide exchange is the
+    // per-doc rollup on doc_id. Per-token nll rounds to 6dp and sums
+    // as DECIMAL so the mean is addition-order-independent; the
+    // corpus is scanned three times (counts, total, scoring), each
+    // column-pruned to (doc_id, text).
+    QueryDef("text_unigram_logprob",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+        val words = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("t"))
+        val vocab = words.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        val topv = vocab.orderBy(col("cnt").desc, col("t")).limit(VocabK)
+        val total = d.agg(
+          sum(size(split(col("text"), " "))).as("tot"))
+        val scored = words
+          .join(broadcast(topv), Seq("t"), "left")
+          .crossJoin(broadcast(total))
+          .withColumn("nlp", round(
+            coalesce(-log(col("cnt").cast("double") / col("tot")), lit(OovNll)), 6))
+        scored.groupBy(col("doc_id"))
+          .agg(
+            round((sum(col("nlp").cast(DecimalType(18, 8))) / count(lit(1)))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("mean_nll"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS cnt FROM w GROUP BY t),
+        |topv AS (SELECT t, cnt FROM v ORDER BY cnt DESC, t LIMIT $VocabK),
+        |tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT AS tot
+        |        FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(coalesce(-ln(cnt::DOUBLE / tot), $OovNll), 6) AS nlp
+        |  FROM w LEFT JOIN topv USING (t), tot)
+        |SELECT doc_id,
+        |  CAST(round(CAST(sum(nlp::DECIMAL(18,8)) / count(*) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mean_nll,
+        |  count(*) AS n_tokens
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Vocabulary builder — the first step of any tokenizer/BPE
     // training run: global token counts, deterministic top-k. One

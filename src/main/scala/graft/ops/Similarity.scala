@@ -253,9 +253,13 @@ object Similarity {
       distinct = true, xx = hashModeIsXx))
   }
 
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int, threshold: Double,
-                   maxShingleDf: Int = 1000): DataFrame = {
+  /** Shared inverted-index pair-support pipeline for the exact
+    * set-overlap metrics: distinct shingle-hash sets per doc, df-capped
+    * group-then-pair, support counts joined to per-doc set sizes.
+    * Columns: id_a, id_b, __common, __na, __nb.
+    */
+  private def pairSupport(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, maxShingleDf: Int): DataFrame = {
     val exh = df
       .select(col(idCol), explode(shingleHashes(col(textCol), shingleN)).as("__h"))
     val cnts = exh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
@@ -268,12 +272,33 @@ object Similarity {
     pairs
       .join(cnts.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
       .join(cnts.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double,
+                   maxShingleDf: Int = 1000): DataFrame =
+    pairSupport(df, idCol, textCol, shingleN, maxShingleDf)
       .withColumn("jaccard", round(
         col("__common").cast("double") /
           (col("__na") + col("__nb") - col("__common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+
+  /** Asymmetric containment pairs: C = |A∩B| / min(|A|, |B|), the
+    * quote/subset detector — a short doc fully contained in a long one
+    * has containment ≈ 1 while its Jaccard ≈ |A|/|B| stays far below
+    * any dedup threshold. Same inverted-index pipeline, skew guard, and
+    * scale shape as [[jaccardPairs]] (reference near-dup family:
+    * etl_slimpajama_dc_proc.py:146-158 is the symmetric variant).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, threshold: Double,
+                       maxShingleDf: Int = 1000): DataFrame =
+    pairSupport(df, idCol, textCol, shingleN, maxShingleDf)
+      .withColumn("containment", round(
+        col("__common").cast("double") / least(col("__na"), col("__nb")), 6))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
 
   /** 16-bit SimHash of whitespace tokens, as a single pure expression:
     * hash each token once, fold ±1 votes per bit position with an

@@ -54,6 +54,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(j - 0.8) < 1e-6)
   }
 
+  test("containmentPairs flags a subset doc that jaccard misses") {
+    // doc 1 = doc 0's first half: containment ≈ 1, jaccard well below
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, long), (1L, short)).toDF("doc_id", "text")
+    val cont = Similarity.containmentPairs(d, "doc_id", "text", 5, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.length == 1 && cont.head._1 == 0L && cont.head._2 == 1L)
+    assert(math.abs(cont.head._3 - 1.0) < 1e-6) // every short shingle is in long
+    val jac = Similarity.jaccardPairs(d, "doc_id", "text", 5, 0.9)
+    assert(jac.count() == 0) // 16/36 shared — symmetric metric misses it
+  }
+
   test("simhash: near-dups land within small hamming distance, far text does not") {
     val sh = docs.select(col("doc_id"), Similarity.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
