@@ -509,6 +509,37 @@ object DedupQueries {
         |FROM fp
         |WHERE NOT EXISTS (SELECT 1 FROM known WHERE known.fp = fp.fp)
         |GROUP BY lang
+        |ORDER BY lang""".stripMargin)),
+
+    // Incremental ingest at scale: the bloom-prefiltered variant of
+    // snapshot_diff. A sketch of the known fingerprints is built in
+    // one shuffle-free pass and probed at scan time, so the
+    // definitely-new rows (the bulk of a fresh crawl) never enter the
+    // anti-join shuffle — only might-contain rows (~fpp of the new
+    // side + true dups) pay the exact check. Result is EXACTLY the
+    // plain anti join (no false negatives + exact confirm), which is
+    // what the oracle asserts. Known snapshot simulated as
+    // doc_id % 4 != 0.
+    QueryDef("snapshot_diff_bloom",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("fp", fingerprint(col("text")))
+        val known = d.where(col("doc_id") % 4 =!= 0)
+          .select(col("fp").as("known_fp"))
+        graft.ops.Bloom.antiJoinBloom(d, "fp", known, "known_fp",
+            expectedItems = 100 * 1000, fpp = 0.03)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_new"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |known AS (SELECT fp FROM fp WHERE doc_id % 4 <> 0)
+        |SELECT lang, COUNT(*) AS n_new
+        |FROM fp
+        |WHERE NOT EXISTS (SELECT 1 FROM known WHERE known.fp = fp.fp)
+        |GROUP BY lang
         |ORDER BY lang""".stripMargin))
   )
 }
