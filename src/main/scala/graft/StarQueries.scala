@@ -284,6 +284,98 @@ object StarQueries {
                "(epoch_us(o_orderdate) // 86400000000) & 65535", 16)} AS zkey
         |FROM orders
         |ORDER BY zkey, o_orderkey
-        |LIMIT 20""".stripMargin))
+        |LIMIT 20""".stripMargin)),
+
+    // Q13 shape — customer order-count distribution: LEFT join so
+    // zero-order customers land in the c_count=0 bucket, then a
+    // distribution over the counts. Two aggregations, each one
+    // shuffle: per-customer (natural key, combiner-friendly) and the
+    // tiny count-of-counts rollup.
+    QueryDef("q13_order_distribution",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q15 shape — top supplier(s) by quarterly revenue: the revenue
+    // "view" is one shuffle on suppkey; the scalar max comes back as a
+    // broadcast (a one-row frame), so selecting the argmax adds no
+    // second wide exchange. Revenue sums as DECIMAL, so the max and
+    // the equality filter agree across engines and partitionings.
+    QueryDef("q15_top_supplier",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        val rev = li.groupBy(col("l_suppkey"))
+          .agg(sum(revTerm).as("__rev"))
+        val top = rev.agg(max(col("__rev")).as("__top"))
+        val su = Tables.load(s, dir, "supplier")
+        rev.join(broadcast(top), col("__rev") === col("__top"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("__rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q17 shape — small-quantity revenue for one brand, against a
+    // correlated per-part average. The correlation becomes a
+    // self-aggregate + rejoin on partkey: brand-filtered parts prune
+    // BOTH scans before any shuffle (the avg only needs lines of the
+    // brand's parts), and the per-part avg is decimal-exact so the
+    // 0.2·avg threshold compares identically in both engines.
+    QueryDef("q17_small_quantity_revenue",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+          .where(col("p_brand") === "Brand#23").select(col("p_partkey"))
+        val li = Tables.load(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        val avgQ = li.groupBy(col("l_partkey").as("__pk"))
+          .agg((sum(col("l_quantity").cast(DecimalType(18, 2)))
+            / count(lit(1))).cast("double").as("__avg"))
+        li.join(avgQ, col("l_partkey") === col("__pk"))
+          .where(col("l_quantity") < lit(0.2) * col("__avg"))
+          .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+        |a AS (SELECT l_partkey AS pk,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE) AS avg_q
+        |      FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM li JOIN a ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avg_q""".stripMargin))
   )
 }
