@@ -209,6 +209,32 @@ object AdvancedQueries {
         |SELECT doc_id, len(frames)::INT AS n_frames,
         |  CASE WHEN len(frames) > 0 THEN md5(frames[1]) END AS first_md5,
         |  CASE WHEN len(frames) > 0 THEN md5(frames[len(frames)]) END AS last_md5
-        |FROM f ORDER BY doc_id""".stripMargin))
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Data profiling — the validation pass an ingest pipeline runs
+    // before training: per-column row/null/exact-distinct counts. One
+    // column-pruned scan per column (each aggregate reads only its own
+    // column); at 100 TB you'd profile a detHash sample with the same
+    // plan. Exact COUNT(DISTINCT) is a two-stage partial aggregate —
+    // no driver-side work.
+    QueryDef("data_profile_documents",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Seq("doc_id", "lang", "n_chars", "source", "text")
+          .map { cn =>
+            d.agg(count(lit(1)).as("n_rows"),
+                (count(lit(1)) - count(col(cn))).as("n_nulls"),
+                countDistinct(col(cn)).as("n_distinct"))
+              .select(lit(cn).as("col_name"), col("n_rows"),
+                col("n_nulls"), col("n_distinct"))
+          }
+          .reduce(_ union _)
+          .orderBy(col("col_name"))
+      },
+      Some(Seq("doc_id", "lang", "n_chars", "source", "text")
+        .map(cn => s"""SELECT '$cn' AS col_name, COUNT(*) AS n_rows,
+          |  COUNT(*) - COUNT($cn) AS n_nulls,
+          |  COUNT(DISTINCT $cn) AS n_distinct FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
   )
 }

@@ -197,6 +197,49 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF with multi-probe (nprobe=2): the recall dial — queries also
+    // search their second-nearest cell, catching neighbors just across
+    // the Voronoi boundary that nprobe=1 misses. Index size unchanged;
+    // query cost ×nprobe. Degenerates to exact brute force at
+    // nprobe=|cells| (spec-asserted).
+    QueryDef("ann_ivf_multiprobe",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        Similarity.ivfTopKMultiProbe(e, "vec_id", "embedding", cents,
+            col("vec_id") < NumQueryVecs, TopK, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < $NumCells),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+        |  FROM embeddings e CROSS JOIN c),
+        |cells AS (
+        |  SELECT vec_id, embedding, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM assigned)
+        |  WHERE rn = 1),
+        |qp AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb, cid AS qcell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn
+        |    FROM assigned WHERE vec_id < $NumQueryVecs)
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM cells e JOIN qp q ON e.cell = q.qcell AND e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
     // Per-label embedding centroids — the building block behind class
     // prototypes, IVF codebook refinement, and drift monitoring. One
     // posexplode + one (label, dim) hash aggregate: the shuffle

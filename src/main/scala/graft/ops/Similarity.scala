@@ -567,6 +567,55 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Multi-probe IVF: each query probes its `nprobe` nearest cells
+    * instead of one — the recall/cost dial of a production IVF index
+    * (nprobe=1 misses neighbors sitting just across a Voronoi
+    * boundary). Data vectors stay in exactly one cell, so index size
+    * is unchanged and query cost grows linearly with nprobe; with
+    * nprobe = |centroids| this degenerates to exact brute force
+    * (spec-asserted). Same broadcast shapes as [[ivfTopK]]: centroids
+    * and the probe set are small by construction, the corpus never
+    * shuffles before the per-query top-k.
+    */
+  def ivfTopKMultiProbe(emb: DataFrame, idCol: String, embCol: String,
+                        centroids: DataFrame, queryPred: Column,
+                        topK: Int, nprobe: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    val cells = assignCells(e, centroids, idCol)
+    val c = centroids.select(col("cid"),
+        col("cemb").cast("array<double>").as("__cemb"))
+      .withColumn("__cnrm", vectorNorm(col("__cemb")))
+    // rank all cells per query by the same (rounded-cos, cid) order as
+    // assignCells, keep the nprobe best, explode to one row per probe
+    val probes = cells.where(queryPred)
+      .join(broadcast(c), lit(true))
+      .select(col(idCol).as("query_id"), col("__emb").as("__qemb"),
+        col("__nrm").as("__qnrm"),
+        struct(
+          (-round(dotProduct(col("__emb"), col("__cemb")) /
+            (col("__nrm") * col("__cnrm")), 6)).as("negcos"),
+          col("cid").as("cid")).as("__c"))
+      .groupBy(col("query_id"))
+      .agg(first(col("__qemb")).as("__qemb"), first(col("__qnrm")).as("__qnrm"),
+        slice(sort_array(collect_list(col("__c"))), 1, nprobe).as("__cs"))
+      .select(col("query_id"), col("__qemb"), col("__qnrm"),
+        explode(col("__cs")).as("__probe"))
+      .select(col("query_id"), col("__qemb"), col("__qnrm"),
+        col("__probe.cid").as("qcell"))
+    // a data vector lives in ONE cell, so per query each neighbor
+    // appears through at most one probe — no post-join dedup needed
+    val scored = cells.join(broadcast(probes),
+        col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(dotProduct(col("__qemb"), col("__emb")) /
+          (col("__qnrm") * col("__nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** Deterministic-init spherical k-means (Lloyd's) codebook trainer
     * for IVF: seeds are the k vectors with the lowest detHash(id) —
     * partitioning-independent, unlike rand() sampling — assignment is

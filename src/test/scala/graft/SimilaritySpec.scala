@@ -270,6 +270,37 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("ivfTopKMultiProbe: nprobe=1 equals ivfTopK; nprobe=|cells| equals brute force") {
+    import org.apache.spark.sql.functions.{col, desc, round, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val single = Similarity.ivfTopK(e, "vec_id", "embedding", cents,
+      col("vec_id") < 10, 5).orderBy("query_id", "rank").collect().toSeq
+    val probe1 = Similarity.ivfTopKMultiProbe(e, "vec_id", "embedding", cents,
+      col("vec_id") < 10, 5, nprobe = 1).orderBy("query_id", "rank").collect().toSeq
+    assert(probe1 == single)
+
+    // nprobe = all cells ⇒ every vector is reachable ⇒ exact top-k
+    val all = Similarity.ivfTopKMultiProbe(e, "vec_id", "embedding", cents,
+      col("vec_id") < 10, 5, nprobe = 8).orderBy("query_id", "rank").collect().toSeq
+    val ed = e.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = ed.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val brute = ed.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.GraftFunctions.dotProduct(col("qemb"), col("emb")) /
+          (graft.functions.GraftFunctions.vectorNorm(col("qemb")) *
+            graft.functions.GraftFunctions.vectorNorm(col("emb"))), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))))
+      .where(col("rank") <= 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(all == brute)
+    assert(all.nonEmpty)
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),
