@@ -19,6 +19,13 @@ object SimilarityQueries {
   private val NumPlanes = 6
   private val NumCells = 8 // IVF coarse-quantizer size
 
+  // PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords
+  // per subspace (NumCells doubles as k so the deterministic fallback
+  // codebook — first-k subslices — mirrors the IVF fallback).
+  private val PqDim = 64
+  private val PqM = 4
+  private val PqSubLen = PqDim / PqM
+
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
     * i-1 matches Spark's 0-based transform index). Shared with the
     * capped cosine-dedup oracle in DedupQueries.
@@ -238,6 +245,57 @@ object SimilarityQueries {
         |    ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
+    // Product quantization top-k (asymmetric): vectors stored as m=4
+    // codebook codes (~100× smaller than raw floats at scale); scoring
+    // sums the query's broadcast per-(sub, codeword) partial dots over
+    // each candidate's codes — the corpus side ships codes, never
+    // vectors. Deterministic fallback codebook = first-NumCells
+    // subslices per subspace (a kmeansFit-trained codebook drops in
+    // via Similarity.pqFit — spec-covered); partial dots round to 6dp
+    // and sum as DECIMAL so both engines agree bit-for-bit.
+    QueryDef("ann_pq_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cbs = (0 until PqM).map { sub =>
+          e.where(col("vec_id") < NumCells)
+            .select(lit(sub).as("sub"), col("vec_id").as("cid"),
+              slice(col("embedding").cast("array<double>"),
+                sub * PqSubLen + 1, PqSubLen).as("cemb"))
+        }.reduce(_ union _)
+        Similarity.pqTopK(e, "vec_id", "embedding", cbs,
+            col("vec_id") < NumQueryVecs, PqDim, PqM, TopK)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |sv AS (SELECT vec_id, sub,
+        |    emb[(sub*$PqSubLen+1):(sub*$PqSubLen+$PqSubLen)] AS v
+        |  FROM e CROSS JOIN subs),
+        |cb AS (SELECT sub, vec_id AS cid, v AS cv FROM sv
+        |       WHERE vec_id < $NumCells),
+        |asn AS (SELECT s.vec_id, s.sub, c.cid,
+        |    round(list_cosine_similarity(s.v, c.cv), 6) AS cc
+        |  FROM sv s JOIN cb c ON c.sub = s.sub),
+        |codes AS (SELECT vec_id, sub, cid AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY cc DESC, cid) AS rn FROM asn)
+        |  WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+        |    round(list_dot_product(s.v, c.cv), 6) AS pd
+        |  FROM sv s JOIN cb c ON c.sub = s.sub
+        |  WHERE s.vec_id < $NumQueryVecs),
+        |scored AS (
+        |  SELECT l.query_id, n.vec_id AS neighbor_id,
+        |    CAST(round(CAST(sum(pd::DECIMAL(18,8)) AS DECIMAL(18,8)), 6)
+        |      AS DOUBLE) AS score
+        |  FROM codes n JOIN lut l ON l.sub = n.sub AND l.cid = n.code
+        |  WHERE n.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, score, rank::INT AS rank FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
     // Per-label embedding centroids — the building block behind class

@@ -679,6 +679,100 @@ object Similarity {
     cents
   }
 
+  /** Product quantization — the billion-scale ANN compression: split
+    * each vector into `m` subspaces and learn a k-codeword codebook
+    * per subspace (spherical k-means, deterministic detHash init via
+    * [[kmeansFit]]). A vector is then stored as m small integer codes
+    * — m·log₂(k) bits instead of dim·32 — and asymmetric scoring
+    * reconstructs dot(q, x) ≈ Σ_s dot(q_s, codeword_s(x)) with the
+    * query kept full-precision, so the only error is corpus-side
+    * quantization. At 100 TB the encoded corpus is ~100× smaller and
+    * the scoring join ships codes, not floats.
+    *
+    * Returns (sub, cid, cemb) — one codebook row per subspace cell.
+    */
+  def pqFit(emb: DataFrame, idCol: String, embCol: String,
+            dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    (0 until m).map { s =>
+      val sub = emb.select(col(idCol),
+        slice(col(embCol).cast("array<double>"), s * subLen + 1, subLen).as("__sv"))
+      kmeansFit(sub, idCol, "__sv", k, iters)
+        .select(lit(s).as("sub"), col("cid"), col("cemb"))
+    }.reduce(_ union _)
+  }
+
+  /** PQ encoding: per subspace, the max-cosine codeword (rounded to
+    * 6dp, cid tiebreak — kmeansFit's assignment rule). Codebooks are
+    * broadcast; encoding is scan-local followed by one combine on the
+    * id. Returns (idCol, codes: array<long> ordered by subspace).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
+               codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subLen = dim / m
+    val subs = (0 until m).map { s =>
+      emb.select(col(idCol), lit(s).as("sub"),
+        slice(col(embCol).cast("array<double>"), s * subLen + 1, subLen).as("__sv"))
+    }.reduce(_ union _)
+    val cb = codebooks.select(col("sub").as("__csub"), col("cid"),
+        col("cemb").cast("array<double>").as("__cemb"))
+      .withColumn("__cnrm", vectorNorm(col("__cemb")))
+    subs.withColumn("__nrm", vectorNorm(col("__sv")))
+      .join(broadcast(cb), col("sub") === col("__csub"))
+      .select(col(idCol), col("sub"),
+        struct(
+          (-round(dotProduct(col("__sv"), col("__cemb")) /
+            (col("__nrm") * col("__cnrm")), 6)).as("negcos"),
+          col("cid").as("cid")).as("__c"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(col("__c")).getField("cid").as("code"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric PQ top-k: the query side stays full-precision; each
+    * (query, sub, cid) partial dot product forms a broadcast LUT
+    * (|queries|·m·k rows), and a candidate's score is the sum of its
+    * codes' LUT entries — the corpus pays one scan over its CODES plus
+    * a map-side-combined aggregate, never a float-vector shuffle.
+    * Partial dots round to 6dp and sum as DECIMAL so the score is
+    * addition-order-independent (and SQL-oracle-expressible).
+    */
+  def pqTopK(emb: DataFrame, idCol: String, embCol: String,
+             codebooks: DataFrame, queryPred: Column,
+             dim: Int, m: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val subLen = dim / m
+    val codes = pqEncode(emb, idCol, embCol, codebooks, dim, m)
+      .select(col(idCol).as("__nid"), col("codes"))
+    val qsubs = (0 until m).map { s =>
+      emb.where(queryPred).select(col(idCol).as("query_id"), lit(s).as("__lsub"),
+        slice(col(embCol).cast("array<double>"), s * subLen + 1, subLen).as("__qv"))
+    }.reduce(_ union _)
+    val cb = codebooks.select(col("sub").as("__csub"), col("cid").as("__lcid"),
+      col("cemb").cast("array<double>").as("__cemb"))
+    val lut = qsubs.join(broadcast(cb), col("__lsub") === col("__csub"))
+      .select(col("query_id"), col("__lsub"), col("__lcid"),
+        round(dotProduct(col("__qv"), col("__cemb")), 6).as("__pd"))
+    val scored = codes
+      .select(col("__nid"), posexplode(col("codes")).as(Seq("__sub", "__code")))
+      .join(broadcast(lut),
+        col("__sub") === col("__lsub") && col("__code") === col("__lcid"))
+      .where(col("__nid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("__nid"))
+      .agg(round(sum(col("__pd").cast(DecimalType(18, 8)))
+        .cast(DecimalType(18, 8)), 6).cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("__nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("__nid").as("neighbor_id"),
+        col("score"), col("rank").cast("int").as("rank"))
+  }
+
   /** Load an IVF codebook from a parquet or CSV table with columns
     * (cid, cemb). CSV expects cemb as a comma-joined number string
     * (the portable export format for a trained k-means codebook).

@@ -301,6 +301,35 @@ class SimilaritySpec extends SparkSpec {
     assert(all.nonEmpty)
   }
 
+  test("pqFit/pqEncode/pqTopK: codes well-formed; twin vectors find each other") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 3 well-separated clusters in 8 dims; each vector's nearest
+    // neighbor by construction is its own cluster twin
+    def base(c: Int) = Array.tabulate(8)(i => if (i % 3 == c) 10.0 else 0.1)
+    val vecs = (0 until 12).map { i =>
+      val c = i % 3
+      (i.toLong, base(c).zipWithIndex.map { case (x, d) => x + 0.01 * ((i + d) % 5) })
+    }
+    val e = vecs.toDF("vec_id", "emb")
+    val cbs = Similarity.pqFit(e, "vec_id", "emb", dim = 8, m = 2, k = 3, iters = 4)
+    assert(cbs.count() == 6) // m*k codebook rows
+    assert(cbs.select("cemb").as[Seq[Double]].collect().forall(_.length == 4))
+
+    val codes = Similarity.pqEncode(e, "vec_id", "emb", cbs, dim = 8, m = 2)
+      .select("codes").as[Seq[Long]].collect()
+    assert(codes.length == 12)
+    assert(codes.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 3)))
+
+    // every query's PQ top-1 must come from its own cluster
+    val top1 = Similarity.pqTopK(e, "vec_id", "emb", cbs,
+        lit(true), dim = 8, m = 2, topK = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    assert(top1.length == 12)
+    assert(top1.forall { case (q, n) => q % 3 == n % 3 },
+      s"cross-cluster neighbor in ${top1.mkString(",")}")
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),
