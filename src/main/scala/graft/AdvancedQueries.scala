@@ -235,6 +235,54 @@ object AdvancedQueries {
         .map(cn => s"""SELECT '$cn' AS col_name, COUNT(*) AS n_rows,
           |  COUNT(*) - COUNT($cn) AS n_nulls,
           |  COUNT(DISTINCT $cn) AS n_distinct FROM documents""".stripMargin)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    // Deterministic negative sampling for contrastive training pairs:
+    // each anchor doc draws 2 negatives from a broadcast candidate
+    // pool. The pool is a detHash sample (~1/10 of the corpus here; at
+    // 100 TB you size the divisor so the pool stays broadcastable),
+    // indexed by a window that only ever runs over the pool — the
+    // anchors side is a pure scan + broadcast join, no global ordering
+    // over the corpus. Self-collisions are dropped (a doc can't be its
+    // own negative). md5-hash draw ⇒ reproducible at any parallelism.
+    QueryDef("negative_sample_pairs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        // pool-only window: bounded rows by construction (the pool
+        // must fit a broadcast anyway), so the single-partition sort
+        // is on the small side, never the corpus
+        val pool = d.where(detHash(10L, col("doc_id")) === 0L)
+          .select(col("doc_id").as("neg_doc_id"))
+          .withColumn("pool_idx",
+            row_number().over(Window.orderBy(col("neg_doc_id"))).cast("long") - 1)
+        val pn = pool.agg(count(lit(1)).as("pool_n"))
+        val draws = d.select(col("doc_id"))
+          .crossJoin(broadcast(pn))
+          .select(col("doc_id"), explode(array(lit(0), lit(1))).as("j"),
+            col("pool_n"))
+          .withColumn("pool_idx",
+            pmod(md5Long(concat(col("doc_id").cast("string"), lit(":"),
+              col("j").cast("string"))), col("pool_n")))
+        draws.join(broadcast(pool), "pool_idx")
+          .where(col("neg_doc_id") =!= col("doc_id"))
+          .select(col("doc_id"), col("j"), col("neg_doc_id"))
+          .orderBy(col("doc_id"), col("j"))
+      },
+      Some(s"""WITH pool AS (
+        |  SELECT doc_id AS neg_doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS pool_idx
+        |  FROM documents
+        |  WHERE ${detHashSql(10L, Seq("doc_id"))} = 0),
+        |pn AS (SELECT count(*) AS pool_n FROM pool),
+        |draws AS (
+        |  SELECT doc_id, j,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
+        |      % pool_n AS pool_idx
+        |  FROM documents, pn, (SELECT unnest([0, 1]) AS j))
+        |SELECT doc_id, j, neg_doc_id
+        |FROM draws JOIN pool USING (pool_idx)
+        |WHERE neg_doc_id <> doc_id
+        |ORDER BY doc_id, j""".stripMargin))
   )
 }

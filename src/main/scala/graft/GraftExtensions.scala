@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CharShingleDistinctCount, DotProduct, MinHashSignature,
-  SimHash16, WordShingleHashes, WordShingleMinHash}
+import graft.expressions.{CharShingleDistinctCount, DotProduct, KmvDistinct,
+  MinHashSignature, SimHash16, WordShingleHashes, WordShingleMinHash}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions for SQL use:
@@ -47,6 +47,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(n: Int, _)) => MinHashSignature(c, n)
         case _ => throw new IllegalArgumentException(
           "minhash_signature(longCol, numPermsLiteral)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => children match {
+        // takes the pre-hashed long column (hash60) so SQL callers
+        // control the hash mode the same way the Scala API does
+        case Seq(c, Literal(n: Int, _)) => KmvDistinct(c, n)
+        case _ => throw new IllegalArgumentException(
+          "kmv_distinct(longHashCol, kLiteral)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((

@@ -521,6 +521,53 @@ object TextQueries {
         |  regexp_replace(text, '\b(key|hash|table|index)\b', '<redacted>', 'g') AS redacted,
         |  len(regexp_extract_all(text, '\b(key|hash|table|index)\b'))::INT AS n_redactions
         |FROM documents
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top-3 terms per document — keyword extraction / corpus
+    // characterization. Plan shape at 100 TB: tf is one hash-agg on
+    // (doc_id, term); df is a distinct + agg on term; the tf⋈df join
+    // shuffles on term (vocabulary is unbounded — no broadcast); the
+    // per-doc top-k is a rank window WindowGroupLimit prunes to 3 rows
+    // per doc before the sort materializes. The corpus-size scalar is
+    // the only broadcast. Same ln-then-round-6 determinism contract as
+    // text_unigram_logprob; rounded score + term tie-break keeps the
+    // rank stable cross-engine.
+    QueryDef("text_tfidf_topk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val words = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("t"))
+        val tf = words.groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = words.distinct().groupBy(col("t"))
+          .agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df_, "t").crossJoin(broadcast(n))
+          .withColumn("tfidf", round(
+            col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)),
+            6))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("t"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("t"), col("tfidf"), col("rk"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM w)
+        |       GROUP BY t),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, t,
+        |    round(tf * ln((n_docs + 1)::DOUBLE / (df + 1)), 6) AS tfidf
+        |  FROM tf JOIN df USING (t), n),
+        |r AS (SELECT doc_id, t, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, t) AS rk
+        |      FROM sc)
+        |SELECT doc_id, t, tfidf, rk::INT AS rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin))
   )
 }

@@ -84,6 +84,21 @@ object GraftFunctions {
       graft.expressions.CharShingleDistinctCount(GraftColumnBridge.expression(c), n))
   }
 
+  /** KMV distinct-count sketch aggregate (expressions.KmvDistinct):
+    * O(k) mergeable state per group — exact below k distinct values,
+    * ~1/sqrt(k-2) relative error above. The value is hashed with the
+    * mode-selected 60-bit hash (string form, so any input type keys
+    * consistently). The 100 TB answer to COUNT(DISTINCT x): one pass,
+    * map-side partials, at most k longs per group on the shuffle.
+    */
+  def kmvDistinct(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.KmvDistinct(
+        GraftColumnBridge.expression(hash60(c.cast("string"))), k)
+        .toAggregateExpression())
+  }
+
   /** Deterministic pseudo-random in [0, m) from integer key columns —
     * a multiplicative LCG step, reproducible in ANSI SQL for the
     * oracle (unlike rand(seed), whose stream is partitioning-dependent).

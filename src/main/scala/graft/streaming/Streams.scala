@@ -46,6 +46,27 @@ object Streams {
                    streamKey: String, dimKey: String): DataFrame =
     stream.join(dim, col(streamKey) === col(dimKey), "left_outer")
 
+  /** Watermarked stream-stream interval join — the streaming
+    * impression→click attribution shape (batch mirror:
+    * EventQueries.events_asof_attribution). Both sides declare
+    * watermarks and the join condition bounds right's event time to
+    * [left, left + within], so the state store retains each side only
+    * for watermark + within and expired rows are dropped — bounded
+    * state at any stream rate, unlike an unconstrained stream-stream
+    * join which must buffer forever. Key columns must be distinctly
+    * named (Spark cannot disambiguate same-name columns across the
+    * two stream sides in a SQL condition).
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, leftKey: String,
+                   right: DataFrame, rightTs: String, rightKey: String,
+                   watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND " +
+        s"$rightTs >= $leftTs AND $rightTs <= $leftTs + INTERVAL $within"))
+  }
+
   // ---- keyed session state (flatMapGroupsWithState) ----
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** KMV distinct-count sketch (expressions.KmvDistinct): exactness
+  * below k, bounded error above k, partitioning invariance (the
+  * k-min-set is a deterministic function of the value set, not of the
+  * merge order), and the SQL registration.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmv is exact when the group has fewer than k distinct values") {
+    val df = (1 to 50).flatMap(i => Seq(i, i)).toDF("v") // dups collapse
+    val est = df.agg(GraftFunctions.kmvDistinct(col("v"), 64).as("d"))
+      .as[Long].head()
+    assert(est == 50L)
+  }
+
+  test("kmv estimate lands within the k=256 error envelope") {
+    val n = 5000
+    val df = (1 to n).toDF("v")
+    val est = df.agg(GraftFunctions.kmvDistinct(col("v"), 256).as("d"))
+      .as[Long].head()
+    // 1/sqrt(k-2) ≈ 6.3 %; allow 3 sigma
+    assert(math.abs(est - n).toDouble / n < 0.19, s"estimate $est vs $n")
+  }
+
+  test("kmv is invariant to partitioning (merge order)") {
+    val df = (1 to 2000).toDF("v")
+    def run(parts: Int): Long =
+      df.repartition(parts)
+        .agg(GraftFunctions.kmvDistinct(col("v"), 64).as("d"))
+        .as[Long].head()
+    assert(run(1) == run(13))
+  }
+
+  test("kmv_distinct is callable from SQL via extensions") {
+    (1 to 40).toDF("v").createOrReplaceTempView("kmv_in")
+    // SQL callers pass the pre-hashed long column, mirroring the
+    // Scala API's hash60 step
+    val est = spark.sql(
+      """SELECT kmv_distinct(
+        |  CAST(conv(substring(md5(CAST(v AS STRING)), 1, 15), 16, 10) AS LONG),
+        |  64) AS d
+        |FROM kmv_in""".stripMargin).as[Long].head()
+    assert(est == 40L)
+  }
+
+  test("kmv empty input returns 0, all-null input returns 0") {
+    val empty = Seq.empty[Int].toDF("v")
+    assert(empty.agg(GraftFunctions.kmvDistinct(col("v"), 64)).as[Long].head() == 0L)
+    val nulls = Seq[Option[Int]](None, None).toDF("v")
+    assert(nulls.agg(GraftFunctions.kmvDistinct(col("v"), 64)).as[Long].head() == 0L)
+  }
+}

@@ -54,6 +54,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("a", Some("alpha")), ("c", None)))
   }
 
+  test("stream-stream interval join matches clicks within the window only") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val q = Streams.intervalJoin(
+        imps.toDF().toDF("imp_ts", "ad"), "imp_ts", "ad",
+        clicks.toDF().toDF("click_ts", "click_ad"), "click_ts", "click_ad",
+        watermark = "1 minute", within = "10 minutes")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    imps.addData((ts(0), "a"), (ts(0), "b"))
+    // a clicked at +5 (inside window), b clicked at +20 (outside),
+    // c clicked with no impression at all
+    clicks.addData((ts(5), "a"), (ts(20), "b"), (ts(5), "c"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT ad, click_ad FROM ij")
+      .as[(String, String)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", "a")))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
