@@ -539,8 +539,9 @@ object TextQueries {
           explode(split(col("text"), " ")).as("t"))
         val tf = words.groupBy(col("doc_id"), col("t"))
           .agg(count(lit(1)).as("tf"))
-        val df_ = words.distinct().groupBy(col("t"))
-          .agg(count(lit(1)).as("df"))
+        // df falls out of tf itself (its rows ARE the distinct
+        // (doc, term) pairs) — no second explode pass over the corpus
+        val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
         val n = d.agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(df_, "t").crossJoin(broadcast(n))
           .withColumn("tfidf", round(
