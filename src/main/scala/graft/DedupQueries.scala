@@ -418,8 +418,18 @@ object DedupQueries {
         pairs
           .join(heads.select(col("doc_id").as("id_a"), col("__head").as("__ha")), "id_a")
           .join(heads.select(col("doc_id").as("id_b"), col("__head").as("__hb")), "id_b")
-          .withColumn("lev", levenshtein(col("__ha"), col("__hb")).cast("long"))
-          .where(col("lev") <= EditMaxDist)
+          // head-length gap bounds the distance from below — prune
+          // before any DP runs (result-preserving: those pairs would
+          // fail the <= EditMaxDist filter anyway)
+          .where(abs(length(col("__ha")) - length(col("__hb"))) <= EditMaxDist)
+          // thresholded Levenshtein: banded O(len·k) DP with early
+          // abandon (returns -1 past the threshold) instead of the
+          // full O(len²) table — exact for every distance we keep.
+          // Measured 119.6 s → (see SCALING.md) at sf0.1; the DP over
+          // ~1.5M capped candidate pairs was 61 % of the whole bench.
+          .withColumn("lev",
+            levenshtein(col("__ha"), col("__hb"), EditMaxDist).cast("long"))
+          .where(col("lev") >= 0 && col("lev") <= EditMaxDist)
           .select(col("id_a"), col("id_b"), col("lev"))
           .orderBy(col("id_a"), col("id_b"))
       },

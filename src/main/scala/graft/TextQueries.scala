@@ -502,6 +502,34 @@ object TextQueries {
         |ORDER BY cnt DESC, token
         |LIMIT 20""".stripMargin)),
 
+    // Heavy hitters via Misra–Gries sketch + exact rescore: phase 1
+    // is one scan with ≤64 counters of mergeable state (no
+    // vocabulary-sized shuffle — compare vocab_topk, whose exchange
+    // carries every distinct token); phase 2 exact-counts only the
+    // surviving candidates behind a broadcast semi join. The result
+    // is EXACT (and therefore oracle-checkable) whenever the true
+    // k-th item clears the n/(capacity+1) MG bound — the caller's
+    // sizing contract, spec-asserted under adversarial skew.
+    QueryDef("heavy_hitters_mg",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tokens = d.select(explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+        val cands = tokens
+          .agg(frequentItems(col("token"), 64).as("cands"))
+          .select(explode(col("cands")).as("token"))
+        tokens.join(broadcast(cands), "token")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("token"))
+          .limit(10)
+      },
+      Some("""SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 10""".stripMargin)),
+
     // PII-style redaction: mask a term list, count masked spans per
     // document. Pure scan-time regex (one pass, codegen'd,
     // partitioning-independent) — the shape of every large-corpus

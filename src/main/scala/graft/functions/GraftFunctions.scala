@@ -99,6 +99,21 @@ object GraftFunctions {
         .toAggregateExpression())
   }
 
+  /** Misra–Gries heavy-hitters candidates (expressions.FrequentItems):
+    * one pass, ≤capacity counters of mergeable state, returns every
+    * item that COULD have frequency > n/(capacity+1) as a sorted
+    * string array. Pair with an exact rescore of the candidates
+    * (broadcast semi join) for deterministic top-k without a
+    * vocabulary-sized shuffle.
+    */
+  def frequentItems(c: Column, capacity: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.FrequentItems(
+        GraftColumnBridge.expression(c), capacity)
+        .toAggregateExpression())
+  }
+
   /** Deterministic pseudo-random in [0, m) from integer key columns —
     * a multiplicative LCG step, reproducible in ANSI SQL for the
     * oracle (unlike rand(seed), whose stream is partitioning-dependent).

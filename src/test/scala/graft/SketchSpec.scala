@@ -48,6 +48,28 @@ class SketchSpec extends SparkSpec {
     assert(est == 40L)
   }
 
+  test("misra-gries candidates contain every true heavy hitter under skew") {
+    // 3 hot items (1000 each) drowned in 500 distinct tail items
+    // (2 each): capacity 8 << 503 distinct forces constant decrements
+    val hot = Seq("h1", "h2", "h3").flatMap(h => Seq.fill(1000)(h))
+    val tail = (1 to 500).flatMap(i => Seq(s"t$i", s"t$i"))
+    val df = scala.util.Random.shuffle(hot ++ tail).toDF("w")
+    val cands = df.repartition(7)
+      .agg(GraftFunctions.frequentItems(col("w"), 8).as("c"))
+      .select(explode(col("c")).as("w")).as[String].collect().toSet
+    // MG guarantee: anything with freq > n/(cap+1) = 4000/9 survives
+    assert(Set("h1", "h2", "h3").subsetOf(cands), s"lost hot items: $cands")
+    assert(cands.size <= 8)
+  }
+
+  test("misra-gries is lossless when capacity covers the domain") {
+    val df = (1 to 300).map(i => s"w${i % 30}").toDF("w")
+    val cands = df.agg(GraftFunctions.frequentItems(col("w"), 64).as("c"))
+      .select(explode(col("c")).as("w")).as[String].collect()
+    assert(cands.length == 30)
+    assert(cands.sorted.sameElements(cands)) // deterministic sorted output
+  }
+
   test("kmv empty input returns 0, all-null input returns 0") {
     val empty = Seq.empty[Int].toDF("v")
     assert(empty.agg(GraftFunctions.kmvDistinct(col("v"), 64)).as[Long].head() == 0L)
