@@ -327,6 +327,53 @@ object SimilarityQueries {
         |        unnest(embedding::DOUBLE[]) AS val
         |      FROM embeddings)
         |GROUP BY label, dim
-        |ORDER BY label, dim""".stripMargin))
+        |ORDER BY label, dim""".stripMargin)),
+
+    // Hard-negative mining for contrastive training: each anchor's
+    // most-similar candidate from a broadcast pool, EXCLUDING
+    // near-duplicates (cos > 0.95 is a dup, not a negative) and self.
+    // Plan shape at 100 TB: the pool is a detHash sample sized to
+    // broadcast; the corpus side is one scan through
+    // BroadcastNestedLoopJoin, and the per-anchor argmax is a
+    // map-side-combined max(struct) aggregate — the shuffle carries
+    // ONE row per (anchor, partition), never rows × pool. The struct
+    // max (cos, -neg_id) makes the argmax tie-break deterministic
+    // without a window sort.
+    QueryDef("hard_negatives_pool",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val pool = e.where(detHash(20L, col("vec_id")) === 0L)
+          .select(col("vec_id").as("neg_id"), col("emb").as("pemb"),
+            col("nrm").as("pnrm"))
+        e.join(broadcast(pool), col("neg_id") =!= col("vec_id"))
+          .select(col("vec_id"),
+            round(dotProduct(col("emb"), col("pemb")) /
+              (col("nrm") * col("pnrm")), 6).as("cos"),
+            col("neg_id"))
+          .where(col("cos") <= 0.95)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cos"), (-col("neg_id")).as("nid"))).as("best"))
+          .select(col("vec_id"), (-col("best.nid")).as("neg_id"),
+            col("best.cos").as("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |pool AS (
+        |  SELECT vec_id AS neg_id, emb AS pemb FROM e
+        |  WHERE ${detHashSql(20L, Seq("vec_id"))} = 0),
+        |sc AS (
+        |  SELECT e.vec_id, p.neg_id,
+        |    round(list_cosine_similarity(e.emb, p.pemb), 6) AS cos
+        |  FROM e JOIN pool p ON p.neg_id <> e.vec_id),
+        |r AS (
+        |  SELECT vec_id, neg_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos DESC, neg_id) AS rn
+        |  FROM sc WHERE cos <= 0.95)
+        |SELECT vec_id, neg_id, cos FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -2,7 +2,9 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, window}
 import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.GraftFunctions
 import graft.streaming.Streams
 import graft.streaming.Streams.{SessionEvent, SessionOut}
 
@@ -52,6 +54,23 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     // matched rows get the dim label; misses survive with null (left outer)
     assert(rows == Set(("a", Some("alpha")), ("c", None)))
+  }
+
+  test("kmv distinct sketch aggregates per event-time window on a stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(GraftFunctions.kmvDistinct(col("uid"), 64).as("du"))
+      .writeStream.format("memory").queryName("kmvw")
+      .outputMode("complete").start()
+    // window 1: users {1, 2} (2 duplicated); window 2: user {3}
+    mem.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 2L), (ts(11), 3L))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT du FROM kmvw").as[Long].collect().sorted
+    q.stop()
+    assert(rows.toSeq == Seq(1L, 2L))
   }
 
   test("stream-stream interval join matches clicks within the window only") {
