@@ -334,13 +334,19 @@ object SimilarityQueries {
     // near-duplicates (cos > 0.95 is a dup, not a negative) and self.
     // Plan shape at 100 TB: the pool is a detHash sample sized to
     // broadcast; the corpus side is one scan through
-    // BroadcastNestedLoopJoin, and the per-anchor argmax is a
-    // map-side-combined max(struct) aggregate — the shuffle carries
-    // ONE row per (anchor, partition), never rows × pool. The struct
-    // max (cos, -neg_id) makes the argmax tie-break deterministic
-    // without a window sort.
+    // BroadcastNestedLoopJoin, and the per-anchor argmax is a plain
+    // max() over (cos, neg_id) bit-packed into ONE long — max(struct)
+    // would fall back to SortAggregate (sorting rows × pool map-side);
+    // the packed long keeps the whole aggregate in codegen'd
+    // HashAggregate, so the shuffle carries one row per (anchor,
+    // partition), never rows × pool. Packing: cos6 = round-6 cosine ×
+    // 1e6 (an integer in [-1e6, 1e6]) in the high bits, B-1-neg_id in
+    // the low 40 (max cos6 first, then min neg_id — the deterministic
+    // tie-break); arithmetic shift decodes, and cos6/1e6 lands on the
+    // identical double the oracle's round(x, 6) produces.
     QueryDef("hard_negatives_pool",
       (s, dir) => {
+        val B = 1L << 40 // neg_id head-room; corpus ids < 2^40
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
           .withColumn("nrm", vectorNorm(col("emb")))
@@ -353,10 +359,15 @@ object SimilarityQueries {
               (col("nrm") * col("pnrm")), 6).as("cos"),
             col("neg_id"))
           .where(col("cos") <= 0.95)
+          .select(col("vec_id"),
+            (round(col("cos") * 1e6).cast("long") * B +
+              (lit(B - 1) - col("neg_id"))).as("packed"))
           .groupBy(col("vec_id"))
-          .agg(max(struct(col("cos"), (-col("neg_id")).as("nid"))).as("best"))
-          .select(col("vec_id"), (-col("best.nid")).as("neg_id"),
-            col("best.cos").as("cos"))
+          .agg(max(col("packed")).as("best"))
+          .select(col("vec_id"),
+            (lit(B - 1) - (col("best") - shiftright(col("best"), 40) * B))
+              .as("neg_id"),
+            (shiftright(col("best"), 40).cast("double") / 1e6).as("cos"))
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH e AS (
