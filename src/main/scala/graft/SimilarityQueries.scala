@@ -298,6 +298,72 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, score, rank::INT AS rank FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF-PQ: the two scale mechanisms composed the way a production
+    // billion-vector index runs them (FAISS IVFADC) — IVF cells bound
+    // WHICH candidates are scored, PQ codes bound WHAT each candidate
+    // ships. Candidates outside the query's cell never leave their
+    // scan partition; in-cell candidates cost m code-lookups against
+    // the broadcast LUT. Fallback centroid/codebook construction as in
+    // ann_ivf_topk / ann_pq_topk (trained tables drop in).
+    QueryDef("ann_ivfpq_topk",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val cbs = (0 until PqM).map { sub =>
+          e.where(col("vec_id") < NumCells)
+            .select(lit(sub).as("sub"), col("vec_id").as("cid"),
+              slice(col("embedding").cast("array<double>"),
+                sub * PqSubLen + 1, PqSubLen).as("cemb"))
+        }.reduce(_ union _)
+        Similarity.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
+            col("vec_id") < NumQueryVecs, PqDim, PqM, TopK)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ivfc AS (SELECT vec_id AS ccid, emb AS ccemb FROM e
+        |         WHERE vec_id < $NumCells),
+        |assigned AS (
+        |  SELECT e.vec_id, e.emb, ivfc.ccid,
+        |    round(list_cosine_similarity(e.emb, ivfc.ccemb), 6) AS ccos
+        |  FROM e CROSS JOIN ivfc),
+        |cells AS (SELECT vec_id, ccid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, ccid) AS rn FROM assigned)
+        |  WHERE rn = 1),
+        |sv AS (SELECT vec_id, sub,
+        |    emb[(sub*$PqSubLen+1):(sub*$PqSubLen+$PqSubLen)] AS v
+        |  FROM e CROSS JOIN subs),
+        |cb AS (SELECT sub, vec_id AS cid, v AS cv FROM sv
+        |       WHERE vec_id < $NumCells),
+        |asn AS (SELECT s.vec_id, s.sub, c.cid,
+        |    round(list_cosine_similarity(s.v, c.cv), 6) AS cc
+        |  FROM sv s JOIN cb c ON c.sub = s.sub),
+        |codes AS (SELECT vec_id, sub, cid AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY cc DESC, cid) AS rn FROM asn)
+        |  WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS query_id, cl.cell AS qcell, s.sub, c.cid,
+        |    round(list_dot_product(s.v, c.cv), 6) AS pd
+        |  FROM sv s JOIN cb c ON c.sub = s.sub
+        |       JOIN cells cl ON cl.vec_id = s.vec_id
+        |  WHERE s.vec_id < $NumQueryVecs),
+        |scored AS (
+        |  SELECT l.query_id, n.vec_id AS neighbor_id,
+        |    CAST(round(CAST(sum(pd::DECIMAL(18,8)) AS DECIMAL(18,8)), 6)
+        |      AS DOUBLE) AS score
+        |  FROM codes n
+        |  JOIN cells ce ON ce.vec_id = n.vec_id
+        |  JOIN lut l ON l.sub = n.sub AND l.cid = n.code
+        |             AND l.qcell = ce.cell
+        |  WHERE n.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, score, rank::INT AS rank FROM ranked
+        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
+
     // Per-label embedding centroids — the building block behind class
     // prototypes, IVF codebook refinement, and drift monitoring. One
     // posexplode + one (label, dim) hash aggregate: the shuffle

@@ -773,6 +773,62 @@ object Similarity {
         col("score"), col("rank").cast("int").as("rank"))
   }
 
+  /** IVF-PQ: the composed billion-scale ANN index (FAISS's IVFADC
+    * layout, Jégou et al. 2011) — IVF coarse routing restricts WHICH
+    * candidates are scored, PQ code compression sets WHAT ships per
+    * candidate. Index build: one cell assignment (broadcast centroids,
+    * scan-local) + one PQ encode (broadcast codebooks, scan-local),
+    * co-partitioned on the id by a single shuffle join. Query: the
+    * per-(query, sub, codeword) partial-dot LUT is broadcast WITH the
+    * query's cell attached, so the corpus-side join keys on
+    * (cell, sub, code) — a candidate outside every probed cell never
+    * leaves its scan partition, and candidates ship only their m
+    * codes. Same determinism contract as pqTopK (round-6 partial dots,
+    * DECIMAL sum) and as ivfTopK (rounded-cos cell assignment).
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, embCol: String,
+                centroids: DataFrame, codebooks: DataFrame,
+                queryPred: Column, dim: Int, m: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val subLen = dim / m
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    val cells = assignCells(e, centroids, idCol)
+    val codes = pqEncode(emb, idCol, embCol, codebooks, dim, m)
+      .select(col(idCol).as("__nid"), col("codes"))
+    // index build: codes ⋈ cells on the id (one co-partitioning
+    // shuffle — in production this frame is the persisted index)
+    val corpus = cells.select(col(idCol).as("__cellid"), col("cell"))
+      .join(codes, col("__cellid") === col("__nid"))
+      .select(col("__nid"), col("cell"), col("codes"))
+    val q = cells.where(queryPred).select(col(idCol).as("query_id"),
+      col("__emb").as("__qemb"), col("cell").as("qcell"))
+    val qsubs = (0 until m).map { s =>
+      q.select(col("query_id"), col("qcell"), lit(s).as("__lsub"),
+        slice(col("__qemb"), s * subLen + 1, subLen).as("__qv"))
+    }.reduce(_ union _)
+    val cb = codebooks.select(col("sub").as("__csub"), col("cid").as("__lcid"),
+      col("cemb").cast("array<double>").as("__cemb"))
+    val lut = qsubs.join(broadcast(cb), col("__lsub") === col("__csub"))
+      .select(col("query_id"), col("qcell"), col("__lsub"), col("__lcid"),
+        round(dotProduct(col("__qv"), col("__cemb")), 6).as("__pd"))
+    val scored = corpus
+      .select(col("__nid"), col("cell"),
+        posexplode(col("codes")).as(Seq("__sub", "__code")))
+      .join(broadcast(lut), col("cell") === col("qcell") &&
+        col("__sub") === col("__lsub") && col("__code") === col("__lcid"))
+      .where(col("__nid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("__nid"))
+      .agg(round(sum(col("__pd").cast(DecimalType(18, 8)))
+        .cast(DecimalType(18, 8)), 6).cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("__nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("__nid").as("neighbor_id"),
+        col("score"), col("rank").cast("int").as("rank"))
+  }
+
   /** Load an IVF codebook from a parquet or CSV table with columns
     * (cid, cemb). CSV expects cemb as a comma-joined number string
     * (the portable export format for a trained k-means codebook).

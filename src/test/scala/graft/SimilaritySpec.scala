@@ -330,6 +330,42 @@ class SimilaritySpec extends SparkSpec {
       s"cross-cluster neighbor in ${top1.mkString(",")}")
   }
 
+  test("ivfPqTopK: one cell equals plain pqTopK; cell routing only shrinks candidate sets") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cbs = (0 until 4).map { sub =>
+      e.where(col("vec_id") < 8)
+        .select(lit(sub).as("sub"), col("vec_id").as("cid"),
+          org.apache.spark.sql.functions.slice(
+            col("embedding").cast("array<double>"), sub * 16 + 1, 16).as("cemb"))
+    }.reduce(_ union _)
+    // a single centroid puts every vector in one cell — IVF routing
+    // becomes a no-op and IVF-PQ must equal plain PQ exactly
+    val oneCell = e.where(col("vec_id") < 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val ivfpq1 = Similarity.ivfPqTopK(e, "vec_id", "embedding", oneCell, cbs,
+      col("vec_id") < 10, 64, 4, 5).orderBy("query_id", "rank").collect().toSeq
+    val pq = Similarity.pqTopK(e, "vec_id", "embedding", cbs,
+      col("vec_id") < 10, 64, 4, 5).orderBy("query_id", "rank").collect().toSeq
+    assert(ivfpq1 == pq)
+    assert(ivfpq1.nonEmpty)
+
+    // with 8 cells each query's result set is a subset of the
+    // unrouted PQ candidates (routing can only remove candidates)
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val routed = Similarity.ivfPqTopK(e, "vec_id", "embedding", cents, cbs,
+        col("vec_id") < 10, 64, 4, 1000)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val unrouted = Similarity.pqTopK(e, "vec_id", "embedding", cbs,
+        col("vec_id") < 10, 64, 4, 1000)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(routed.subsetOf(unrouted))
+    assert(routed.size < unrouted.size) // routing actually pruned
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),
