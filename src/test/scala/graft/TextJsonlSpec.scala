@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.ops.Text
-import graft.sources.Jsonl
+import graft.sources.{Jsonl, Orc}
 
 class TextJsonlSpec extends SparkSpec {
   import spark.implicits._
@@ -83,6 +83,19 @@ class TextJsonlSpec extends SparkSpec {
     Jsonl.writeSplits(d, s"$dir/splits")
     val train = Jsonl.read(spark, s"$dir/splits/split=train")
     assert(train.count() == 1)
+  }
+
+  test("orc roundtrip preserves schema and pushes predicates to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val d = Tables.load(spark, sfDir, "documents").limit(100)
+    Orc.write(d, s"$dir/docs")
+    val back = Orc.read(spark, s"$dir/docs")
+    assert(back.schema == d.schema)
+    assert(back.count() == 100)
+    // predicate reaches the ORC scan (same pushdown contract as parquet)
+    val plan = back.where($"doc_id" === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"no pushed filter in:\n$plan")
   }
 
   test("native char_shingle_count: Scala API, SQL registration, parity with composed form") {
