@@ -550,6 +550,51 @@ object DedupQueries {
         |FROM fp
         |WHERE NOT EXISTS (SELECT 1 FROM known WHERE known.fp = fp.fp)
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin))
+        |ORDER BY lang""".stripMargin)),
+
+    // Keyed MERGE/upsert — the CDC maintenance pass a corpus table
+    // needs between crawls: matched keys take the update's content,
+    // unmatched update keys insert, everything else is kept. One
+    // full-outer sort-merge join on the key — both sides shuffle on
+    // doc_id once; at 100 TB bucketing or Z-order layout on doc_id
+    // (ops/Layout) makes the rewrite partition-aligned instead of a
+    // full-table shuffle. The updates batch is simulated from the
+    // corpus (detHash slice rewrites content; a shifted-id slice
+    // inserts). Content compares by md5 so the gate never ships text.
+    QueryDef("merge_upsert_documents",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val base = d.select(col("doc_id"), col("text"))
+        val updates =
+          d.where(detHash(10L, col("doc_id")) === 1L)
+            .select(col("doc_id"), upper(col("text")).as("text"))
+          .union(
+            d.where(detHash(10L, col("doc_id")) === 2L)
+              .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        base.as("b")
+          .join(updates.as("u"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            md5(coalesce(col("u.text"), col("b.text"))).as("content_md5"),
+            when(col("u.text").isNotNull && col("b.text").isNotNull, "updated")
+              .when(col("b.text").isNull, "inserted")
+              .otherwise("kept").as("action"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |upd AS (
+        |  SELECT doc_id, upper(text) AS text FROM documents
+        |  WHERE ${detHashSql(10L, Seq("doc_id"))} = 1
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE ${detHashSql(10L, Seq("doc_id"))} = 2),
+        |m AS (
+        |  SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+        |    md5(coalesce(u.text, b.text)) AS content_md5,
+        |    CASE WHEN u.text IS NOT NULL AND b.text IS NOT NULL THEN 'updated'
+        |         WHEN b.text IS NULL THEN 'inserted'
+        |         ELSE 'kept' END AS action
+        |  FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id)
+        |SELECT doc_id, content_md5, action FROM m
+        |ORDER BY doc_id""".stripMargin))
   )
 }
