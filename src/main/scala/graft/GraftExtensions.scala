@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CharShingleDistinctCount, DotProduct, KmvDistinct,
-  MinHashSignature, SimHash16, WordShingleHashes, WordShingleMinHash}
+import graft.expressions.{CharShingleDistinctCount, DotProduct, FrequentItems,
+  KmvDistinct, MinHashSignature, SimHash16, WordShingleHashes, WordShingleMinHash}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions for SQL use:
@@ -58,6 +58,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(n: Int, _)) => KmvDistinct(c, n)
         case _ => throw new IllegalArgumentException(
           "kmv_distinct(longHashCol, kLiteral)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      new FunctionIdentifier("frequent_items"),
+      new ExpressionInfo(classOf[FrequentItems].getName, "frequent_items"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(cap: Int, _)) => FrequentItems(c, cap)
+        case _ => throw new IllegalArgumentException(
+          "frequent_items(stringCol, capacityLiteral)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((

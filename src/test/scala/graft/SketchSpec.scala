@@ -70,6 +70,14 @@ class SketchSpec extends SparkSpec {
     assert(cands.sorted.sameElements(cands)) // deterministic sorted output
   }
 
+  test("frequent_items is callable from SQL via extensions") {
+    (1 to 90).map(i => s"w${i % 9}").toDF("w").createOrReplaceTempView("fi_in")
+    val cands = spark.sql(
+      "SELECT explode(frequent_items(w, 16)) AS w FROM fi_in")
+      .as[String].collect()
+    assert(cands.length == 9)
+  }
+
   test("kmv empty input returns 0, all-null input returns 0") {
     val empty = Seq.empty[Int].toDF("v")
     assert(empty.agg(GraftFunctions.kmvDistinct(col("v"), 64)).as[Long].head() == 0L)
