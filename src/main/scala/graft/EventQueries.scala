@@ -298,6 +298,55 @@ object EventQueries {
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Z-score anomaly detection per event type — the monitoring pass
+    // over a metric stream. Two scans, both aggregating to |types|
+    // rows broadcast back (never a per-row shuffle): pass 1 the
+    // decimal-exact mean, pass 2 the decimal-exact variance around
+    // that broadcast mean; the flag itself is a scan-local predicate.
+    // Deviations are IEEE-double identical in both engines because
+    // they derive from the same rounded mean; sums cross engines via
+    // DECIMAL. n>1 guard keeps the (n-1) divisor safe under ANSI.
+    QueryDef("events_anomaly_zscore",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val v = col("value").cast(DecimalType(18, 6))
+        val stats = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round((sum(v) / count(lit(1))).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mean"))
+          .where(col("n") > 1)
+        val dev = e.join(broadcast(stats), "event_type")
+          .withColumn("dev", col("value") - col("mean"))
+        val vars = dev.groupBy(col("event_type"))
+          .agg(round((sum((col("dev") * col("dev")).cast(DecimalType(28, 10))) /
+            (count(lit(1)) - 1)).cast(DecimalType(28, 10)), 6)
+            .cast("double").as("variance"))
+        dev.join(broadcast(vars), "event_type")
+          .withColumn("z", round(col("dev") / sqrt(col("variance")), 3))
+          .where(abs(col("z")) > 3)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(round(CAST(SUM(value::DECIMAL(18,6)) / COUNT(*)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean
+        |  FROM events GROUP BY 1 HAVING COUNT(*) > 1),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    e.value - m.mean AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |v AS (
+        |  SELECT event_type,
+        |    CAST(round(CAST(SUM((dev * dev)::DECIMAL(28,10)) / (COUNT(*) - 1)
+        |      AS DECIMAL(28,10)), 6) AS DOUBLE) AS variance
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  round(d.dev / sqrt(v.variance), 3) AS z
+        |FROM d JOIN v USING (event_type)
+        |WHERE abs(round(d.dev / sqrt(v.variance), 3)) > 3
+        |ORDER BY d.event_id""".stripMargin)),
+
     // KMV distinct-count sketch vs the exact count, per event type.
     // COUNT(DISTINCT) at 100 TB shuffles every raw key; the sketch is
     // one pass with O(k) mergeable state and map-side partials (see

@@ -179,6 +179,46 @@ object TextQueries {
         |  + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum / quality binning: fixed-width score bins with
+    // per-bin volume and length stats — the histogram a data-mixing
+    // run consults before weighting strata. Fixed-width binning (not
+    // ntile) on purpose: ntile needs a GLOBAL sort of the corpus,
+    // while floor(q·10) is scan-local and the aggregate is one
+    // map-side-combined shuffle of ≤10 groups. Both engines compute
+    // the identical IEEE double for q·10, so the bin edges agree even
+    // at surprising-float boundaries (0.7×10 → 6.999… in BOTH).
+    QueryDef("quality_bins_documents",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val q = round(Text.qualityScore(col("text")), 6)
+        d.select(least(floor(q * 10).cast("long"), lit(9L)).as("bin"),
+            col("n_chars"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            round((sum(col("n_chars").cast(DecimalType(18, 4))) / count(lit(1)))
+              .cast(DecimalType(18, 4)), 2).cast("double").as("avg_chars"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS len,
+        |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw
+        |  FROM documents),
+        |sc AS (
+        |  SELECT n_chars, round(
+        |    (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM q)
+        |SELECT least(floor(quality * 10), 9)::BIGINT AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(round(CAST(SUM(n_chars::DECIMAL(18,4)) / COUNT(*)
+        |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS avg_chars
+        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // Language-ID heuristic — stopword-profile argmax per document,
     // reported as a per-language histogram (verifies every row's
     // classification through the counts).
