@@ -531,6 +531,16 @@ object Similarity {
     * scan-local work, no shuffle before the per-id combine. Ranks by
     * the ROUNDED cosine so engines agree at ulp boundaries.
     * Returns (idCol, __emb, __nrm, cell).
+    *
+    * Plan note: this aggregate plans as SortAggregate — carrying the
+    * vector through `first(__emb)` makes a buffer non-primitive, so
+    * the packed-long argmax trick (hard_negatives_pool) cannot lift
+    * it into HashAggregate. Deliberate trade: the sort is map-side
+    * over rows × C with C small (a coarse codebook is ≤ thousands of
+    * cells), while the hash-friendly alternative — aggregate
+    * (id, cell) alone and re-join the vectors — costs a full corpus
+    * shuffle. Packed-long wins only when nothing else in the
+    * aggregate needs an array buffer.
     */
   private def assignCells(e: DataFrame, centroids: DataFrame,
                           idCol: String): DataFrame = {
