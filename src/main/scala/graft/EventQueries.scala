@@ -298,6 +298,33 @@ object EventQueries {
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Daily trending: top-3 event types per day by volume — the
+    // rank-within-window report every activity dashboard runs. One
+    // (day, type) hash aggregate, then a rank window on day that
+    // WindowGroupLimit prunes to 3 rows per day BEFORE the sort
+    // materializes; group cardinality is days × types, so the window
+    // shuffle is tiny no matter the event volume.
+    QueryDef("events_trending_daily",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val counts = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("day"))
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .orderBy(col("day"), col("rk"))
+      },
+      Some("""WITH c AS (
+        |  SELECT ts::DATE AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n,
+        |        row_number() OVER (PARTITION BY day
+        |                           ORDER BY n DESC, event_type) AS rk
+        |      FROM c)
+        |SELECT day, event_type, n, rk::INT AS rk FROM r WHERE rk <= 3
+        |ORDER BY day, rk""".stripMargin)),
+
     // Z-score anomaly detection per event type — the monitoring pass
     // over a metric stream. Two scans, both aggregating to |types|
     // rows broadcast back (never a per-row shuffle): pass 1 the

@@ -376,6 +376,49 @@ object StarQueries {
         |    AS avg_yearly,
         |  COUNT(*) AS n_lines
         |FROM li JOIN a ON l_partkey = pk
-        |WHERE l_quantity < 0.2 * avg_q""".stripMargin))
+        |WHERE l_quantity < 0.2 * avg_q""".stripMargin)),
+
+    // Q22 adaptation (no c_phone in this schema → grouped by nation;
+    // every customer here has SOME order, so dormancy = no order
+    // since 2000-01-01): high-balance customers gone quiet. The
+    // three-piece shape: a broadcast scalar threshold (one row), a
+    // left-anti join against the fact's (filtered) key column only —
+    // the date predicate pushes to the orders scan and the anti-join
+    // shuffle ships custkeys, not orders — and a broadcast dim
+    // rollup. Decimal average and sums for cross-engine exactness.
+    QueryDef("q22_sales_opportunity",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val n = Tables.load(s, dir, "nation")
+        val avgBal = c.where(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            / count(lit(1))).cast("double").as("__ab"))
+        val recent = o.where(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey"))
+        c.crossJoin(broadcast(avgBal))
+          .where(col("c_acctbal") > col("__ab"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_custs"),
+            dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*)
+        |    AS DOUBLE) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |CROSS JOIN ab
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin))
   )
 }
