@@ -44,6 +44,20 @@ object StressBench {
       cc.unpersist()
       rows
     }
+
+    // sketch-vs-exact distinct at high cardinality: 50M values over
+    // 64 groups, ~780k distinct per group — the regime where exact
+    // COUNT(DISTINCT) shuffles every key and the KMV sketch shuffles
+    // k longs per (group, partition)
+    import graft.functions.GraftFunctions
+    val wide = spark.range(50L * 1000 * 1000)
+      .select((col("id") % 64).as("g"), col("id"))
+    timed("exactDistinct50M")(
+      wide.groupBy(col("g")).agg(countDistinct(col("id"))).count())
+    timed("kmvDistinct50M")(
+      wide.groupBy(col("g"))
+        .agg(GraftFunctions.kmvDistinct(col("id"), 256)).count())
+
     println(s"""{"corpus_rows":$n,"copies":$copies,"sf":"$sfDir"}""")
     spark.stop()
   }
