@@ -172,6 +172,40 @@ object EventQueries {
         |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin)),
 
+    // 7-day moving average per event type over the daily rollup — the
+    // smoothing window every metric dashboard draws. Two stages, both
+    // tiny after the first aggregate: the (day, type) rollup shuffles
+    // once on its natural key, the sliding frame then runs over
+    // days × types rows. Decimal sum over the frame ÷ exact frame
+    // count keeps the average engine-exact; at the series head the
+    // frame is shorter, so the divisor is count() over the SAME
+    // frame, not the constant 7.
+    QueryDef("events_moving_avg_7d",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))
+          .rowsBetween(-6, Window.currentRow)
+        daily.select(col("day"), col("event_type"), col("n"),
+            round((sum(col("n").cast(DecimalType(18, 4))).over(w) /
+              count(lit(1)).over(w)).cast(DecimalType(18, 4)), 2)
+              .cast("double").as("ma7"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT ts::DATE AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        |  CAST(round(CAST(
+        |    SUM(n::DECIMAL(18,4)) OVER w / COUNT(*) OVER w
+        |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day, event_type""".stripMargin)),
+
     // Per-user activity profile.
     QueryDef("events_user_stats",
       (s, dir) => {
