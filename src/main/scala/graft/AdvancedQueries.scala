@@ -262,7 +262,7 @@ object AdvancedQueries {
           .select(col("doc_id"), explode(array(lit(0), lit(1))).as("j"),
             col("pool_n"))
           .withColumn("pool_idx",
-            pmod(md5Long(concat(col("doc_id").cast("string"), lit(":"),
+            pmod(hash60(concat(col("doc_id").cast("string"), lit(":"),
               col("j").cast("string"))), col("pool_n")))
         draws.join(broadcast(pool), "pool_idx")
           .where(col("neg_doc_id") =!= col("doc_id"))

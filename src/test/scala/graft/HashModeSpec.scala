@@ -129,7 +129,11 @@ class HashModeSpec extends SparkSpec {
     withXx {
       val names = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "mix_sample_documents", "text_fingerprint", "text_rolling_fingerprint",
-        "pack_sequences", "group_split_customers")
+        "pack_sequences", "group_split_customers",
+        // r4 hash-path queries: kmv sketch (hash60), pool draws
+        // (hash60 + detHash), merge slices (detHash)
+        "sketch_distinct_kmv", "negative_sample_pairs",
+        "hard_negatives_pool", "merge_upsert_documents")
       for (n <- names) {
         val rows = SparkEntry.queries(n)(spark, sfDir).count()
         assert(rows > 0, s"$n returned no rows in xxhash64 mode")
