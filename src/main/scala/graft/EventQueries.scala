@@ -259,6 +259,38 @@ object EventQueries {
         |WHERE event_type = 'purchase' AND prev_us IS NOT NULL
         |ORDER BY event_id""".stripMargin)),
 
+    // Binned range join: clicks in the 10 minutes before each error,
+    // per user — the "what led up to this" correlation query. The
+    // naive same-key range join is per-user quadratic (every
+    // click × error pair post-filtered); Relational.rangeJoinBinned
+    // equi-joins on (user, time-bucket) with two bucket votes per
+    // error, so the shuffle key bounds each reducer by per-window
+    // traffic. Errors with no preceding click drop out (inner join),
+    // matching the oracle's correlated count.
+    QueryDef("events_range_join_binned",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val errors = e.where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id").as("e_uid"),
+            col("ts_us").as("e_us"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id").as("c_uid"), col("ts_us").as("c_us"))
+        graft.ops.Relational.rangeJoinBinned(errors, clicks,
+            "e_uid", "c_uid", "e_us", "c_us", windowUs = 600000000L)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_prior_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, COUNT(*) AS n_prior_clicks
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000
+        | AND epoch_us(c.ts) < epoch_us(e.ts)
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Exact value percentiles per event type (p50/p90/p99) — Spark's
     // percentile == DuckDB's quantile_cont (both linear-interpolate
     // over the sorted values; exact, not a sketch). At 100 TB switch

@@ -207,4 +207,35 @@ object Relational {
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt_r"))
       .drop("__salt", "__salt_r")
   }
+
+  /** Binned range join: right rows whose integer timestamp falls in
+    * the left row's trailing window [leftTs − windowUs, leftTs).
+    *
+    * The naive formulation (equi-join on the key + range predicate)
+    * makes Spark join EVERY same-key pair and post-filter — per-key
+    * quadratic, the classic range-join trap. Binning fixes the shape:
+    * each right row lands in ONE windowUs-wide bucket, each left row
+    * votes its window's TWO possible buckets (the window is exactly
+    * one bucket long, so floor((lts−W)/W) = floor(lts/W) − 1 covers
+    * every matching right bucket), and the join becomes an equi-join
+    * on (key, bucket) — shuffle on a compound key whose per-reducer
+    * load is bounded by the key's traffic per window, not its total
+    * history. A right row matches through exactly one vote, so no
+    * post-join dedup is needed. Bucket arithmetic is integral
+    * (`div`), immune to double rounding at bucket edges. Column names
+    * across the two sides must be distinct.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTsUs: String, rightTsUs: String,
+                      windowUs: Long): DataFrame = {
+    val r = right.withColumn("__rb", expr(s"$rightTsUs div ${windowUs}L"))
+    val l = left.withColumn("__lb", explode(array(
+      expr(s"($leftTsUs - ${windowUs}L) div ${windowUs}L"),
+      expr(s"$leftTsUs div ${windowUs}L"))))
+    l.join(r, col(leftKey) === col(rightKey) && col("__lb") === col("__rb") &&
+        col(rightTsUs) >= col(leftTsUs) - windowUs &&
+        col(rightTsUs) < col(leftTsUs))
+      .drop("__lb", "__rb")
+  }
 }
