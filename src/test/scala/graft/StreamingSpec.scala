@@ -26,6 +26,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("a", 2L), ("a", 1L), ("b", 1L)))
   }
 
+  test("append-mode windowed counts emit a window only after the watermark closes it") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streams.windowedCounts(
+        mem.toDF().toDF("ts", "k"), "ts", "10 minutes", "1 minute", Seq("k"))
+      .writeStream.format("memory").queryName("winap").outputMode("append").start()
+    mem.addData((ts(0), "a"), (ts(1), "a"))
+    q.processAllAvailable()
+    // watermark hasn't passed the [0,10) window end — nothing emitted
+    assert(spark.sql("SELECT * FROM winap").count() == 0)
+    // an event at minute 30 advances the watermark to 29 > 10: the
+    // first window closes and is emitted exactly once, final counts
+    mem.addData((ts(30), "a"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT k, n FROM winap").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 2L)))
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
