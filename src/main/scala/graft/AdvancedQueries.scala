@@ -237,6 +237,39 @@ object AdvancedQueries {
           |  COUNT(DISTINCT $cn) AS n_distinct FROM documents""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
 
+    // Data-contract gate (ops/Contract): the whole rule set costs ONE
+    // scan — each rule is a conditional sum in a single aggregate,
+    // unpivoted to a report row; the uniqueness rule is a count −
+    // distinct in a second tiny aggregate. NULL never passes a rule.
+    QueryDef("data_contract_documents",
+      (s, dir) => {
+        import graft.ops.Contract
+        val d = Tables.load(s, dir, "documents")
+        Contract.violations(d, Seq(
+            "doc_id_not_null" -> col("doc_id").isNotNull,
+            "lang_in_domain" -> col("lang").isin("en", "de", "zh", "fr", "es"),
+            "n_chars_matches_text" -> (col("n_chars") === length(col("text"))),
+            "n_chars_min_100" -> (col("n_chars") >= 100)))
+          .union(Contract.keyDuplicates(d, "doc_id"))
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT 'doc_id_not_null' AS rule,
+        |  COUNT(*) - COUNT(*) FILTER (WHERE doc_id IS NOT NULL) AS violations
+        |FROM documents
+        |UNION ALL SELECT 'lang_in_domain',
+        |  COUNT(*) - COUNT(*) FILTER (WHERE lang IN ('en','de','zh','fr','es'))
+        |FROM documents
+        |UNION ALL SELECT 'n_chars_matches_text',
+        |  COUNT(*) - COUNT(*) FILTER (WHERE n_chars = length(text))
+        |FROM documents
+        |UNION ALL SELECT 'n_chars_min_100',
+        |  COUNT(*) - COUNT(*) FILTER (WHERE n_chars >= 100)
+        |FROM documents
+        |UNION ALL SELECT 'unique_doc_id',
+        |  COUNT(*) - COUNT(DISTINCT doc_id)
+        |FROM documents
+        |ORDER BY rule""".stripMargin)),
+
     // Deterministic negative sampling for contrastive training pairs:
     // each anchor doc draws 2 negatives from a broadcast candidate
     // pool. The pool is a detHash sample (~1/10 of the corpus here; at

@@ -78,6 +78,26 @@ class SketchSpec extends SparkSpec {
     assert(cands.length == 9)
   }
 
+  test("contract violations: nulls violate, rules count independently, dup keys surface") {
+    import graft.ops.Contract
+    val df = Seq(
+      (Some(1L), Some("en"), 5),
+      (Some(1L), Some("xx"), -1), // dup key + bad lang + bad range
+      (None, None, 10)            // null key + null lang
+    ).toDF("id", "lang", "n")
+    val v = Contract.violations(df, Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "lang_in_domain" -> col("lang").isin("en", "de"),
+        "n_nonneg" -> (col("n") >= 0)))
+      .union(Contract.keyDuplicates(df, "id"))
+      .as[(String, Long)].collect().toMap
+    // unique_id = rows(3) − distinct non-null keys(1) = 2: the true
+    // dup pair contributes 1 and the null key contributes 1 (DISTINCT
+    // ignores nulls in both engines — null keys surface as violations)
+    assert(v == Map("id_not_null" -> 1L, "lang_in_domain" -> 2L,
+      "n_nonneg" -> 1L, "unique_id" -> 2L))
+  }
+
   test("kmv empty input returns 0, all-null input returns 0") {
     val empty = Seq.empty[Int].toDF("v")
     assert(empty.agg(GraftFunctions.kmvDistinct(col("v"), 64)).as[Long].head() == 0L)
