@@ -25,7 +25,8 @@ import graft.pipeline.{ChatMessage, CodeAct, LlmClient, Sandbox}
   * deployment would front this with any standard HTTP stack).
   */
 final class GraftServer(clients: Map[String, LlmClient], sandbox: Sandbox,
-                        maxRounds: Int = 5) {
+                        maxRounds: Int = 5,
+                        annIndex: Seq[(Long, Array[Double])] = Nil) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -63,6 +64,39 @@ final class GraftServer(clients: Map[String, LlmClient], sandbox: Sandbox,
       val resp = mapper.createObjectNode()
       resp.put("content", client.run(msgs))
       resp
+    })
+
+    // the serving face of the ANN family: the BATCH operators build
+    // and compress the corpus-scale index (ivfPqTopK etc.); what an
+    // online endpoint holds is a broadcast-sized slice (a cell, a
+    // centroid table, a candidate pool) scored exactly — same round-6
+    // cosine and (cos desc, id) tie-break as every batch ANN query,
+    // so online and offline rankings cannot disagree
+    server.createContext("/ann/topk", (ex: HttpExchange) => handle(ex) { body =>
+      val req = mapper.readTree(body)
+      val it = req.path("vector").elements()
+      val q = Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next().asDouble()).toArray
+      if (q.isEmpty) throw new IllegalArgumentException("vector required")
+      val k = if (req.hasNonNull("k")) req.get("k").asInt else 5
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { s += a(i) * b(i); i += 1 }; s
+      }
+      val qn = math.sqrt(dot(q, q))
+      val scored = annIndex.map { case (id, v) =>
+        val c = dot(q, v) / (qn * math.sqrt(dot(v, v)))
+        val rounded = BigDecimal(c)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, rounded)
+      }.sortBy { case (id, c) => (-c, id) }.take(k)
+      val arr = mapper.createArrayNode()
+      scored.foreach { case (id, c) =>
+        val o = mapper.createObjectNode()
+        o.put("id", id); o.put("cos", c); arr.add(o)
+      }
+      arr
     })
 
     server.start()

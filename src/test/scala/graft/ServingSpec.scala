@@ -65,4 +65,29 @@ class ServingSpec extends AnyFunSuite {
       assert(c4 == 400)
     } finally srv.stop()
   }
+
+  test("ann/topk serves the in-memory slice with batch-identical ranking") {
+    val index = Seq(
+      1L -> Array(1.0, 0.0), // cos 1.0 with the query
+      2L -> Array(1.0, 1.0), // cos ~0.707107
+      3L -> Array(0.0, 1.0), // cos 0.0
+      4L -> Array(2.0, 0.0)) // cos 1.0 — ties with id 1, id breaks it
+    val srv = new GraftServer(Map.empty, MockSandbox(), annIndex = index)
+    val base = s"http://127.0.0.1:${srv.start().getPort}"
+    try {
+      val (code, body) = post(base, "/ann/topk",
+        """{"vector": [1.0, 0.0], "k": 3}""")
+      assert(code == 200)
+      val hits = mapper.readTree(body)
+      assert(hits.size() == 3)
+      assert(hits.get(0).path("id").asLong() == 1L) // tie → lowest id first
+      assert(hits.get(1).path("id").asLong() == 4L)
+      assert(hits.get(0).path("cos").asDouble() == 1.0)
+      assert(hits.get(2).path("id").asLong() == 2L)
+      assert(hits.get(2).path("cos").asDouble() == 0.707107)
+
+      val (c2, err) = post(base, "/ann/topk", """{"k": 3}""")
+      assert(c2 == 400 && err.contains("vector required"))
+    } finally srv.stop()
+  }
 }
