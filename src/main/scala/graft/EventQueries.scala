@@ -206,6 +206,35 @@ object EventQueries {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day, event_type""".stripMargin)),
 
+    // Incremental rollup maintenance: the stored historical aggregate
+    // plus the new partition's partial aggregate, COMBINED, must equal
+    // a full recompute — which is exactly what the oracle asserts
+    // (it aggregates the whole table from scratch). This works only
+    // because the partials stay algebraic: counts add, and sums stay
+    // DECIMAL until the final cast (double partials would make the
+    // merged total order-dependent). At 100 TB this is the nightly
+    // pattern: the history side is a stored table read, never a
+    // rescan; only the delta touches raw events.
+    QueryDef("incremental_agg_update",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("day", to_date(col("ts")))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        val hist = partial(e.where(col("day") < "2024-01-25")) // stored rollup
+        val delta = partial(e.where(col("day") >= "2024-01-25")) // new data
+        hist.union(delta)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("sv")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Per-user activity profile.
     QueryDef("events_user_stats",
       (s, dir) => {
