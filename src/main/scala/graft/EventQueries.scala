@@ -206,6 +206,46 @@ object EventQueries {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day, event_type""".stripMargin)),
 
+    // Exact Pearson correlation (value vs hour-of-day, per type) —
+    // built from five DECIMAL-exact moment sums rather than corr(),
+    // whose double accumulation is partitioning- and engine-ordered.
+    // The final formula runs in IEEE doubles from identical decimal
+    // inputs, so both engines produce the same bits; one scan, one
+    // |types|-row aggregate.
+    QueryDef("events_corr_value_hour",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            hour(col("ts")).cast(DecimalType(18, 6)).as("x"),
+            col("value").cast(DecimalType(18, 6)).as("y"))
+        val m = e.groupBy(col("event_type")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        m.select(col("event_type"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (
+        |  SELECT event_type,
+        |    COUNT(*)::DOUBLE AS n,
+        |    SUM(hour(ts)::DECIMAL(18,6))::DOUBLE AS sx,
+        |    SUM(value::DECIMAL(18,6))::DOUBLE AS sy,
+        |    SUM(hour(ts)::DECIMAL(18,6) * hour(ts)::DECIMAL(18,6))::DOUBLE AS sxx,
+        |    SUM(value::DECIMAL(18,6) * value::DECIMAL(18,6))::DOUBLE AS syy,
+        |    SUM(hour(ts)::DECIMAL(18,6) * value::DECIMAL(18,6))::DOUBLE AS sxy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM m ORDER BY event_type""".stripMargin)),
+
     // Incremental rollup maintenance: the stored historical aggregate
     // plus the new partition's partial aggregate, COMBINED, must equal
     // a full recompute — which is exactly what the oracle asserts

@@ -83,4 +83,22 @@ class RelationalSpec extends SparkSpec {
       salts = 4, saltBy = Seq(col("row_id")))
     assert(sameName.count() == plain.count())
   }
+
+  test("rangeJoinBinned equals the naive range join, including bucket-edge pairs") {
+    // timestamps straddle many bucket boundaries of W=100: pairs at
+    // exact edges (rts = lts - W, rts = lts) must resolve identically
+    val left = (1 to 40).map(i => (i.toLong % 3, 1000L + i * 37L, i))
+      .toDF("lk", "lts", "lid")
+    val right = (1 to 60).map(j => (j.toLong % 3, 980L + j * 23L, j))
+      .toDF("rk", "rts", "rid")
+    val binned = Relational.rangeJoinBinned(left, right,
+        "lk", "rk", "lts", "rts", windowUs = 100L)
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    val naive = left.join(right,
+        col("lk") === col("rk") &&
+          col("rts") >= col("lts") - 100L && col("rts") < col("lts"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
 }
