@@ -59,4 +59,21 @@ object Layout {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-files compaction: size the output file count from the
+    * plan's own statistics (for a file scan, the source bytes) so
+    * each output file lands near `targetBytes`. The other half of the
+    * layout story: streaming ingest and fine-grained upserts leave
+    * thousands of KB-scale files whose open/footer cost dominates the
+    * scan at 100 TB; periodic compaction to ~128 MB–1 GB files
+    * restores scan efficiency. Returns the repartitioned frame —
+    * callers choose the sink (plain parquet, or writeZordered to
+    * re-cluster while compacting).
+    */
+  def compact(df: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = ((bytes + targetBytes - 1) / targetBytes).toInt.max(1)
+    df.repartition(files)
+  }
 }

@@ -65,4 +65,28 @@ class LayoutSpec extends SparkSpec {
     assert(hitX <= st.length / 2, s"x<32 hits $hitX of ${st.length} files")
     assert(hitY <= st.length / 2, s"y<32 hits $hitY of ${st.length} files")
   }
+
+  test("compact sizes output files from plan stats and preserves rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val d = Tables.load(spark, sfDir, "documents")
+    // simulate fine-grained ingest: 64 tiny files
+    d.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    val small = spark.read.parquet(s"$dir/small")
+    val nSmallFiles = new java.io.File(s"$dir/small")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nSmallFiles >= 32, s"expected many small files, got $nSmallFiles")
+
+    Layout.compact(small, targetBytes = 512 * 1024)
+      .write.mode("overwrite").parquet(s"$dir/big")
+    val big = spark.read.parquet(s"$dir/big")
+    val nBigFiles = new java.io.File(s"$dir/big")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nBigFiles < nSmallFiles / 4,
+      s"compaction left $nBigFiles files (from $nSmallFiles)")
+    assert(big.count() == d.count())
+    // content identical, not just counts
+    assert(big.select(col("doc_id")).as[Long].collect().sorted
+      .sameElements(d.select(col("doc_id")).as[Long].collect().sorted))
+  }
 }
