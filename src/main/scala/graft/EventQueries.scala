@@ -433,6 +433,33 @@ object EventQueries {
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Event-transition (Markov) matrix: counts of consecutive
+    // event-type pairs within each user's timeline — the "what do
+    // users do next" table behind journey analysis and funnel
+    // hypothesis mining. One lag window per user (one shuffle on
+    // user_id), then a tiny types² aggregate; (ts, event_id) ordering
+    // makes same-timestamp sequences deterministic.
+    QueryDef("events_transition_counts",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        e.withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("prev"), col("event_type"))
+      },
+      Some("""WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type, COUNT(*) AS n
+        |FROM t WHERE prev IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, prev, event_type""".stripMargin)),
+
     // Daily trending: top-3 event types per day by volume — the
     // rank-within-window report every activity dashboard runs. One
     // (day, type) hash aggregate, then a rank window on day that
