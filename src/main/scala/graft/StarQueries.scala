@@ -286,6 +286,54 @@ object StarQueries {
         |ORDER BY zkey, o_orderkey
         |LIMIT 20""".stripMargin)),
 
+    // RFM customer segmentation — the classic recency / frequency /
+    // monetary bucketing behind lifecycle marketing reports. One
+    // per-customer aggregate on the natural key (combiner-friendly),
+    // scan-local bucket assignment against fixed edges (no ntile — a
+    // global sort over customers would be the scale mistake), then a
+    // tiny segment rollup. Monetary sums are decimal-exact.
+    QueryDef("rfm_segments",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val per = o.groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("freq"),
+            dsum(col("o_totalprice")).as("monetary"))
+        per.select(
+            when(col("last_day") >= "2000-01-01", "active")
+              .otherwise("lapsed").as("recency"),
+            when(col("freq") >= 15, "frequent")
+              .otherwise("occasional").as("frequency"),
+            when(col("monetary") >= 1500000.0, "big")
+              .otherwise("small").as("monetary_band"),
+            col("monetary"))
+          .groupBy(col("recency"), col("frequency"), col("monetary_band"))
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("monetary")).as("total_spend"))
+          .orderBy(col("recency"), col("frequency"), col("monetary_band"))
+      },
+      Some("""WITH per AS (
+        |  SELECT o_custkey,
+        |    MAX(o_orderdate::DATE) AS last_day,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT
+        |    CASE WHEN last_day >= DATE '2000-01-01' THEN 'active'
+        |         ELSE 'lapsed' END AS recency,
+        |    CASE WHEN freq >= 15 THEN 'frequent'
+        |         ELSE 'occasional' END AS frequency,
+        |    CASE WHEN monetary >= 1500000.0 THEN 'big'
+        |         ELSE 'small' END AS monetary_band,
+        |    monetary
+        |  FROM per)
+        |SELECT recency, frequency, monetary_band,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM seg GROUP BY 1, 2, 3
+        |ORDER BY recency, frequency, monetary_band""".stripMargin)),
+
     // Q13 shape — customer order-count distribution: LEFT join so
     // zero-order customers land in the c_count=0 bucket, then a
     // distribution over the counts. Two aggregations, each one
