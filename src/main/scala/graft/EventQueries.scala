@@ -433,6 +433,54 @@ object EventQueries {
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Co-usage Jaccard between event types — "which features share an
+    // audience". The intersection counts come from the repo's
+    // group-then-pair pattern: each user's (small, ≤|types|) distinct
+    // type set explodes to ordered pairs, so the shuffle carries
+    // users × pairs-per-user rows and NO type⋈type join of user sets
+    // ever forms (the oracle, free to be naive at sf, uses the plain
+    // self-join — same semantics, different shape, which is the
+    // point). Union sizes by inclusion-exclusion from the broadcast
+    // per-type distinct counts; decimal-quotient round for the ratio.
+    QueryDef("events_type_overlap",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val ut = e.select(col("user_id"), col("event_type")).distinct()
+        val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+        val pairs = ut.groupBy(col("user_id"))
+          .agg(sort_array(collect_set(col("event_type"))).as("arr"))
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+              |  transform(slice(arr, i + 2, size(arr)),
+              |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+          .select(col("p.a").as("t_a"), col("p.b").as("t_b"))
+          .groupBy(col("t_a"), col("t_b")).agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(perType.select(col("event_type").as("t_a"),
+            col("nu").as("nu_a"))), "t_a")
+          .join(broadcast(perType.select(col("event_type").as("t_b"),
+            col("nu").as("nu_b"))), "t_b")
+          .select(col("t_a"), col("t_b"), col("n_both"),
+            round((col("n_both").cast(DecimalType(18, 8)) /
+              (col("nu_a") + col("nu_b") - col("n_both")))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("jaccard"))
+          .orderBy(col("t_a"), col("t_b"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nt AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS t_a, b.event_type AS t_b,
+        |        count(*) AS n_both
+        |      FROM ut a JOIN ut b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT t_a, t_b, n_both,
+        |  CAST(round(CAST(n_both::DECIMAL(18,8) /
+        |    (na.nu + nb.nu - n_both) AS DECIMAL(18,8)), 6) AS DOUBLE) AS jaccard
+        |FROM p
+        |JOIN nt na ON na.event_type = t_a
+        |JOIN nt nb ON nb.event_type = t_b
+        |ORDER BY t_a, t_b""".stripMargin)),
+
     // Event-transition (Markov) matrix: counts of consecutive
     // event-type pairs within each user's timeline — the "what do
     // users do next" table behind journey analysis and funnel
