@@ -433,6 +433,38 @@ object EventQueries {
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // DAU / WAU engagement: daily actives plus the 7-day rolling
+    // distinct-user count. Rolling DISTINCT cannot ride a window
+    // frame (frames aggregate rows, not sets), so each (day, user)
+    // contributes itself to the 7 window-end days and the per-day
+    // distinct collapses the overlap — shuffle carries
+    // distinct-(day,user) × 7 rows, never raw events. Head days have
+    // partial windows by construction (both engines agree).
+    QueryDef("events_dau_wau",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val du = e.select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("day_w"), col("user_id"))
+          .groupBy(col("day_w"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, col("day") === col("day_w"))
+          .select(col("day"), col("dau"), col("wau"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+        |  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |wau AS (
+        |  SELECT day + i::INT AS day_w, COUNT(DISTINCT user_id) AS wau
+        |  FROM du, range(0, 7) t(i) GROUP BY 1)
+        |SELECT day, dau, wau
+        |FROM dau JOIN wau ON day = day_w
+        |ORDER BY day""".stripMargin)),
+
     // Co-usage Jaccard between event types — "which features share an
     // audience". The intersection counts come from the repo's
     // group-then-pair pattern: each user's (small, ≤|types|) distinct
