@@ -219,6 +219,63 @@ object TextQueries {
         |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS avg_chars
         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // Per-source corpus report: volume, decimal-exact mean quality and
+    // length, and the dominant language — the table a curation run
+    // reads before reweighting sources. Two aggregates on the natural
+    // key (source, and source × lang for the mode) plus a rank window
+    // over |sources × langs| rows; raw documents shuffle once.
+    QueryDef("source_quality_report",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val q = round(Text.qualityScore(col("text")), 6)
+        val stats = d.select(col("source"), q.as("q"), col("n_chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round((sum(col("q").cast(DecimalType(18, 8))) / count(lit(1)))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("mean_quality"),
+            round((sum(col("n_chars").cast(DecimalType(18, 4))) / count(lit(1)))
+              .cast(DecimalType(18, 4)), 2).cast("double").as("mean_chars"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang"))
+        val topLang = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        stats.join(topLang, "source").orderBy(col("source"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT source, n_chars,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS len,
+        |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, n_chars, round(
+        |    (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM q),
+        |stats AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(round(CAST(SUM(quality::DECIMAL(18,8)) / COUNT(*)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_quality,
+        |    CAST(round(CAST(SUM(n_chars::DECIMAL(18,4)) / COUNT(*)
+        |      AS DECIMAL(18,4)), 2) AS DOUBLE) AS mean_chars
+        |  FROM sc GROUP BY 1),
+        |tl AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, count(*) AS n,
+        |      row_number() OVER (PARTITION BY source
+        |                         ORDER BY count(*) DESC, lang) AS rk
+        |    FROM documents GROUP BY source, lang)
+        |  WHERE rk = 1)
+        |SELECT source, n_docs, mean_quality, mean_chars, top_lang
+        |FROM stats JOIN tl USING (source)
+        |ORDER BY source""".stripMargin)),
+
     // Language-ID heuristic — stopword-profile argmax per document,
     // reported as a per-language histogram (verifies every row's
     // classification through the counts).
