@@ -334,6 +334,40 @@ object StarQueries {
         |FROM seg GROUP BY 1, 2, 3
         |ORDER BY recency, frequency, monetary_band""".stripMargin)),
 
+    // Month-over-month revenue growth — the seasonality/trend report.
+    // One month-grain aggregate (combiner-friendly, |months| output
+    // rows), then a lag window over the tiny monthly frame; the pct
+    // delta goes through the decimal-quotient guard. Raw orders
+    // shuffle once.
+    QueryDef("orders_monthly_growth",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val monthly = o
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("month")) // |months| rows only
+        monthly
+          .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+          .withColumn("mom_pct",
+            round(((col("revenue") - col("prev_rev"))
+              .cast(DecimalType(18, 6)) / col("prev_rev"))
+              .cast(DecimalType(18, 8)), 6).cast("double"))
+          .select(col("month"), col("n_orders"), col("revenue"), col("mom_pct"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, revenue,
+        |  CAST(round(CAST(CAST(revenue - lag(revenue) OVER (ORDER BY month)
+        |      AS DECIMAL(18,6)) / lag(revenue) OVER (ORDER BY month)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mom_pct
+        |FROM m ORDER BY month""".stripMargin)),
+
     // Q13 shape — customer order-count distribution: LEFT join so
     // zero-order customers land in the c_count=0 bucket, then a
     // distribution over the counts. Two aggregations, each one
