@@ -84,6 +84,22 @@ class RelationalSpec extends SparkSpec {
     assert(sameName.count() == plain.count())
   }
 
+  test("q6: every predicate reaches the parquet scan and only 4 columns are read") {
+    // plan-regression tripwire in the suite (PLANS.md catches shape
+    // drift only when regenerated; this fails the build immediately)
+    // formatted mode prints the FULL PushedFilters list (the default
+    // toString truncates long fields mid-name)
+    val plan = Queries.all.find(_.name == "q6_forecast_revenue").get
+      .fn(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate")
+      && plan.contains("LessThan(l_quantity"), s"filters not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_orderkey"),
+      s"scan reads more than the referenced columns: $readSchema")
+  }
+
   test("rangeJoinBinned equals the naive range join, including bucket-edge pairs") {
     // timestamps straddle many bucket boundaries of W=100: pairs at
     // exact edges (rts = lts - W, rts = lts) must resolve identically
