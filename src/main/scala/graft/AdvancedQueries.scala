@@ -272,8 +272,10 @@ object AdvancedQueries {
 
     // Deterministic negative sampling for contrastive training pairs:
     // each anchor doc draws 2 negatives from a broadcast candidate
-    // pool. The pool is a detHash sample (~1/10 of the corpus here; at
-    // 100 TB you size the divisor so the pool stays broadcastable),
+    // pool. The pool is Pools.detHashPool (divisor 10 here; at 100 TB
+    // you size the divisor so the pool stays broadcastable, and
+    // Pools.guardedBroadcast enforces it — over-budget pools degrade
+    // to a shuffle join instead of dying in the broadcast build),
     // indexed by a window that only ever runs over the pool — the
     // anchors side is a pure scan + broadcast join, no global ordering
     // over the corpus. Self-collisions are dropped (a doc can't be its
@@ -285,7 +287,7 @@ object AdvancedQueries {
         // pool-only window: bounded rows by construction (the pool
         // must fit a broadcast anyway), so the single-partition sort
         // is on the small side, never the corpus
-        val pool = d.where(detHash(10L, col("doc_id")) === 0L)
+        val pool = graft.ops.Pools.detHashPool(d, "doc_id", poolDivisor = 10L)
           .select(col("doc_id").as("neg_doc_id"))
           .withColumn("pool_idx",
             row_number().over(Window.orderBy(col("neg_doc_id"))).cast("long") - 1)
@@ -297,7 +299,7 @@ object AdvancedQueries {
           .withColumn("pool_idx",
             pmod(hash60(concat(col("doc_id").cast("string"), lit(":"),
               col("j").cast("string"))), col("pool_n")))
-        draws.join(broadcast(pool), "pool_idx")
+        draws.join(graft.ops.Pools.guardedBroadcast(pool), "pool_idx")
           .where(col("neg_doc_id") =!= col("doc_id"))
           .select(col("doc_id"), col("j"), col("neg_doc_id"))
           .orderBy(col("doc_id"), col("j"))

@@ -360,13 +360,15 @@ object DedupQueries {
         val u = d.select(col("doc_id"), col("text"))
           .union(d.where(col("doc_id") < 100L)
             .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        // array_distinct before explode: (doc_id, h) rows are distinct
+        // by construction, the precondition of the two-pass capped
+        // prefilter (and what the oracle's DISTINCT dex mirrors).
         val dex = u
           .select(col("doc_id"),
-            explode(graft.ops.Text.wordChunks(col("text"), 64, 48)).as("chunk"))
-          .select(col("doc_id"), md5(col("chunk")).as("h"))
-        dex.groupBy(col("h"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .where(size(col("ids")).between(2, MaxShingleDf))
+            explode(array_distinct(transform(
+              graft.ops.Text.wordChunks(col("text"), 64, 48),
+              c => md5(c)))).as("h"))
+        Similarity.cappedIdSets(dex, Seq("h"), "doc_id", MaxShingleDf, "ids")
           .select(explode(Similarity.orderedPairs(col("ids"))).as("p"))
           .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .agg(count(lit(1)).as("n_shared"))
@@ -408,9 +410,9 @@ object DedupQueries {
             floor(col("n_chars") / EditBandChars).cast("long").as("__b"))
         val bands = d.select(col("doc_id"), col("lang"),
           explode(array(col("__b"), col("__b") + 1)).as("__band"))
-        val pairs = bands.groupBy(col("lang"), col("__band"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("__ids"))
-          .where(size(col("__ids")).between(2, MaxBucketSize))
+        val pairs = Similarity
+          .cappedIdSets(bands, Seq("lang", "__band"), "doc_id",
+            MaxBucketSize, "__ids")
           .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
           .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
           .distinct()

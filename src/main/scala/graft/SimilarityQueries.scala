@@ -416,10 +416,15 @@ object SimilarityQueries {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
           .withColumn("nrm", vectorNorm(col("emb")))
-        val pool = e.where(detHash(20L, col("vec_id")) === 0L)
+        // divisor 20 at test scale; Pools.guardedBroadcast counts the
+        // pool and degrades to a shuffle join if a mis-sized divisor
+        // would blow the broadcast build (embedding rows are wide —
+        // budget rows accordingly at deploy time)
+        val pool = graft.ops.Pools.detHashPool(e, "vec_id", poolDivisor = 20L)
           .select(col("vec_id").as("neg_id"), col("emb").as("pemb"),
             col("nrm").as("pnrm"))
-        e.join(broadcast(pool), col("neg_id") =!= col("vec_id"))
+        e.join(graft.ops.Pools.guardedBroadcast(pool),
+            col("neg_id") =!= col("vec_id"))
           .select(col("vec_id"),
             round(dotProduct(col("emb"), col("pemb")) /
               (col("nrm") * col("pnrm")), 6).as("cos"),

@@ -45,6 +45,35 @@ object StressBench {
       rows
     }
 
+    // adversarial hot bucket: ONE bucket holds 1M ids (an empty-text
+    // length band / boilerplate shingle at corpus scale) next to 100k
+    // normal 2-id buckets. The two-pass prefilter must drop the hot
+    // bucket from the count pass alone — no 1M-element set ever
+    // materializes in an aggregation buffer. Output = 100k pairs from
+    // the normal buckets, none from the hot one.
+    timed("hotBucketPairGen") {
+      val hot = spark.range(1000L * 1000)
+        .select(lit(0L).as("__band"), col("id").as("doc_id"))
+      val normal = spark.range(200L * 1000)
+        .select((floor(col("id") / 2) + 1).cast("long").as("__band"),
+          (col("id") + 2000000L).as("doc_id"))
+      Similarity.cappedIdSets(hot.union(normal), Seq("__band"), "doc_id",
+          cap = 1000, "__ids")
+        .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
+        .count()
+    }
+
+    // degenerate single-label corpus: every embedding shares one label,
+    // so the entire table rides the MaxCosineBlock guard into sign-LSH
+    // sub-blocking. Wall must stay sublinear in label size (pairs are
+    // bounded per sub-block, never |label|²).
+    timed("hotLabelCosine") {
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .withColumn("label", lit(0))
+      Similarity.cosineDedupBlocked(e, "vec_id", "label", "embedding",
+        minCos = 0.4, maxBlockSize = 50, subPlanes = 4).count()
+    }
+
     // sketch-vs-exact distinct at high cardinality: 50M values over
     // 64 groups, ~780k distinct per group — the regime where exact
     // COUNT(DISTINCT) shuffles every key and the KMV sketch shuffles

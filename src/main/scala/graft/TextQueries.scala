@@ -606,7 +606,11 @@ object TextQueries {
     // surviving candidates behind a broadcast semi join. The result
     // is EXACT (and therefore oracle-checkable) whenever the true
     // k-th item clears the n/(capacity+1) MG bound — the caller's
-    // sizing contract, spec-asserted under adversarial skew.
+    // sizing contract, spec-asserted under adversarial skew AND
+    // enforced at runtime: every returned count must clear the bound
+    // (assert_true over the k result rows × one broadcast scalar), so
+    // an undersized capacity fails loudly instead of flaking with the
+    // merge order.
     QueryDef("heavy_hitters_mg",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
@@ -615,10 +619,19 @@ object TextQueries {
         val cands = tokens
           .agg(frequentItems(col("token"), 64).as("cands"))
           .select(explode(col("cands")).as("token"))
+        val total = tokens.agg(count(lit(1)).as("__n"))
         tokens.join(broadcast(cands), "token")
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), col("token"))
           .limit(10)
+          .crossJoin(broadcast(total))
+          .where(assert_true(col("cnt") * 65L > col("__n"),
+            concat(lit("heavy_hitters_mg: a returned count does not clear " +
+              "the n/(capacity+1) MG survival bound (n="), col("__n"),
+              lit(") — raise capacity; below the bound candidate survival " +
+                "is merge-order-dependent"))).isNull)
+          .select(col("token"), col("cnt"))
+          .orderBy(desc("cnt"), col("token"))
       },
       Some("""SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -99,6 +99,22 @@ object GraftFunctions {
         .toAggregateExpression())
   }
 
+  /** Size-capped collect_set over long ids
+    * (expressions.CollectSetCapped): ascending-sorted distinct array,
+    * or NULL for groups exceeding `cap` distinct ids — with O(cap)
+    * worst-case aggregation state (a hot group collapses to an
+    * overflow flag the moment it passes the cap, never holding its
+    * full id set). The skew-proof core of the group-then-pair
+    * candidate generators; filter `IS NOT NULL` to drop hot groups.
+    */
+  def collectSetCapped(c: Column, cap: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.CollectSetCapped(
+        GraftColumnBridge.expression(c), cap)
+        .toAggregateExpression())
+  }
+
   /** Misra–Gries heavy-hitters candidates (expressions.FrequentItems):
     * one pass, ≤capacity counters of mergeable state, returns every
     * item that COULD have frequency > n/(capacity+1) as a sorted

@@ -19,17 +19,24 @@ object Contract {
 
   /** (rule name, must-hold predicate) pairs → one row per rule with
     * its violation count. Single scan, single (tiny) aggregate row,
-    * unpivoted to rows with a literal stack — no per-rule re-scan.
+    * unpivoted to rows — no per-rule re-scan. Rule names travel only
+    * as `lit()` values (never spliced into generated SQL, so quotes /
+    * backticks in a name are data, not syntax), internal aggregate
+    * columns are positional, and each sum is coalesced so an empty
+    * input reports 0 violations per rule, matching a COUNT-based
+    * oracle.
     */
   def violations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val aggs = rules.map { case (name, pred) =>
-      sum(when(pred, 0L).otherwise(1L)).as(name)
+    require(rules.nonEmpty, "violations() needs at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      coalesce(sum(when(pred, 0L).otherwise(1L)), lit(0L)).as(s"__r$i")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.map { case (name, _) => s"'$name', `$name`" }
-      .mkString(", ")
-    wide.selectExpr(
-      s"stack(${rules.size}, $stackArgs) AS (rule, violations)")
+    wide.select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"__r$i").as("violations"))
+      }: _*)).as("__kv"))
+      .select(col("__kv.rule").as("rule"),
+        col("__kv.violations").as("violations"))
   }
 
   /** Duplicate count for a key that the contract declares unique:

@@ -70,10 +70,25 @@ object Layout {
     * callers choose the sink (plain parquet, or writeZordered to
     * re-cluster while compacting).
     */
+  /** Partition-count ceiling for [[compact]]: plan stats are
+    * estimates, and Spark's default `sizeInBytes` for a statless
+    * relation is Long.MaxValue (join estimates can multiply past it) —
+    * an unclamped BigInt→Int conversion would wrap to an arbitrary
+    * 32-bit value. Clamp IN BigInt space first; hitting the ceiling
+    * means the stats are unusable for sizing, so fail loudly rather
+    * than compact 100 TB into garbage partitioning.
+    */
+  val MaxCompactPartitions = 1 << 20
+
   def compact(df: DataFrame, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = ((bytes + targetBytes - 1) / targetBytes).toInt.max(1)
-    df.repartition(files)
+    val files = ((bytes + targetBytes - 1) / targetBytes)
+      .min(BigInt(MaxCompactPartitions)).max(BigInt(1))
+    require(files < BigInt(MaxCompactPartitions),
+      s"plan size estimate $bytes B implies >= $MaxCompactPartitions output " +
+        "files — stats are missing or inflated (default sizeInBytes is " +
+        "Long.MaxValue); compact() needs a relation-backed estimate")
+    df.repartition(files.toInt)
   }
 }

@@ -221,21 +221,33 @@ object Relational {
     * on (key, bucket) — shuffle on a compound key whose per-reducer
     * load is bounded by the key's traffic per window, not its total
     * history. A right row matches through exactly one vote, so no
-    * post-join dedup is needed. Bucket arithmetic is integral
-    * (`div`), immune to double rounding at bucket edges. Column names
+    * post-join dedup is needed. Bucket arithmetic is integral FLOOR
+    * division — immune to double rounding at bucket edges, and unlike
+    * SQL `div` (which truncates toward zero) correct for timestamps
+    * near or below zero: with `div`, both votes of a left row with
+    * 0 < ts < W evaluate to 0 (duplicated matches) and negative
+    * timestamps land in the wrong bucket (silently missed matches).
+    * floor(ts/W) − 1 and floor(ts/W) always differ, so the one-vote
+    * invariant holds over the whole integer line. Column names
     * across the two sides must be distinct.
     */
   def rangeJoinBinned(left: DataFrame, right: DataFrame,
                       leftKey: String, rightKey: String,
                       leftTsUs: String, rightTsUs: String,
                       windowUs: Long): DataFrame = {
-    val r = right.withColumn("__rb", expr(s"$rightTsUs div ${windowUs}L"))
-    val l = left.withColumn("__lb", explode(array(
-      expr(s"($leftTsUs - ${windowUs}L) div ${windowUs}L"),
-      expr(s"$leftTsUs div ${windowUs}L"))))
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    // pure-integer floor division: `a div W` adjusted down by one when
+    // truncation rounded toward zero on a negative dividend (Spark's
+    // % carries the dividend's sign, so a % W < 0 ⟺ a < 0 ∧ W ∤ a)
+    def floorDiv(e: String): Column =
+      expr(s"(($e) div ${windowUs}L) - (CASE WHEN ($e) % ${windowUs}L < 0 " +
+        "THEN 1 ELSE 0 END)")
+    val r = right.withColumn("__rb", floorDiv(rightTsUs))
+    val l = left.withColumn("__fb", floorDiv(leftTsUs))
+      .withColumn("__lb", explode(array(col("__fb") - 1, col("__fb"))))
     l.join(r, col(leftKey) === col(rightKey) && col("__lb") === col("__rb") &&
         col(rightTsUs) >= col(leftTsUs) - windowUs &&
         col(rightTsUs) < col(leftTsUs))
-      .drop("__lb", "__rb")
+      .drop("__fb", "__lb", "__rb")
   }
 }

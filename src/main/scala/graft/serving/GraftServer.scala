@@ -28,6 +28,14 @@ final class GraftServer(clients: Map[String, LlmClient], sandbox: Sandbox,
                         maxRounds: Int = 5,
                         annIndex: Seq[(Long, Array[Double])] = Nil) {
 
+  // index-side validation happens once, at construction: a zero-norm
+  // or ragged index vector would poison every /ann/topk cosine with
+  // NaN, so fail the deployment, not the query
+  require(annIndex.forall { case (_, v) => v.exists(_ != 0.0) },
+    "annIndex contains a zero-norm vector")
+  require(annIndex.map(_._2.length).distinct.sizeIs <= 1,
+    "annIndex vectors have inconsistent dimensions")
+
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -78,6 +86,14 @@ final class GraftServer(clients: Map[String, LlmClient], sandbox: Sandbox,
       val q = Iterator.continually(it).takeWhile(_.hasNext)
         .map(_.next().asDouble()).toArray
       if (q.isEmpty) throw new IllegalArgumentException("vector required")
+      // validate instead of silently degrading: a dimension mismatch
+      // would truncate the dot product and a zero-norm vector divides
+      // to NaN — both would rank unpredictably, breaking the
+      // batch-identical contract. IllegalArgumentException maps to 400.
+      annIndex.headOption.foreach { case (_, v0) =>
+        if (q.length != v0.length) throw new IllegalArgumentException(
+          s"vector has dimension ${q.length}, index has ${v0.length}")
+      }
       val k = if (req.hasNonNull("k")) req.get("k").asInt else 5
       def dot(a: Array[Double], b: Array[Double]): Double = {
         var s = 0.0; var i = 0
@@ -85,6 +101,8 @@ final class GraftServer(clients: Map[String, LlmClient], sandbox: Sandbox,
         while (i < n) { s += a(i) * b(i); i += 1 }; s
       }
       val qn = math.sqrt(dot(q, q))
+      if (qn == 0.0) throw new IllegalArgumentException(
+        "zero-norm query vector has no cosine ranking")
       val scored = annIndex.map { case (id, v) =>
         val c = dot(q, v) / (qn * math.sqrt(dot(v, v)))
         val rounded = BigDecimal(c)

@@ -89,4 +89,20 @@ class LayoutSpec extends SparkSpec {
     assert(big.select(col("doc_id")).as[Long].collect().sorted
       .sameElements(d.select(col("doc_id")).as[Long].collect().sorted))
   }
+
+  test("compact rejects unusable (default/inflated) plan-size estimates instead of wrapping") {
+    // non-equi join estimates multiply the side sizes — here past
+    // Long.MaxValue, the regime where the old .toInt wrapped to an
+    // arbitrary 32-bit count. Nothing executes: compact() reads stats
+    // and must fail loudly in BigInt space. (8 GB × 8 GB estimate.)
+    val a = spark.range(1L << 30)
+    val big = a.join(a.withColumnRenamed("id", "id2"),
+      org.apache.spark.sql.functions.expr("id != id2"))
+    val stats = big.queryExecution.optimizedPlan.stats.sizeInBytes
+    assume(stats >= BigInt(Layout.MaxCompactPartitions),
+      s"join estimate unexpectedly small: $stats")
+    val ex = intercept[IllegalArgumentException](
+      Layout.compact(big, 128L * 1024 * 1024))
+    assert(ex.getMessage.contains("stats"))
+  }
 }

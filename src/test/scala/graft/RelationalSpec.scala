@@ -117,4 +117,25 @@ class RelationalSpec extends SparkSpec {
     assert(binned == naive)
     assert(binned.nonEmpty)
   }
+
+  test("rangeJoinBinned floor-division regime: ts in (0, W) and negative ts, no dup votes") {
+    // ts values surround zero and sit inside the first bucket — the
+    // truncation-vs-floor regime: SQL `div` would emit two identical
+    // votes for 0 < ts < W (every match duplicated) and mis-bucket
+    // negative ts (matches silently missed). Compare as MULTISETS so
+    // duplicated join output fails the spec, not just wrong membership.
+    val left = (-30 to 30).map(i => (0L, i * 7L, i)).toDF("lk", "lts", "lid")
+    val right = (-40 to 40).map(j => (0L, j * 5L, j)).toDF("rk", "rts", "rid")
+    val binned = Relational.rangeJoinBinned(left, right,
+        "lk", "rk", "lts", "rts", windowUs = 100L)
+      .select("lid", "rid").as[(Int, Int)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val naive = left.join(right,
+        col("lk") === col("rk") &&
+          col("rts") >= col("lts") - 100L && col("rts") < col("lts"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(binned == naive)
+    assert(naive.nonEmpty && naive.values.forall(_ == 1))
+  }
 }

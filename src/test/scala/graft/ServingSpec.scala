@@ -88,6 +88,20 @@ class ServingSpec extends AnyFunSuite {
 
       val (c2, err) = post(base, "/ann/topk", """{"k": 3}""")
       assert(c2 == 400 && err.contains("vector required"))
+
+      // dimension mismatch and zero-norm queries are client errors —
+      // never a silently-truncated dot product or a NaN ranking
+      val (c3, e3) = post(base, "/ann/topk", """{"vector": [1.0, 0.0, 5.0]}""")
+      assert(c3 == 400 && e3.contains("dimension"))
+      val (c4, e4) = post(base, "/ann/topk", """{"vector": [0.0, 0.0]}""")
+      assert(c4 == 400 && e4.contains("zero-norm"))
     } finally srv.stop()
+  }
+
+  test("ann index with zero-norm or ragged vectors is rejected at construction") {
+    intercept[IllegalArgumentException](new GraftServer(Map.empty, MockSandbox(),
+      annIndex = Seq(1L -> Array(0.0, 0.0))))
+    intercept[IllegalArgumentException](new GraftServer(Map.empty, MockSandbox(),
+      annIndex = Seq(1L -> Array(1.0, 0.0), 2L -> Array(1.0))))
   }
 }

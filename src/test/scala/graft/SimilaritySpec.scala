@@ -366,6 +366,34 @@ class SimilaritySpec extends SparkSpec {
     assert(routed.size < unrouted.size) // routing actually pruned
   }
 
+  test("collectSetCapped: sorted distinct ids under cap, NULL past cap, merge-safe") {
+    import graft.functions.GraftFunctions.collectSetCapped
+    // groups: g=0 has 3 distinct ids (dup rows), g=1 has 5 (> cap 4),
+    // g=2 has 1; many partitions force partial-buffer merges
+    val rows = Seq.tabulate(200)(i => (i % 3 match {
+      case 0 => (0L, (i % 9 / 3).toLong)       // ids 0..2, duplicated
+      case 1 => (1L, (i % 15 / 3).toLong + 10) // ids 10..14
+      case 2 => (2L, 42L)
+    })).map { case (g, v) => (g, v) }
+    val df = rows.toDF("g", "id").repartition(13)
+    val out = df.groupBy("g").agg(collectSetCapped(col("id"), 4).as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out(0L).contains(Seq(0L, 1L, 2L)))   // sorted, deduped
+    assert(out(1L).isEmpty)                      // overflow → null
+    assert(out(2L).contains(Seq(42L)))
+    // strategy equivalence on real data: one-pass capped agg ==
+    // two-pass count/semi-join/collect_set, bit for bit
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("n_chars") % 37).as("k"))
+    val onePass = Similarity.cappedIdSets(d, Seq("k"), "doc_id", 50, "ids")
+      .orderBy("k").collect()
+    val twoPass = Similarity.cappedIdSets(d, Seq("k"), "doc_id", 50, "ids",
+        twoPass = true)
+      .orderBy("k").collect()
+    assert(onePass.sameElements(twoPass))
+    assert(onePass.nonEmpty)
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),

@@ -98,6 +98,24 @@ class SketchSpec extends SparkSpec {
       "n_nonneg" -> 1L, "unique_id" -> 2L))
   }
 
+  test("contract violations: hostile rule names are data, empty input counts 0") {
+    import graft.ops.Contract
+    // names with quotes/backticks used to break the generated stack()
+    // SQL; they must pass through as literal data now
+    val hostile = "a'b`c\"; drop --"
+    val df = Seq((1, "x")).toDF("n", "s")
+    val v = Contract.violations(df, Seq(hostile -> (col("n") > 0)))
+      .as[(String, Long)].collect().toMap
+    assert(v == Map(hostile -> 0L))
+    // empty input: sums would be NULL without coalesce; the contract
+    // reports 0 violations per rule like a COUNT-based oracle
+    val empty = Seq.empty[(Int, String)].toDF("n", "s")
+    val ve = Contract.violations(empty, Seq(
+        "n_pos" -> (col("n") > 0), "s_nonempty" -> (col("s") =!= "")))
+      .as[(String, Long)].collect().toMap
+    assert(ve == Map("n_pos" -> 0L, "s_nonempty" -> 0L))
+  }
+
   test("kmv empty input returns 0, all-null input returns 0") {
     val empty = Seq.empty[Int].toDF("v")
     assert(empty.agg(GraftFunctions.kmvDistinct(col("v"), 64)).as[Long].head() == 0L)
