@@ -597,6 +597,48 @@ object DedupQueries {
         |         ELSE 'kept' END AS action
         |  FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id)
         |SELECT doc_id, content_md5, action FROM m
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Idempotent partition replacement (INSERT OVERWRITE by
+    // partition) — the OTHER production ingest shape next to keyed
+    // MERGE above. This gate runs the REAL write path: snapshot the
+    // corpus partitioned by lang, dynamically overwrite the 'en'
+    // partition with a re-delivered batch TWICE (the retry must be a
+    // no-op — at-least-once delivery is the norm), read the table
+    // back, and account rows + content per partition. The oracle
+    // models the committed state declaratively (non-en partitions
+    // untouched, en = exactly the batch), so file-level mistakes —
+    // static-mode truncation of other partitions, append duplicates
+    // on retry — fail the hash compare. At 100 TB the write cost is
+    // proportional to the replaced partition, never the table.
+    QueryDef("ingest_partition_overwrite",
+      (s, dir) => {
+        import graft.sources.PartitionedSnapshot
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val batch = d.where(col("lang") === "en" &&
+            detHash(2L, col("doc_id")) === 0L)
+          .select(col("doc_id"), col("lang"), upper(col("text")).as("text"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-snap").toString
+        PartitionedSnapshot.write(d, path, "lang")
+        PartitionedSnapshot.overwritePartitions(batch, path, "lang")
+        PartitionedSnapshot.overwritePartitions(batch, path, "lang")
+        PartitionedSnapshot.read(s, path)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(pmod(hash60(col("text")), lit(1000003L))).as("content_sig"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH final AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE lang <> 'en'
+        |  UNION ALL
+        |  SELECT doc_id, lang, upper(text) AS text FROM documents
+        |  WHERE lang = 'en' AND ${detHashSql(2L, Seq("doc_id"))} = 0)
+        |SELECT lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(${md5LongSql("text")} % 1000003) AS BIGINT) AS content_sig
+        |FROM final
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin))
   )
 }

@@ -501,6 +501,67 @@ object StarQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin))
+        |ORDER BY n_name""".stripMargin)),
+
+    // Q2 shape — correlated-min subquery: for each part, the
+    // region-restricted supplier(s) whose offer price equals the
+    // part's minimum. The testdata has no partsupp table, so "supply
+    // cost" is derived from lineitem: min l_extendedprice per (part,
+    // supplier). The correlated `WHERE cost = (SELECT min ...)` is
+    // decorrelated Spark-first: aggregate once per (part, supplier),
+    // re-aggregate per part, equi-join back on (partkey, cost) — an
+    // aggregate + back-join, never a per-row subquery or cartesian.
+    // At 100 TB both aggregates and the back-join hash-partition on
+    // partkey (the second agg reuses the first's output, far smaller
+    // than lineitem); the region dimension (supplier⋈nation⋈region)
+    // broadcasts into the fact scan. min() over doubles is
+    // order-independent, so cost equality is bit-exact cross-engine;
+    // the sort adds (p_partkey, s_name) after s_acctbal to pin tie
+    // order.
+    QueryDef("q2_min_cost_supplier",
+      (s, dir) => {
+        val eu = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, dir, "region")
+              .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val cost = Tables.load(s, dir, "lineitem")
+          .join(broadcast(eu.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice")).as("min_cost"))
+        val mc = cost.groupBy(col("l_partkey"))
+          .agg(min(col("min_cost")).as("__mc"))
+        cost.join(mc.withColumnRenamed("l_partkey", "__pk"),
+            col("l_partkey") === col("__pk") && col("min_cost") === col("__mc"))
+          .join(Tables.load(s, dir, "part").where(col("p_size") <= 20),
+            col("p_partkey") === col("l_partkey"))
+          .join(broadcast(eu), col("s_suppkey") === col("l_suppkey"))
+          .select(col("p_partkey"), col("p_brand"), col("s_name"),
+            col("n_name"), col("s_acctbal"), col("min_cost"))
+          .orderBy(desc("s_acctbal"), col("p_partkey"), col("s_name"))
+      },
+      Some("""WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_cost
+        |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS pk, min(min_cost) AS m FROM cost GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name, e.s_acctbal,
+        |       c.min_cost
+        |FROM cost c
+        |JOIN mc ON c.l_partkey = mc.pk AND c.min_cost = mc.m
+        |JOIN part p ON p.p_partkey = c.l_partkey
+        |JOIN eu e ON e.s_suppkey = c.l_suppkey
+        |WHERE p.p_size <= 20
+        |ORDER BY e.s_acctbal DESC, p.p_partkey, e.s_name""".stripMargin))
   )
 }

@@ -118,6 +118,36 @@ class RelationalSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("skew_join_salted plan tripwire: salt column is live in the join key") {
+    // if someone "simplifies" the salt away, the join degenerates to
+    // the skewed single-key shuffle this operator exists to prevent —
+    // fail the build, not a production job
+    val plan = Queries.all.find(_.name == "skew_join_salted").get
+      .fn(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("__salt"),
+      s"salt column missing from the physical plan:\n$plan")
+    // and it participates in the join condition/keys, not just a project
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("condition") ||
+        l.contains("keys"))
+      .mkString("\n")
+    assert(joinLines.contains("__salt") || plan.linesIterator
+      .exists(l => l.contains("__salt") && l.contains("hashpartitioning")),
+      s"salt not in join keys or exchange partitioning:\n$plan")
+  }
+
+  test("events_range_join_binned plan tripwire: equi-join on bucket, no nested-loop") {
+    val plan = Queries.all.find(_.name == "events_range_join_binned").get
+      .fn(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("__lb") || plan.contains("__rb"),
+      s"bucket columns missing — binning was bypassed:\n$plan")
+  }
+
   test("rangeJoinBinned floor-division regime: ts in (0, W) and negative ts, no dup votes") {
     // ts values surround zero and sit inside the first bucket — the
     // truncation-vs-floor regime: SQL `div` would emit two identical
