@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CharShingleDistinctCount, DotProduct, FrequentItems,
-  KmvDistinct, MinHashSignature, SimHash16, WordShingleHashes, WordShingleMinHash}
+import graft.expressions.{CharShingleDistinctCount, CollectSetCapped,
+  DotProduct, FrequentItems, KmvDistinct, MinHashSignature, SimHash16,
+  WordShingleHashes, WordShingleMinHash}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions for SQL use:
@@ -67,6 +68,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(cap: Int, _)) => FrequentItems(c, cap)
         case _ => throw new IllegalArgumentException(
           "frequent_items(stringCol, capacityLiteral)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      new FunctionIdentifier("collect_set_capped"),
+      new ExpressionInfo(classOf[CollectSetCapped].getName,
+        "collect_set_capped"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(cap: Int, _)) => CollectSetCapped(c, cap)
+        case _ => throw new IllegalArgumentException(
+          "collect_set_capped(longCol, capLiteral)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((

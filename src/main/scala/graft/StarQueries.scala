@@ -562,6 +562,159 @@ object StarQueries {
         |JOIN part p ON p.p_partkey = c.l_partkey
         |JOIN eu e ON e.s_suppkey = c.l_suppkey
         |WHERE p.p_size <= 20
-        |ORDER BY e.s_acctbal DESC, p.p_partkey, e.s_name""".stripMargin))
+        |ORDER BY e.s_acctbal DESC, p.p_partkey, e.s_name""".stripMargin)),
+
+    // Q11 shape — global-fraction HAVING: parts whose Europe-supplied
+    // value exceeds 0.1 % of ALL Europe-supplied value. The correlated
+    // scalar (the global sum) is a one-row aggregate broadcast into
+    // the per-part HAVING filter — at 100 TB the fact scan feeds both
+    // aggregates and the only extra cost of the threshold is a 1-row
+    // broadcast, never a second pass. Sums go through the decimal
+    // guard (dsum) so the threshold compare is bit-exact cross-engine;
+    // 0.001 × total multiplies identically in IEEE double.
+    QueryDef("q11_important_parts",
+      (s, dir) => {
+        val eu = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.load(s, dir, "region")
+              .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"))
+        val li = Tables.load(s, dir, "lineitem")
+          .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        val pv = li.groupBy(col("l_partkey"))
+          .agg(dsum(col("l_extendedprice")).as("part_value"))
+        val tot = li.agg(dsum(col("l_extendedprice")).as("__t"))
+        pv.crossJoin(broadcast(tot))
+          .where(col("part_value") > col("__t") * 0.001)
+          .select(col("l_partkey"), col("part_value"))
+          .orderBy(desc("part_value"), col("l_partkey"))
+      },
+      Some("""WITH eu AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |li AS (SELECT l_partkey, l_extendedprice
+        |       FROM lineitem JOIN eu ON l_suppkey = s_suppkey),
+        |pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS part_value
+        |  FROM li GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS t FROM li)
+        |SELECT l_partkey, part_value
+        |FROM pv CROSS JOIN t
+        |WHERE part_value > t * 0.001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin)),
+
+    // Q20 shape — existential over a correlated aggregate: suppliers
+    // that dominate some part, shipping more than 2× the part's mean
+    // per-supplier volume (a FIXED share like "half the total" decays
+    // to an empty answer as supplier count grows with scale; the
+    // mean-relative threshold stays live at every SF). Decorrelated
+    // the same way as Q2: per-(part, supplier) and per-part
+    // aggregates, equi-join, threshold, then the supplier roll-up —
+    // the EXISTS never evaluates per row. The threshold arithmetic is
+    // one double divide + an exact power-of-two multiply on
+    // decimal-exact sums, bit-identical cross-engine. At 100 TB both
+    // aggregates hash-partition on partkey; supplier names broadcast.
+    QueryDef("q20_dominant_suppliers",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(dsum(col("l_quantity")).as("qty"))
+        val pt = li.groupBy(col("l_partkey"))
+          .agg(dsum(col("l_quantity")).as("__tq"),
+            countDistinct(col("l_suppkey")).as("__ns"))
+          .withColumnRenamed("l_partkey", "__pk")
+        val sup = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        ps.join(pt, col("l_partkey") === col("__pk"))
+          .where(col("qty") > col("__tq") * 2 / col("__ns"))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_dominated_parts"))
+          .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_name"), col("n_name"), col("n_dominated_parts"))
+          .orderBy(desc("n_dominated_parts"), col("s_name"))
+      },
+      Some("""WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tq,
+        |    COUNT(DISTINCT l_suppkey) AS ns
+        |  FROM lineitem GROUP BY 1),
+        |dom AS (
+        |  SELECT ps.l_suppkey, COUNT(*) AS n_dominated_parts
+        |  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        |  WHERE ps.qty > pt.tq * 2 / ns
+        |  GROUP BY 1)
+        |SELECT s_name, n_name, n_dominated_parts
+        |FROM dom
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_dominated_parts DESC, s_name""".stripMargin)),
+
+    // Q21 shape — double correlation (EXISTS + NOT EXISTS on the same
+    // fact): suppliers solely to blame for a multi-supplier order's
+    // returns (some OTHER supplier exists on the order; no OTHER
+    // supplier has returned lines). Both correlations decorrelate to
+    // per-order aggregates on the same orderkey partitioning —
+    // "≥2 distinct suppliers" and "exactly 1 blamed supplier" are
+    // HAVING filters, the blame identity rides along as min() of the
+    // single survivor, and the order-level frames semi-join on
+    // orderkey. Nothing evaluates per (row × subquery); at 100 TB
+    // this is two hash aggregates and one equi-join sharing one
+    // shuffle key, with supplier names broadcast at the end.
+    QueryDef("q21_sole_blame_suppliers",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val multi = li.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("__ns"))
+          .where(col("__ns") >= 2)
+          .select(col("l_orderkey"))
+        val sole = li.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("__nb"), min(col("l_suppkey")).as("blamed"))
+          .where(col("__nb") === 1)
+          .select(col("l_orderkey"), col("blamed"))
+        val sup = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        sole.join(multi, Seq("l_orderkey"), "left_semi")
+          .groupBy(col("blamed"))
+          .agg(count(lit(1)).as("n_orders"))
+          .join(broadcast(sup), col("s_suppkey") === col("blamed"))
+          .select(col("s_name"), col("n_name"), col("n_orders"))
+          .orderBy(desc("n_orders"), col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH multi AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) >= 2),
+        |blame AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |sole AS (
+        |  SELECT l_orderkey, MIN(l_suppkey) AS blamed
+        |  FROM blame GROUP BY 1 HAVING COUNT(*) = 1)
+        |SELECT s_name, n_name, COUNT(*) AS n_orders
+        |FROM sole
+        |JOIN multi ON sole.l_orderkey = multi.l_orderkey
+        |JOIN supplier ON s_suppkey = blamed
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, s_name
+        |LIMIT 20""".stripMargin))
   )
 }

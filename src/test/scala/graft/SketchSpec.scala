@@ -98,6 +98,20 @@ class SketchSpec extends SparkSpec {
       "n_nonneg" -> 1L, "unique_id" -> 2L))
   }
 
+  test("collect_set_capped is SQL-registered and mirrors the Scala API") {
+    spark.range(100)
+      .selectExpr("id % 5 AS g", "id % 20 AS v")
+      .createOrReplaceTempView("csc_in")
+    val viaSql = spark.sql(
+      "SELECT g, collect_set_capped(v, 10) AS ids FROM csc_in GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1)))
+    // each g sees 4 distinct values of id%20 — all under the cap
+    assert(viaSql.length == 5 && viaSql.forall(_._2.exists(_.size == 4)))
+    val overCap = spark.sql(
+      "SELECT collect_set_capped(id, 9) FROM range(100)").collect()
+    assert(overCap.head.isNullAt(0)) // 100 distinct > cap 9 → null
+  }
+
   test("contract violations: hostile rule names are data, empty input counts 0") {
     import graft.ops.Contract
     // names with quotes/backticks used to break the generated stack()
