@@ -270,6 +270,51 @@ object AdvancedQueries {
         |FROM documents
         |ORDER BY rule""".stripMargin)),
 
+    // Incremental aggregate maintenance — the state-table pattern: a
+    // running per-lang summary is maintained by MERGING the new
+    // batch's partial aggregates into stored state (union two tiny
+    // aggregate frames, re-aggregate), never by rescanning history.
+    // Everything kept in state is a MERGEABLE sum/count/min/max;
+    // derived metrics (the mean) are computed at read time from the
+    // merged sums — the discipline that makes the pattern valid.
+    // State = docs with doc_id % 4 != 0 ("yesterday's corpus"), batch
+    // = the rest; the oracle is the FULL recompute over everything,
+    // so the gate proves merge ≡ rescan bit-for-bit (decimal-exact
+    // sums; the mean goes through the shared quotient guard). At
+    // 100 TB the rescan costs the corpus, the merge costs two
+    // |langs|-row frames.
+    QueryDef("incremental_agg_merge",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+        def partial(part: org.apache.spark.sql.DataFrame) =
+          part.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars").cast(DecimalType(18, 4))).as("sum_chars"),
+              min(col("n_chars")).as("min_chars"),
+              max(col("n_chars")).as("max_chars"))
+        val state = partial(d.where(col("doc_id") % 4 =!= 0))
+        val batch = partial(d.where(col("doc_id") % 4 === 0))
+        state.unionByName(batch)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_chars")).as("__sc"),
+            min(col("min_chars")).as("min_chars"),
+            max(col("max_chars")).as("max_chars"))
+          .select(col("lang"), col("n_docs"),
+            round((col("__sc") / col("n_docs")).cast(DecimalType(18, 4)), 2)
+              .cast("double").as("avg_chars"),
+            col("min_chars"), col("max_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(round(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) / COUNT(*)
+        |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS avg_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)),
+
     // Deterministic negative sampling for contrastive training pairs:
     // each anchor doc draws 2 negatives from a broadcast candidate
     // pool. The pool is Pools.detHashPool (divisor 10 here; at 100 TB

@@ -423,6 +423,51 @@ object TextQueries {
         |  FROM documents)
         |WHERE rn <= $StratifiedK ORDER BY lang, rn""".stripMargin)),
 
+    // Token-budget selection (ops/Text.tokenBudgetSelect): the best
+    // documents by quality score until 40 % of the corpus' tokens are
+    // spent — the final cut of every pretraining-data run. The naive
+    // plan is a running sum over a GLOBAL (score desc, doc_id) sort;
+    // the operator instead running-totals the score HISTOGRAM (the
+    // single-partition window touches ≤|score domain| rows, corpus-
+    // size-independent), broadcast-joins the per-score in/out/boundary
+    // status back, and pays a per-document window only inside the ONE
+    // boundary score. The oracle IS the naive global cumsum — the
+    // equivalence is the gate. floor(total × 0.4) multiplies
+    // identically in IEEE double cross-engine.
+    QueryDef("sample_token_budget",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            round(Text.qualityScore(col("text")), 6).as("quality"),
+            bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+        Text.tokenBudgetFracSelect(d, "doc_id", "quality", "n_tokens", 0.4)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS quality,
+        |    len(regexp_extract_all(text, '$BpeTokenPattern'))::BIGINT AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      len(string_split(text, ' '))::DOUBLE AS nw,
+        |      length(text)::DOUBLE AS len,
+        |      (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |      len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw
+        |    FROM documents)),
+        |b AS (SELECT floor(SUM(n_tokens) * 0.4)::BIGINT AS budget FROM t),
+        |c AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, quality, n_tokens
+        |FROM c CROSS JOIN b
+        |WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin)),
+
     // Quality-weighted (importance) sample: acceptance probability
     // grows with document length, capped at 1 — longer docs are kept
     // preferentially, decided by the same detHash coin as mix_sample

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -137,5 +138,73 @@ object Text {
       words(text),
       lit(0L),
       (h, w) => pmod(h * lit(31L) + pmod(hash60(w), lit(M)), lit(M)))
+  }
+
+  /** Token-budget corpus selection — "take the best documents until
+    * the token budget is spent", the final cut every pretraining-data
+    * run makes. Contract: documents ranked by (scoreCol desc, idCol
+    * asc); a document is kept iff its inclusive running token total
+    * is ≤ budget.
+    *
+    * The naive formulation is a running sum over a GLOBAL sort of the
+    * corpus — a single-partition window over every row, the
+    * least-scalable plan Spark can produce. This implementation gets
+    * the identical answer from the score HISTOGRAM: (1) aggregate
+    * tokens per distinct score (map-side-combined, one shuffle of
+    * |distinct scores| rows); (2) running-total the histogram — the
+    * single-partition window touches only the histogram, whose size
+    * is bounded by the score's value domain (a round-6 score ⇒ ≤1e6+1
+    * rows) regardless of corpus size; (3) broadcast-join the
+    * per-score {fully-in, out, boundary} status back to the corpus —
+    * full scores pass with no window at all, and only the ONE
+    * boundary score pays a per-document running sum, partitioned by
+    * score (never global). REQUIRES a bounded-domain score column
+    * (round it first) and a LongType-summable token column.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    val b = df.sparkSession.range(1).select(lit(budget).as("__budget"))
+    tokenBudgetSelectScalar(df, idCol, scoreCol, tokensCol, b)
+  }
+
+  /** [[tokenBudgetSelect]] with the budget as a fraction of the
+    * corpus' total tokens (computed as a broadcast 1-row aggregate —
+    * stays lazy, no driver-side action).
+    */
+  def tokenBudgetFracSelect(df: DataFrame, idCol: String, scoreCol: String,
+                            tokensCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val b = df.agg(floor(sum(col(tokensCol)) * frac).cast("long")
+      .as("__budget"))
+    tokenBudgetSelectScalar(df, idCol, scoreCol, tokensCol, b)
+  }
+
+  private def tokenBudgetSelectScalar(df: DataFrame, idCol: String,
+                                      scoreCol: String, tokensCol: String,
+                                      budgetDf: DataFrame): DataFrame = {
+    val hist = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(tokensCol)).as("__bt"))
+    // single-partition window BY DESIGN: it runs over the bounded
+    // histogram, not the corpus (the WindowExec warning is expected
+    // and harmless here)
+    val wh = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val status = hist
+      .withColumn("__cum", sum(col("__bt")).over(wh))
+      .withColumn("__prev", col("__cum") - col("__bt"))
+      .crossJoin(broadcast(budgetDf))
+    val j = df.join(broadcast(status), col(scoreCol) === col("__s"))
+    val full = j.where(col("__cum") <= col("__budget"))
+    // only the boundary score's documents pay a per-row running sum,
+    // and it partitions by score — never a global sort
+    val wb = Window.partitionBy(col("__s")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = j
+      .where(col("__prev") < col("__budget") && col("__cum") > col("__budget"))
+      .withColumn("__run", sum(col(tokensCol)).over(wb) + col("__prev"))
+      .where(col("__run") <= col("__budget"))
+      .drop("__run")
+    full.unionByName(boundary)
+      .drop("__s", "__bt", "__cum", "__prev", "__budget")
   }
 }

@@ -166,4 +166,29 @@ class PropertySpec extends SparkSpec {
       assert(out.isDefined == anyValid)
     }
   }
+
+  test("property: tokenBudgetSelect equals the naive global-cumsum prefix for random corpora") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      budget <- Gen.choose(1L, 3000L)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, 5)       // small score domain forces ties
+        t <- Gen.choose(1L, 100L)   // token counts
+      } yield (s.toDouble / 10, t))
+    } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }, budget)
+    forSamples(gen, 25) { case (rows, budget) =>
+      val df = rows.toDF("doc_id", "score", "toks").repartition(7)
+      val got = graft.ops.Text
+        .tokenBudgetSelect(df, "doc_id", "score", "toks", budget)
+        .select("doc_id").as[Long].collect().toSet
+      // naive reference: global (score desc, doc_id) order, inclusive
+      // running total ≤ budget
+      var cum = 0L
+      val want = rows.sortBy { case (id, s, _) => (-s, id) }
+        .iterator.map { case (id, _, t) => cum += t; (id, cum) }
+        .takeWhile(_._2 <= budget).map(_._1).toSet
+      assert(got == want, s"budget=$budget got=$got want=$want")
+    }
+  }
 }
