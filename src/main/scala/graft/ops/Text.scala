@@ -196,11 +196,15 @@ object Text {
     val j = df.join(broadcast(status), col(scoreCol) === col("__s"))
     val full = j.where(col("__cum") <= col("__budget"))
     // only the boundary score's documents pay a per-row running sum,
-    // and it partitions by score — never a global sort
+    // and it partitions by score — never a global sort. __prev <= (not
+    // <) budget: when the previous scores land EXACTLY on the budget,
+    // zero-token documents at the boundary score still satisfy the
+    // inclusive-running-total contract and must come through the
+    // window branch (the property spec pins this with zero-token rows)
     val wb = Window.partitionBy(col("__s")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = j
-      .where(col("__prev") < col("__budget") && col("__cum") > col("__budget"))
+      .where(col("__prev") <= col("__budget") && col("__cum") > col("__budget"))
       .withColumn("__run", sum(col(tokensCol)).over(wb) + col("__prev"))
       .where(col("__run") <= col("__budget"))
       .drop("__run")

@@ -174,10 +174,12 @@ class PropertySpec extends SparkSpec {
       budget <- Gen.choose(1L, 3000L)
       rows <- Gen.listOfN(n, for {
         s <- Gen.choose(0, 5)       // small score domain forces ties
-        t <- Gen.choose(1L, 100L)   // token counts
+        t <- Gen.choose(0L, 100L)   // token counts, INCLUDING zero —
+                                    // exact-boundary zero-token docs
+                                    // are the historical edge bug
       } yield (s.toDouble / 10, t))
     } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }, budget)
-    forSamples(gen, 25) { case (rows, budget) =>
+    def check(rows: List[(Long, Double, Long)], budget: Long): Unit = {
       val df = rows.toDF("doc_id", "score", "toks").repartition(7)
       val got = graft.ops.Text
         .tokenBudgetSelect(df, "doc_id", "score", "toks", budget)
@@ -190,5 +192,10 @@ class PropertySpec extends SparkSpec {
         .takeWhile(_._2 <= budget).map(_._1).toSet
       assert(got == want, s"budget=$budget got=$got want=$want")
     }
+    // pinned regression: previous scores land EXACTLY on the budget;
+    // the boundary score's zero-token doc (id 2) is still inside the
+    // inclusive-running-total contract, its 5-token sibling is not
+    check(List((1L, 0.5, 10L), (2L, 0.4, 0L), (3L, 0.4, 5L)), budget = 10L)
+    forSamples(gen, 25) { case (rows, budget) => check(rows, budget) }
   }
 }
