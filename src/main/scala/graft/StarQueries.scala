@@ -622,14 +622,18 @@ object StarQueries {
     // one double divide + an exact power-of-two multiply on
     // decimal-exact sums, bit-identical cross-engine. At 100 TB both
     // aggregates hash-partition on partkey; supplier names broadcast.
+    // ONE fact scan: the per-part totals re-aggregate the per-(part,
+    // supplier) frame — qty is exact to 2 decimals, so re-summing it
+    // as DECIMAL(18,2) equals summing the raw column, and ns is a
+    // plain count (ps is distinct on the key by construction), not a
+    // COUNT(DISTINCT) over lineitem. Halves the fact shuffle volume.
     QueryDef("q20_dominant_suppliers",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
         val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(dsum(col("l_quantity")).as("qty"))
-        val pt = li.groupBy(col("l_partkey"))
-          .agg(dsum(col("l_quantity")).as("__tq"),
-            countDistinct(col("l_suppkey")).as("__ns"))
+        val pt = ps.groupBy(col("l_partkey"))
+          .agg(dsum(col("qty")).as("__tq"), count(lit(1)).as("__ns"))
           .withColumnRenamed("l_partkey", "__pk")
         val sup = Tables.load(s, dir, "supplier")
           .join(broadcast(Tables.load(s, dir, "nation")),
@@ -649,9 +653,9 @@ object StarQueries {
         |  FROM lineitem GROUP BY 1, 2),
         |pt AS (
         |  SELECT l_partkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tq,
-        |    COUNT(DISTINCT l_suppkey) AS ns
-        |  FROM lineitem GROUP BY 1),
+        |    CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS tq,
+        |    COUNT(*) AS ns
+        |  FROM ps GROUP BY 1),
         |dom AS (
         |  SELECT ps.l_suppkey, COUNT(*) AS n_dominated_parts
         |  FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
@@ -674,24 +678,28 @@ object StarQueries {
     // orderkey. Nothing evaluates per (row × subquery); at 100 TB
     // this is two hash aggregates and one equi-join sharing one
     // shuffle key, with supplier names broadcast at the end.
+    // ONE fact scan: a single distinct-(order, supplier) aggregate
+    // carries a "did this supplier return anything on this order"
+    // flag; both correlations ("≥2 suppliers", "exactly 1 blamed")
+    // then re-aggregate that frame per order — the fact is scanned
+    // and shuffled once, and both HAVING filters ride the same
+    // orderkey partitioning.
     QueryDef("q21_sole_blame_suppliers",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
-        val multi = li.groupBy(col("l_orderkey"))
-          .agg(countDistinct(col("l_suppkey")).as("__ns"))
-          .where(col("__ns") >= 2)
-          .select(col("l_orderkey"))
-        val sole = li.where(col("l_returnflag") === "R")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-          .groupBy(col("l_orderkey"))
-          .agg(count(lit(1)).as("__nb"), min(col("l_suppkey")).as("blamed"))
-          .where(col("__nb") === 1)
-          .select(col("l_orderkey"), col("blamed"))
+        val os = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+            .as("__r"))
+        val orders = os.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("__ns"),
+            sum(col("__r")).as("__nb"),
+            min(when(col("__r") === 1, col("l_suppkey"))).as("blamed"))
+          .where(col("__ns") >= 2 && col("__nb") === 1)
         val sup = Tables.load(s, dir, "supplier")
           .join(broadcast(Tables.load(s, dir, "nation")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name"), col("n_name"))
-        sole.join(multi, Seq("l_orderkey"), "left_semi")
+        orders
           .groupBy(col("blamed"))
           .agg(count(lit(1)).as("n_orders"))
           .join(broadcast(sup), col("s_suppkey") === col("blamed"))
@@ -699,18 +707,17 @@ object StarQueries {
           .orderBy(desc("n_orders"), col("s_name"))
           .limit(20)
       },
-      Some("""WITH multi AS (
-        |  SELECT l_orderkey FROM lineitem
-        |  GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) >= 2),
-        |blame AS (
-        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-        |  WHERE l_returnflag = 'R'),
+      Some("""WITH os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+        |  FROM lineitem GROUP BY 1, 2),
         |sole AS (
-        |  SELECT l_orderkey, MIN(l_suppkey) AS blamed
-        |  FROM blame GROUP BY 1 HAVING COUNT(*) = 1)
+        |  SELECT l_orderkey,
+        |    MIN(CASE WHEN r = 1 THEN l_suppkey END) AS blamed
+        |  FROM os GROUP BY 1
+        |  HAVING COUNT(*) >= 2 AND SUM(r) = 1)
         |SELECT s_name, n_name, COUNT(*) AS n_orders
         |FROM sole
-        |JOIN multi ON sole.l_orderkey = multi.l_orderkey
         |JOIN supplier ON s_suppkey = blamed
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2
