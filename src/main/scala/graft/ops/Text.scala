@@ -160,6 +160,14 @@ object Text {
     * boundary score pays a per-document running sum, partitioned by
     * score (never global). REQUIRES a bounded-domain score column
     * (round it first) and a LongType-summable token column.
+    *
+    * The in/out split evaluates `df` twice (histogram pass + join
+    * pass) — deliberate: the alternative (one pass + a per-score
+    * window over every row) shuffles the corpus by score and a hot
+    * score value recreates exactly the skewed single-partition window
+    * this operator exists to avoid. When `df`'s lineage is expensive
+    * (regex featurization), persist the projected (id, score, tokens)
+    * frame before calling.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokensCol: String, budget: Long): DataFrame = {
