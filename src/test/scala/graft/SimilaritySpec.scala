@@ -394,6 +394,33 @@ class SimilaritySpec extends SparkSpec {
     assert(onePass.nonEmpty)
   }
 
+  test("collectSetCapped survives the sort-based aggregation fallback") {
+    import graft.functions.GraftFunctions.collectSetCapped
+    // fallbackThreshold=1 forces ObjectHashAggregateExec to spill to
+    // sort-based aggregation after one in-memory group — the path
+    // that exercises buffer serialize/deserialize and out-of-order
+    // partial merges hardest
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val df = spark.range(3000)
+        .selectExpr("id % 50 AS g", "id % 200 AS v").repartition(11)
+      val out = df.groupBy("g").agg(collectSetCapped(col("v"), 10).as("ids"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+      assert(out.size == 50)
+      // every group sees 4 distinct values of (id%200) — under the cap,
+      // sorted ascending, identical to what the non-fallback path gives
+      out.foreach { case (g, ids) =>
+        assert(ids.exists(s => s.size == 4 && s == s.sorted), s"group $g: $ids")
+      }
+      val over = df.groupBy(lit(1).as("k"))
+        .agg(collectSetCapped(col("v"), 10).as("ids"))
+        .collect()
+      assert(over.head.isNullAt(1)) // 200 distinct > 10 → null via merges
+    } finally spark.conf.set(key, prev)
+  }
+
   test("signLshBucket: identical vectors collide, orthogonal-ish vectors get ids in range") {
     val e = Seq(
       (0L, Array(1.0, 0.0, 0.5, 0.2)),
