@@ -371,6 +371,39 @@ object RelationalQueries {
         |WHERE (doc_id IS NOT NULL)
         |   OR (text IS NOT NULL AND TRIM(text) NOT IN ('', 'NA', 'N/A'))
         |   OR (lang IS NOT NULL AND TRIM(lang) NOT IN ('', 'NA', 'N/A'))
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Join dry-run (Relational.joinSizeProbe): exact output
+    // cardinality + hottest-key contribution of lineitem ⋈ orders,
+    // from two key-count aggregates — never the join itself. The gate
+    // also runs the REAL join once (affordable at test scale) and
+    // cross-joins its count in, so the oracle proves est_rows ==
+    // actual_rows: the probe is exact, not an estimate. At 100 TB
+    // only the probe runs — it is the go/no-go (and
+    // plain-vs-saltedJoin) decision for the join it predicts.
+    QueryDef("join_size_probe",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val probe = Relational.joinSizeProbe(li, o, "l_orderkey", "o_orderkey")
+        val actual = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("actual_rows"))
+        probe.crossJoin(broadcast(actual))
+      },
+      Some("""WITH ca AS (
+        |  SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+        |cb AS (
+        |  SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+        |p AS (SELECT ca.ca * cb.cb AS p FROM ca JOIN cb ON ca.k = cb.k),
+        |probe AS (
+        |  SELECT COALESCE(SUM(p), 0)::BIGINT AS est_rows,
+        |    COUNT(*) AS n_join_keys,
+        |    COALESCE(MAX(p), 0)::BIGINT AS max_key_rows
+        |  FROM p),
+        |actual AS (
+        |  SELECT COUNT(*) AS actual_rows
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT est_rows, n_join_keys, max_key_rows, actual_rows
+        |FROM probe CROSS JOIN actual""".stripMargin))
   )
 }

@@ -135,6 +135,33 @@ object Relational {
     df.observe(obs, metrics.map { case (n, c) => c.as(n) }.head,
       metrics.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** Equi-join dry-run: the EXACT output cardinality and the hottest
+    * key of `left ⋈ right` on `leftKey = rightKey`, computed WITHOUT
+    * running the join — |A ⋈ B| = Σ_k cA(k)·cB(k) over per-side key
+    * counts, so the cost is two key aggregates plus a join of two
+    * key-count frames (each ≤ |distinct keys| rows) instead of
+    * materializing a possibly-exploding result. The production guard
+    * before any large fact-fact join at 100 TB: a power-law key that
+    * would multiply two millions-row groups shows up here as
+    * max_key_rows ≈ 10¹², for the price of a count. Returns one row:
+    * est_rows (exact), n_join_keys (keys present on both sides),
+    * max_key_rows (the hottest key's contribution — the skew signal
+    * that decides between a plain join, saltedJoin, or AQE skew
+    * handling).
+    */
+  def joinSizeProbe(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = right.groupBy(col(rightKey).as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    ca.join(cb, "__k")
+      .select((col("__ca") * col("__cb")).as("__p"))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("est_rows"),
+        count(lit(1)).as("n_join_keys"),
+        coalesce(max(col("__p")), lit(0L)).as("max_key_rows"))
+  }
+
   /** Skew-resistant two-phase aggregation: salt the hot key space into
     * `salts` subkeys, partially aggregate per (key, salt), then
     * combine per key. Use when one key holds a disproportionate share

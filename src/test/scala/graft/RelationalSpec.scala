@@ -118,6 +118,23 @@ class RelationalSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("joinSizeProbe: exact on skewed keys, zeros on disjoint keys") {
+    val left = (Seq.fill(500)(7L) ++ (1L to 100L)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("lk", "lv")
+    val right = (Seq.fill(40)(7L) ++ (50L to 150L)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("rk", "rv")
+    val p = Relational.joinSizeProbe(left, right, "lk", "rk")
+      .as[(Long, Long, Long)].head()
+    val actual = left.join(right, col("lk") === col("rk")).count()
+    assert(p._1 == actual, s"est ${p._1} != actual $actual")
+    assert(p._3 == 501L * 40L, "hot key contribution wrong") // 500 + one in 1..100
+    // disjoint key spaces: empty aggregate must report zeros, not null
+    val none = Relational.joinSizeProbe(
+      Seq((1L, 1)).toDF("lk", "lv"), Seq((2L, 1)).toDF("rk", "rv"),
+      "lk", "rk").as[(Long, Long, Long)].head()
+    assert(none == ((0L, 0L, 0L)))
+  }
+
   test("skew_join_salted plan tripwire: salt column is live in the join key") {
     // if someone "simplifies" the salt away, the join degenerates to
     // the skewed single-key shuffle this operator exists to prevent —
