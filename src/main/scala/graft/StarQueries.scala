@@ -667,6 +667,86 @@ object StarQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY n_dominated_parts DESC, s_name""".stripMargin)),
 
+    // Q9 shape — product-profit rollup: profit per (supplier nation,
+    // order year) over the full star (fact ⋈ orders ⋈ supplier ⋈
+    // nation ⋈ part). No partsupp in this schema, so supply cost is
+    // p_retailprice × quantity — the measure SHAPE (a two-term
+    // decimal-exact difference aggregated over a 4-dimension join) is
+    // the point. All dims broadcast; the fact shuffles once into the
+    // (nation, year) aggregate; both product terms go through
+    // DECIMAL(18,2) so the profit sum is bit-exact cross-engine.
+    QueryDef("q9_product_profit",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+        val sn = Tables.load(s, dir, "supplier")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        val p = Tables.load(s, dir, "part")
+          .where(col("p_name").like("%a%"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val profit = revTerm -
+          col("p_retailprice").cast(DecimalType(18, 2)) *
+            col("l_quantity").cast(DecimalType(18, 2))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("n_name"), col("yr"))
+          .agg(sum(profit).cast("double").as("profit"))
+          .orderBy(col("n_name"), desc("yr"))
+      },
+      Some("""SELECT n_name, year(o_orderdate)::INT AS yr,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(1 - l_discount AS DECIMAL(18,2))
+        |           - CAST(p_retailprice AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, yr DESC""".stripMargin)),
+
+    // Q16 shape — attribute-bucketed supplier diversity with an
+    // exclusion subquery: distinct suppliers per (brand, type, size)
+    // for selected sizes, EXCLUDING a supplier denylist (adapted to
+    // s_acctbal < 0 — no comment field exists). The NOT IN becomes a
+    // broadcast anti join on the fact before aggregation;
+    // COUNT(DISTINCT) runs as Spark's two-phase distinct aggregate —
+    // partials dedup (key, supplier) map-side, so the wide shuffle
+    // carries distinct pairs, not raw fact rows.
+    QueryDef("q16_supplier_diversity",
+      (s, dir) => {
+        val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29)
+        val li = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+          .where(col("p_size").isin(sizes: _*))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        val bad = Tables.load(s, dir, "supplier")
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        li.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
     // Q21 shape — double correlation (EXISTS + NOT EXISTS on the same
     // fact): suppliers solely to blame for a multi-supplier order's
     // returns (some OTHER supplier exists on the order; no OTHER
