@@ -619,16 +619,31 @@ object DedupQueries {
         val batch = d.where(col("lang") === "en" &&
             detHash(2L, col("doc_id")) === 0L)
           .select(col("doc_id"), col("lang"), upper(col("text")).as("text"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-snap").toString
-        PartitionedSnapshot.write(d, path, "lang")
-        PartitionedSnapshot.overwritePartitions(batch, path, "lang")
-        PartitionedSnapshot.overwritePartitions(batch, path, "lang")
-        PartitionedSnapshot.read(s, path)
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum(pmod(hash60(col("text")), lit(1000003L))).as("content_sig"))
-          .orderBy(col("lang"))
+        // SIDE EFFECT, by design: building this QueryDef's DataFrame
+        // RUNS the snapshot + two overwrite jobs + read-back — the
+        // gate exists to exercise the real write path, so plan-only
+        // tooling pays that cost too. The temp snapshot is deleted in
+        // the finally (repeated gate/bench runs must not leak disk);
+        // the tiny per-lang aggregate is collected first and returned
+        // as a local frame so the surviving plan holds no reference
+        // to the deleted path.
+        val path = java.nio.file.Files.createTempDirectory("graft-snap")
+        try {
+          PartitionedSnapshot.write(d, path.toString, "lang")
+          PartitionedSnapshot.overwritePartitions(batch, path.toString, "lang")
+          PartitionedSnapshot.overwritePartitions(batch, path.toString, "lang")
+          val res = PartitionedSnapshot.read(s, path.toString)
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(pmod(hash60(col("text")), lit(1000003L))).as("content_sig"))
+            .orderBy(col("lang"))
+          val rows = res.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+        } finally {
+          java.nio.file.Files.walk(path)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       },
       Some(s"""WITH final AS (
         |  SELECT doc_id, lang, text FROM documents WHERE lang <> 'en'

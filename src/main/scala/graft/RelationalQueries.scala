@@ -380,7 +380,11 @@ object RelationalQueries {
     // cross-joins its count in, so the oracle proves est_rows ==
     // actual_rows: the probe is exact, not an estimate. At 100 TB
     // only the probe runs — it is the go/no-go (and
-    // plain-vs-saltedJoin) decision for the join it predicts.
+    // plain-vs-saltedJoin) decision for the join it predicts. Probe
+    // arithmetic is DECIMAL(38,0) end to end (mirrored here) — in the
+    // exploding regime the product sum can pass Long.MaxValue, where
+    // a BIGINT sum would wrap small/negative exactly when it should
+    // scream "too big".
     QueryDef("join_size_probe",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
@@ -394,11 +398,12 @@ object RelationalQueries {
         |  SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
         |cb AS (
         |  SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
-        |p AS (SELECT ca.ca * cb.cb AS p FROM ca JOIN cb ON ca.k = cb.k),
+        |p AS (SELECT ca.ca::DECIMAL(19,0) * cb.cb::DECIMAL(19,0) AS p
+        |  FROM ca JOIN cb ON ca.k = cb.k),
         |probe AS (
-        |  SELECT COALESCE(SUM(p), 0)::BIGINT AS est_rows,
+        |  SELECT COALESCE(SUM(p), 0)::DECIMAL(38,0) AS est_rows,
         |    COUNT(*) AS n_join_keys,
-        |    COALESCE(MAX(p), 0)::BIGINT AS max_key_rows
+        |    COALESCE(MAX(p), 0)::DECIMAL(38,0) AS max_key_rows
         |  FROM p),
         |actual AS (
         |  SELECT COUNT(*) AS actual_rows

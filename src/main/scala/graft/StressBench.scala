@@ -47,18 +47,31 @@ object StressBench {
 
     // adversarial hot bucket: ONE bucket holds 1M ids (an empty-text
     // length band / boilerplate shingle at corpus scale) next to 100k
-    // normal 2-id buckets. The two-pass prefilter must drop the hot
-    // bucket from the count pass alone — no 1M-element set ever
-    // materializes in an aggregation buffer. Output = 100k pairs from
-    // the normal buckets, none from the hot one.
-    timed("hotBucketPairGen") {
+    // normal 2-id buckets. BOTH cappedIdSets strategies are timed on
+    // the same input: the default one-pass CollectSetCapped aggregate
+    // (hot bucket collapses to an overflow flag, O(cap) state) and
+    // the twoPass=true count→semi-join→collect_set prefilter (the hot
+    // bucket is dropped from the count pass alone — no 1M-element set
+    // ever materializes in an aggregation buffer). Output is
+    // identical either way: 100k pairs from the normal buckets, none
+    // from the hot one.
+    def hotBucketInput = {
       val hot = spark.range(1000L * 1000)
         .select(lit(0L).as("__band"), col("id").as("doc_id"))
       val normal = spark.range(200L * 1000)
         .select((floor(col("id") / 2) + 1).cast("long").as("__band"),
           (col("id") + 2000000L).as("doc_id"))
-      Similarity.cappedIdSets(hot.union(normal), Seq("__band"), "doc_id",
+      hot.union(normal)
+    }
+    timed("hotBucketPairGen") {
+      Similarity.cappedIdSets(hotBucketInput, Seq("__band"), "doc_id",
           cap = 1000, "__ids")
+        .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
+        .count()
+    }
+    timed("hotBucketPairGenTwoPass") {
+      Similarity.cappedIdSets(hotBucketInput, Seq("__band"), "doc_id",
+          cap = 1000, "__ids", twoPass = true)
         .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
         .count()
     }

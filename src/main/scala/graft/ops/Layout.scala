@@ -70,25 +70,38 @@ object Layout {
     * callers choose the sink (plain parquet, or writeZordered to
     * re-cluster while compacting).
     */
-  /** Partition-count ceiling for [[compact]]: plan stats are
-    * estimates, and Spark's default `sizeInBytes` for a statless
-    * relation is Long.MaxValue (join estimates can multiply past it) —
-    * an unclamped BigInt→Int conversion would wrap to an arbitrary
-    * 32-bit value. Clamp IN BigInt space first; hitting the ceiling
-    * means the stats are unusable for sizing, so fail loudly rather
-    * than compact 100 TB into garbage partitioning.
+  /** Default partition-count ceiling for [[compact]] — overridable
+    * per call (`maxPartitions`): a legitimately huge input with a
+    * small target (100 TB at 64 MB ≈ 1.6M files) is a valid job, just
+    * one the caller should size consciously.
     */
   val MaxCompactPartitions = 1 << 20
 
-  def compact(df: DataFrame, targetBytes: Long): DataFrame = {
+  /** Byte estimates at or past this bound are treated as the
+    * missing-stats sentinel, not data: Spark's default `sizeInBytes`
+    * for a statless relation is Long.MaxValue, and non-equi join
+    * estimates MULTIPLY side sizes past it — while no real dataset's
+    * relation-backed stats approach 4.6 exabytes (Long.MaxValue/2).
+    * Failing only here keeps genuinely large-but-real estimates
+    * usable (they clamp to `maxPartitions` instead of erroring).
+    */
+  val UnusableStatsBytes: BigInt = BigInt(Long.MaxValue) / 2
+
+  def compact(df: DataFrame, targetBytes: Long,
+              maxPartitions: Int = MaxCompactPartitions): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(maxPartitions > 0, s"maxPartitions must be positive: $maxPartitions")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // fail ONLY on sentinel-class estimates (default sizeInBytes /
+    // overflowed join products) — an unclamped BigInt→Int conversion
+    // would wrap to an arbitrary 32-bit value and compact 100 TB into
+    // garbage partitioning. Large-but-real estimates clamp instead.
+    require(bytes < UnusableStatsBytes,
+      s"plan size estimate $bytes B is in the missing-stats sentinel range " +
+        "(default sizeInBytes is Long.MaxValue; join estimates multiply " +
+        "past it) — compact() needs a relation-backed estimate")
     val files = ((bytes + targetBytes - 1) / targetBytes)
-      .min(BigInt(MaxCompactPartitions)).max(BigInt(1))
-    require(files < BigInt(MaxCompactPartitions),
-      s"plan size estimate $bytes B implies >= $MaxCompactPartitions output " +
-        "files — stats are missing or inflated (default sizeInBytes is " +
-        "Long.MaxValue); compact() needs a relation-backed estimate")
+      .min(BigInt(maxPartitions)).max(BigInt(1))
     df.repartition(files.toInt)
   }
 }

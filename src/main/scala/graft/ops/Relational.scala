@@ -148,18 +148,31 @@ object Relational {
     * max_key_rows (the hottest key's contribution — the skew signal
     * that decides between a plain join, saltedJoin, or AQE skew
     * handling).
+    *
+    * Arithmetic is DECIMAL(38,0), not LongType, ON PURPOSE: the probe
+    * exists for the exploding-join regime, where per-key products
+    * reach ~10¹² and their sum can exceed Long.MaxValue — exactly the
+    * case where a Long sum would silently wrap (non-ANSI) to a small
+    * or negative estimate and the guard would wave the job through.
+    * Two (19,0) counts multiply into (38,0) with headroom to ~10³⁸;
+    * past even that, decimal overflow nulls/throws loudly instead of
+    * wrapping.
     */
   def joinSizeProbe(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
     val ca = left.groupBy(col(leftKey).as("__k"))
-      .agg(count(lit(1)).as("__ca"))
+      .agg(count(lit(1)).cast(dec).as("__ca"))
     val cb = right.groupBy(col(rightKey).as("__k"))
-      .agg(count(lit(1)).as("__cb"))
+      .agg(count(lit(1)).cast(dec).as("__cb"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     ca.join(cb, "__k")
-      .select((col("__ca") * col("__cb")).as("__p"))
-      .agg(coalesce(sum(col("__p")), lit(0L)).as("est_rows"),
+      .select((col("__ca") * col("__cb")).cast(dec38).as("__p"))
+      .agg(coalesce(sum(col("__p")), lit(0L).cast(dec38)).cast(dec38)
+          .as("est_rows"),
         count(lit(1)).as("n_join_keys"),
-        coalesce(max(col("__p")), lit(0L)).as("max_key_rows"))
+        coalesce(max(col("__p")), lit(0L).cast(dec38)).cast(dec38)
+          .as("max_key_rows"))
   }
 
   /** Skew-resistant two-phase aggregation: salt the hot key space into

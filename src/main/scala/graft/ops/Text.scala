@@ -168,6 +168,13 @@ object Text {
     * this operator exists to avoid. When `df`'s lineage is expensive
     * (regex featurization), persist the projected (id, score, tokens)
     * frame before calling.
+    *
+    * NULL-score rows are EXCLUDED from the selection (the histogram
+    * join is an equi-join, and SQL equality never matches NULL): an
+    * un-scored document has no rank, and silently placing it would
+    * let unscored data leak into a curated cut. Score what you want
+    * considered — `coalesce(score, lit(0))` to rank unscored docs
+    * last explicitly. Property-spec-pinned (PropertySpec).
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
                         tokensCol: String, budget: Long): DataFrame = {

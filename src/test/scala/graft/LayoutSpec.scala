@@ -99,10 +99,30 @@ class LayoutSpec extends SparkSpec {
     val big = a.join(a.withColumnRenamed("id", "id2"),
       org.apache.spark.sql.functions.expr("id != id2"))
     val stats = big.queryExecution.optimizedPlan.stats.sizeInBytes
-    assume(stats >= BigInt(Layout.MaxCompactPartitions),
+    assume(stats >= Layout.UnusableStatsBytes,
       s"join estimate unexpectedly small: $stats")
     val ex = intercept[IllegalArgumentException](
       Layout.compact(big, 128L * 1024 * 1024))
     assert(ex.getMessage.contains("stats"))
+  }
+
+  test("compact clamps a legitimately large estimate to maxPartitions instead of failing") {
+    // ~8.8 TB of relation-backed stats with a 1 KB target implies
+    // billions of files — a VALID job shape (100 TB at 64 MB is
+    // ~1.6M files), so it must clamp to the caller's ceiling, not be
+    // mistaken for the missing-stats sentinel. Nothing executes:
+    // only the LOGICAL plan's partition count is inspected (.rdd
+    // would let AQE materialize the 2^40-row shuffle map stage).
+    val big = spark.range(1L << 40)
+    val stats = big.queryExecution.optimizedPlan.stats.sizeInBytes
+    assume(stats < Layout.UnusableStatsBytes && stats > BigInt(1L << 42),
+      s"range estimate out of expected band: $stats")
+    val out = Layout.compact(big.toDF(), targetBytes = 1024,
+      maxPartitions = 4096)
+    val reps = out.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+        r.numPartitions
+    }
+    assert(reps == Seq(4096), s"expected one Repartition(4096): $reps")
   }
 }

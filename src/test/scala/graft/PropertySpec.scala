@@ -198,4 +198,21 @@ class PropertySpec extends SparkSpec {
     check(List((1L, 0.5, 10L), (2L, 0.4, 0L), (3L, 0.4, 5L)), budget = 10L)
     forSamples(gen, 25) { case (rows, budget) => check(rows, budget) }
   }
+
+  test("pinned: tokenBudgetSelect excludes NULL-score rows (documented contract)") {
+    import org.apache.spark.sql.functions.col
+    // un-scored documents have no rank and must NOT leak into the
+    // cut, even with budget to spare — the scaladoc's documented
+    // contract (coalesce the score to opt them in explicitly)
+    val df = Seq(
+      (1L, Option(0.9), 10L),
+      (2L, Option.empty[Double], 5L),   // unscored, budget remains
+      (3L, Option(0.1), 10L),
+      (4L, Option.empty[Double], 0L)    // unscored, zero tokens
+    ).toDF("doc_id", "score", "toks")
+    val got = graft.ops.Text
+      .tokenBudgetSelect(df, "doc_id", "score", "toks", budget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"null-score rows must be excluded: $got")
+  }
 }
