@@ -328,6 +328,48 @@ object EventQueries {
         |WHERE event_type = 'purchase' AND prev_us IS NOT NULL
         |ORDER BY event_id""".stripMargin)),
 
+    // Generalized two-table as-of join via Relational.asofJoin — the
+    // feature-store / trade-enrichment shape: LEFT-outer with a
+    // 24 h staleness tolerance, so the gate exercises all three
+    // outcomes (fresh match with exact integer staleness, stale match
+    // nulled by tolerance, user with no prior click at all). Right
+    // side is pre-aggregated to one row per (user, ts) — the
+    // operator's determinism contract. Oracle is DuckDB's native
+    // ASOF LEFT JOIN with the tolerance as a post-CASE: matching an
+    // independent built-in implementation (not a window re-derivation)
+    // is the strongest cross-check the as-of semantics can get.
+    QueryDef("events_asof_enrich",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = e.where(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_uid"), col("ts_us").as("c_us"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        graft.ops.Relational.asofJoin(purchases, clicks,
+            "user_id", "c_uid", "ts_us", "c_us", Seq("click_id"),
+            toleranceUs = Some(86400L * 1000000L))
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            (col("ts_us") - col("asof_time_us")).as("staleness_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id AS c_uid, epoch_us(ts) AS c_us,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN l.ts_us - r.c_us <= 86400000000 THEN r.click_id END
+        |    AS click_id,
+        |  CASE WHEN l.ts_us - r.c_us <= 86400000000 THEN l.ts_us - r.c_us END
+        |    AS staleness_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.c_uid AND l.ts_us >= r.c_us
+        |ORDER BY l.event_id""".stripMargin)),
+
     // Binned range join: clicks in the 10 minutes before each error,
     // per user — the "what led up to this" correlation query. The
     // naive same-key range join is per-user quadratic (every
@@ -385,6 +427,75 @@ object EventQueries {
         | CAST(round(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,8)), 6) AS DOUBLE) AS p90,
         | CAST(round(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,8)), 6) AS DOUBLE) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // The 100 TB path the events_percentiles comment promises:
+    // ops/Quantile's iterative histogram bracketing — O(buckets)
+    // aggregation state per pass instead of Spark percentile()'s
+    // all-values-in-one-buffer, and the answer is an actual ELEMENT of
+    // the dataset (discrete quantile, k = ceil(q·n)), so it
+    // cross-checks bit-exact against the oracle's row_number selection
+    // with no rounding discipline at all. Ranks and dtypes: n BIGINT,
+    // values raw DOUBLE.
+    QueryDef("quantile_exact_twopass",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+        val (n, vals) = graft.ops.Quantile.exactQuantiles(e, "value",
+          Seq(0.5, 0.9, 0.99))
+        Seq((n, vals(0), vals(1), vals(2))).toDF("n", "p50", "p90", "p99")
+      },
+      Some("""WITH s AS (
+        |  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |SELECT max(n) AS n,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |      THEN value END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |      THEN value END) AS p90,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+        |      THEN value END) AS p99
+        |FROM s""".stripMargin)),
+
+    // Distribution-drift tripwire (ops/Drift.psiReport): PSI between a
+    // reference half and a current half of the corpus (deterministic
+    // even/odd event_id split stands in for last-week/this-week), 10
+    // equal-width bins over the combined value range. The plan is
+    // 100 TB-flat: one union scan with a scan-time bin expression over
+    // a broadcast 1-row min/max, one O(bins) aggregation, one
+    // broadcast totals join — no row ever shuffles on a data key. The
+    // oracle replays bins and the floored ln term; the per-bin term is
+    // decimal-rounded to 6 so the report hashes identically.
+    QueryDef("drift_psi_events",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val ref = e.where(col("event_id") % 2 === 0)
+        val cur = e.where(col("event_id") % 2 === 1)
+        graft.ops.Drift.psiReport(ref, cur, "value", bins = 10)
+      },
+      Some("""WITH u AS (
+        |  SELECT value AS v, event_id % 2 AS side FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+        |b AS (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(9, greatest(0, CAST(floor((v - mn) / (mx - mn) * 10)
+        |      AS BIGINT))) END AS bin, side
+        |  FROM u, st),
+        |c AS (
+        |  SELECT bin, count(CASE WHEN side = 0 THEN 1 END) AS n_ref,
+        |    count(CASE WHEN side = 1 THEN 1 END) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |  CAST(sum(n_cur) AS BIGINT) AS tc FROM c)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST(round(CAST(
+        |    (greatest(n_cur::DOUBLE / tc::DOUBLE, 1e-6)
+        |      - greatest(n_ref::DOUBLE / tr::DOUBLE, 1e-6))
+        |    * ln(greatest(n_cur::DOUBLE / tc::DOUBLE, 1e-6)
+        |      / greatest(n_ref::DOUBLE / tr::DOUBLE, 1e-6))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS psi_term
+        |FROM c, t ORDER BY bin""".stripMargin)),
 
     // Daily event-type matrix via the pivot operator (fixed pivot
     // domain keeps the schema deterministic and avoids the

@@ -423,6 +423,32 @@ object TextQueries {
         |  FROM documents)
         |WHERE rn <= $StratifiedK ORDER BY lang, rn""".stripMargin)),
 
+    // Weighted sampling WITHOUT replacement (Relational.prioritySample,
+    // the Efraimidis–Spirakis A-ES scheme): 50 docs drawn with
+    // probability proportional to size (n_chars + 1), exactly and
+    // reproducibly — key = ln(u)/w with a detHash-derived u, top-k by
+    // key. Unlike sample_weighted_quality's independent per-row keeps
+    // (sample SIZE is binomial, only its expectation is controlled),
+    // A-ES returns exactly k rows, the contract eval-set construction
+    // needs. Single scan, TakeOrdered top-k, no shuffle of the corpus;
+    // the oracle replays the identical key formula (ln and IEEE
+    // division are cross-engine-stable on identical operands).
+    QueryDef("sample_priority_weighted",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        graft.ops.Relational
+          .prioritySample(d, 50, col("n_chars") + lit(1L), col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    ln((${detHashSql(DetHashPrime, Seq("doc_id"))} + 1) /
+        |       ${DetHashPrime + 1}.0) / (n_chars + 1) AS pk
+        |  FROM documents
+        |  ORDER BY pk DESC, doc_id DESC LIMIT 50)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Token-budget selection (ops/Text.tokenBudgetSelect): the best
     // documents by quality score until 40 % of the corpus' tokens are
     // spent — the final cut of every pretraining-data run. The naive

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles by iterative histogram bracketing.
+  *
+  * Spark's exact `percentile` aggregate buffers every value of a group
+  * in one aggregation buffer (an OpenHashMap per group) — at 100 TB
+  * that is an executor OOM, which is why its docs push
+  * `approx_percentile`. But monitoring contracts ("p99 latency,
+  * exactly") and oracle-checkable pipelines want the EXACT order
+  * statistic without a single-node sort. This is the classic
+  * multi-round bracketing algorithm (the distributed form of
+  * Munro–Paterson selection):
+  *
+  *   round 0: one aggregate pass → (count, min, max).
+  *   round i: histogram the current bracket [lo, hi] into `buckets`
+  *            equal-width bins — ONE map-side-combined aggregate whose
+  *            state is O(buckets); collect the ≤`buckets`-row result
+  *            to the driver, walk the cumulative counts to find the
+  *            bin holding the k-th value, and recurse into that bin's
+  *            OBSERVED [min, max] (observed bounds, not bin edges, so
+  *            progress is guaranteed even when every row lands in one
+  *            bin).
+  *   finish:  when the bracket holds ≤ `directLimit` rows, the k-th
+  *            smallest inside it is `orderBy.limit(k').max` — a
+  *            TakeOrdered over a range-filtered scan, never a global
+  *            sort.
+  *
+  * Scale shape: every round is a full-scan *aggregate* (no shuffle of
+  * rows — only `buckets` partial states per partition move), the
+  * range filter `__v BETWEEN lo AND hi` is pushed to the parquet scan,
+  * and the driver only ever sees `buckets` rows per round. Rounds are
+  * logarithmic: each shrinks the candidate set by ~`buckets`×
+  * (4096² = 16M × directLimit 4M covers ~10¹³ rows in two rounds).
+  * The driver-side loop is bounded metadata traffic, the same pattern
+  * as [[Similarity.kmeansFit]]'s centroid collect.
+  *
+  * Values must be castable to double; NULL and NaN are excluded
+  * (quantiles over partial data are otherwise silently wrong —
+  * callers coalesce explicitly if they mean to rank missing values).
+  */
+object Quantile {
+
+  /** n and the exact q-th values (k = max(1, ceil(q·n)) — the
+    * "lower" discrete quantile convention, mirrored by the oracle's
+    * row_number comparison) for each q in `qs`. One count pass, then
+    * one bracketing selection per distinct rank.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                     buckets: Int = 4096, directLimit: Long = 1L << 22)
+      : (Long, Seq[Double]) = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    val clean = cleaned(df, valueCol)
+    val n = clean.count()
+    require(n > 0, "exactQuantiles over an empty (or all-null/NaN) column")
+    val byRank = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
+      .distinct.map(k => k -> kthOf(clean, n, k, buckets, directLimit)).toMap
+    (n, qs.map(q => byRank(math.max(1L, math.ceil(q * n).toLong))))
+  }
+
+  /** Exact k-th smallest (1-based) of `valueCol`. */
+  def kthSmallest(df: DataFrame, valueCol: String, k: Long,
+                  buckets: Int = 4096, directLimit: Long = 1L << 22): Double = {
+    val clean = cleaned(df, valueCol)
+    val n = clean.count()
+    require(k >= 1 && k <= n, s"rank $k out of range [1, $n]")
+    kthOf(clean, n, k, buckets, directLimit)
+  }
+
+  private def cleaned(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+
+  private def kthOf(clean: DataFrame, n: Long, k: Long,
+                    buckets: Int, directLimit: Long): Double = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(directLimit >= 1 && directLimit <= Int.MaxValue,
+      s"directLimit out of (0, Int.MaxValue]: $directLimit")
+    val firstRow = clean.agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .head()
+    var lo = firstRow.getDouble(0)
+    var hi = firstRow.getDouble(1)
+    var kRem = k
+    var inBracket = n
+    // 64 rounds is unreachable for finite doubles (each round divides
+    // the bracket's width or population); it backstops degenerate
+    // floating-point brackets by falling through to the direct path.
+    var round = 0
+    while (lo < hi && inBracket > directLimit && round < 64) {
+      val width = col("__v") - lit(lo)
+      val span = hi - lo
+      val bucket = least(lit(buckets - 1),
+        greatest(lit(0L), floor(width / lit(span) * lit(buckets)).cast("long")))
+      val hist = clean.where(col("__v") >= lo && col("__v") <= hi)
+        .groupBy(bucket.as("__b"))
+        .agg(count(lit(1)).as("__c"), min(col("__v")).as("__lo"),
+          max(col("__v")).as("__hi"))
+        .orderBy(col("__b"))
+        .collect()
+      var cum = 0L
+      var i = 0
+      while (cum + hist(i).getLong(1) < kRem) {
+        cum += hist(i).getLong(1); i += 1
+      }
+      kRem -= cum
+      lo = hist(i).getDouble(2)
+      hi = hist(i).getDouble(3)
+      inBracket = hist(i).getLong(1)
+      round += 1
+    }
+    if (lo == hi) lo
+    else {
+      require(kRem <= Int.MaxValue,
+        s"bracketing stalled with $kRem-th of $inBracket rows unresolved " +
+          "— raise buckets/directLimit")
+      clean.where(col("__v") >= lo && col("__v") <= hi)
+      .orderBy(col("__v")).limit(kRem.toInt)
+        .agg(max(col("__v"))).head().getDouble(0)
+    }
+  }
+}

@@ -290,4 +290,131 @@ object Relational {
         col(rightTsUs) < col(leftTsUs))
       .drop("__fb", "__lb", "__rb")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * priority sampling, the A-ES scheme): each row draws a
+    * deterministic uniform u ∈ (0, 1] from its id via detHash and is
+    * ranked by key = ln(u) / w — the top-k keys are EXACTLY a weighted
+    * sample without replacement with inclusion proportional to the
+    * weights. One pass, no per-group state: the top-k is a
+    * TakeOrdered (per-partition heaps of k, then a k-row merge on the
+    * driver side of the final stage — no global sort shuffle), so the
+    * operator is a single scan at any corpus size. detHash (not
+    * rand()) keeps the draw partitioning-independent — the same rows
+    * are selected on 1 executor or 1000.
+    *
+    * `weight` must be strictly positive. Ties (same u and w) break by
+    * the id columns descending, so the result is total-order
+    * deterministic.
+    */
+  def prioritySample(df: DataFrame, k: Int, weight: Column,
+                     idCols: Column*): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(idCols.nonEmpty, "prioritySample needs >= 1 id column")
+    val u = (detHash(DetHashPrime, idCols: _*) + lit(1L)).cast("double") /
+      lit(DetHashPrime.toDouble + 1.0)
+    df.withColumn("__pk", log(u) / weight)
+      .orderBy((col("__pk").desc +: idCols.map(_.desc)): _*)
+      .limit(k)
+      .drop("__pk")
+  }
+
+  /** Backward as-of join: attach to every left row the right row with
+    * the LARGEST rightTime <= leftTime for the same key — the
+    * point-in-time lookup behind feature stores ("the feature value as
+    * of this training example"), trade enrichment ("the quote in
+    * effect at this trade"), and last-touch attribution.
+    *
+    * Spark has no ASOF JOIN operator, and the naive encodings both
+    * break at scale: an equi-join + "max time per left row" re-group
+    * materializes every same-key (left × right) pair first (per-key
+    * quadratic, the range-join trap), and a windowed subquery per left
+    * row is the same thing in disguise. This implementation is the
+    * union-timeline form — the shape that survives 100×:
+    *
+    *   1. Tag both sides and union them into ONE timeline
+    *      (left's columns ride in a struct; right contributes
+    *      `rightVals` + its timestamp).
+    *   2. ONE hash shuffle on the key, ONE per-partition sort on
+    *      (time, side) — right sorts before left at equal timestamps,
+    *      which is exactly the <= (not <) match semantic.
+    *   3. `last(<right val>, ignoreNulls) over rowsBetween(-inf, 0)`
+    *      — a running "most recent right row seen" carried down each
+    *      key's timeline in one pass. Spark evaluates all N value
+    *      columns in a single Window operator over a single sort.
+    *
+    * Cost: shuffle |L| + |R| once on the key; no pair blow-up at any
+    * skew (a hot key costs one external per-partition sort, which
+    * spills — it cannot OOM an aggregation buffer). Compare
+    * [[rangeJoinBinned]], which bounds reducer load per time-bucket
+    * but only answers bounded-window ALL-matches queries; as-of wants
+    * the single latest match over unbounded history, so the timeline
+    * scan is the right tool.
+    *
+    * Semantics and contract:
+    *   - Time columns must be integral (cast timestamps with
+    *     unix_micros first): tolerance subtraction on doubles would
+    *     be edge-rounded, and int64 microseconds are exact.
+    *   - `toleranceUs`: matches older than leftTime − toleranceUs are
+    *     nulled out (left-outer) — the feature-staleness bound.
+    *   - Left-outer by default (unmatched left rows keep null right
+    *     values); `inner = true` drops them.
+    *   - The matched right timestamp is returned as `matchedTimeCol`
+    *     (staleness = leftTime − matchedTimeCol).
+    *   - Right rows should be unique per (key, time) — pre-aggregate
+    *     otherwise; with duplicates the per-partition sort makes the
+    *     surviving match nondeterministic (Spark's sort is not stable
+    *     across retries/partitionings).
+    *   - `rightVals` names must not collide with left column names.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTimeUs: String, rightTimeUs: String,
+               rightVals: Seq[String],
+               toleranceUs: Option[Long] = None,
+               inner: Boolean = false,
+               matchedTimeCol: String = "asof_time_us"): DataFrame = {
+    require(rightVals.nonEmpty, "rightVals must name >= 1 right column")
+    val clash = rightVals.toSet ++ Set(matchedTimeCol) intersect left.columns.toSet
+    require(clash.isEmpty, s"right-value names collide with left columns: $clash")
+    toleranceUs.foreach(t => require(t > 0, s"toleranceUs must be positive: $t"))
+
+    val leftCols = left.columns.toSeq
+    val lStruct = left.select(struct(leftCols.map(col): _*).as("__l"))
+      .schema.head.dataType
+    val rTypes = rightVals.map(v => v -> right.schema(v).dataType)
+
+    val l2 = left.select(
+      (col(leftKey).as("__k") +: col(leftTimeUs).cast("long").as("__t") +:
+        lit(1).as("__side") +: struct(leftCols.map(col): _*).as("__l") +:
+        rTypes.map { case (v, t) => lit(null).cast(t).as(s"__rv_$v") }): _*)
+    val r2 = right.select(
+      (col(rightKey).as("__k") +: col(rightTimeUs).cast("long").as("__t") +:
+        lit(0).as("__side") +: lit(null).cast(lStruct).as("__l") +:
+        rightVals.map(v => col(v).as(s"__rv_$v"))): _*)
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the matched right row as ONE struct — carrying each value
+    // column through its own last(ignoreNulls) would resurrect an
+    // OLDER row's value wherever the latest right row holds a null
+    val rRow = when(col("__side") === 0,
+      struct(col("__t").as("__mt") +:
+        rightVals.map(v => col(s"__rv_$v").as(v)): _*))
+    val m = last(rRow, ignoreNulls = true).over(w)
+    // in-tolerance ⟺ a right row exists and is fresh enough; with no
+    // tolerance any preceding right row matches
+    val fresh = toleranceUs match {
+      case Some(t) => m.isNotNull && (col("__t") - m("__mt")) <= t
+      case None    => m.isNotNull
+    }
+    val enriched = l2.unionByName(r2)
+      .withColumn("__m", when(fresh, m))
+      .where(col("__side") === 1)
+    val filtered = if (inner) enriched.where(col("__m").isNotNull) else enriched
+    filtered.select(
+      (leftCols.map(n => col(s"__l.$n").as(n)) :+
+        col("__m.__mt").as(matchedTimeCol)) ++
+        rightVals.map(v => col(s"__m.$v").as(v)): _*)
+  }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Drift, Quantile, Relational}
+
+/** Round-6 operators: asofJoin, exact quantile bracketing,
+  * prioritySample, PSI drift report.
+  */
+class AsofQuantileDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- asofJoin -----------------------------------------------------
+
+  private def trades = Seq(
+    // (trade_id, sym, t)
+    (1L, "A", 100L), (2L, "A", 205L), (3L, "A", 300L),
+    (4L, "B", 100L), (5L, "C", 50L)
+  ).toDF("trade_id", "sym", "t")
+
+  private def quotes = Seq(
+    // (qsym, qt, px, note) — note null at qt=200 on purpose
+    ("A", 90L, 10.0, "early"), ("A", 200L, 11.0, null),
+    ("A", 300L, 12.0, "exact"), ("B", 400L, 99.0, "late")
+  ).toDF("qsym", "qt", "px", "note")
+
+  test("asofJoin picks the latest right row at-or-before each left time") {
+    val out = Relational.asofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("px", "note"))
+      .select("trade_id", "asof_time_us", "px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(out(1L) == (Some(90L), Some(10.0)))   // only the 90 quote precedes
+    assert(out(2L) == (Some(200L), Some(11.0)))  // 200 < 205, latest wins
+    assert(out(3L) == (Some(300L), Some(12.0)))  // equality matches (<=)
+    assert(out(4L) == (None, None))              // B's only quote is later
+    assert(out(5L) == (None, None))              // C has no quotes at all
+  }
+
+  test("asofJoin carries the matched ROW as a unit — a null right value is not backfilled from an older row") {
+    // trade 2 matches the qt=200 quote whose note is NULL; per-column
+    // ignoreNulls carrying would resurrect "early" from qt=90
+    val out = Relational.asofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("note"))
+      .where(col("trade_id") === 2L).select("note")
+      .as[Option[String]].head()
+    assert(out.isEmpty, s"expected NULL note from the matched row, got $out")
+  }
+
+  test("asofJoin tolerance nulls stale matches; inner drops unmatched") {
+    val tol = Relational.asofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("px"), toleranceUs = Some(10L))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    // staleness: t1=10 (keep), t2=5 (keep), t3=0 (keep)… with tol=5:
+    assert(tol(1L).contains(10.0) && tol(2L).contains(11.0) &&
+      tol(3L).contains(12.0))
+    val tight = Relational.asofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("px"), toleranceUs = Some(5L))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(tight(1L).isEmpty && tight(2L).contains(11.0) &&
+      tight(3L).contains(12.0))
+    val inner = Relational.asofJoin(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("px"), toleranceUs = Some(5L), inner = true)
+    assert(inner.select("trade_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("asofJoin rejects right-value names that collide with left columns") {
+    val ex = intercept[IllegalArgumentException](
+      Relational.asofJoin(trades, quotes.withColumnRenamed("px", "t"),
+        "sym", "qsym", "t", "qt", Seq("t")))
+    assert(ex.getMessage.contains("collide"))
+  }
+
+  // ---- Quantile -----------------------------------------------------
+
+  test("kthSmallest matches a local sort at every rank (with duplicates)") {
+    val xs = Seq(5.0, 1.0, 3.0, 3.0, 3.0, 9.0, 7.0, 1.0, 8.0, 2.0)
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    for (k <- 1 to xs.size)
+      assert(Quantile.kthSmallest(df, "x", k) == sorted(k - 1), s"rank $k")
+  }
+
+  test("histogram bracketing path (tiny directLimit) equals the direct path") {
+    // 10k distinct-ish doubles, forced through multiple histogram
+    // rounds (directLimit=16, buckets=8) — must equal plain sorting
+    val xs = (1 to 10000).map(i => ((i * 2654435761L) % 100003L).toDouble)
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    for (k <- Seq(1, 17, 5000, 9999, 10000))
+      assert(Quantile.kthSmallest(df, "x", k, buckets = 8,
+        directLimit = 16) == sorted(k - 1), s"rank $k")
+  }
+
+  test("exactQuantiles excludes null/NaN and handles an all-equal column") {
+    val df = Seq(Some(4.0), None, Some(Double.NaN), Some(4.0), Some(4.0))
+      .toDF("x")
+    val (n, vals) = Quantile.exactQuantiles(df, "x", Seq(0.5, 1.0))
+    assert(n == 3 && vals == Seq(4.0, 4.0))
+  }
+
+  // ---- prioritySample ----------------------------------------------
+
+  test("prioritySample returns exactly k rows, partitioning-independent, matching the naive key ranking") {
+    val df = (1L to 500L).map(i => (i, (i % 13) + 1.0)).toDF("id", "w")
+    val out1 = Relational.prioritySample(df, 20, col("w"), col("id"))
+      .select("id").as[Long].collect().toSet
+    val out2 = Relational.prioritySample(df.repartition(7), 20, col("w"),
+      col("id")).select("id").as[Long].collect().toSet
+    assert(out1.size == 20 && out1 == out2)
+    // naive driver-side replay of the same key formula
+    val keyed = df.withColumn("__u",
+        (graft.functions.GraftFunctions.detHash(
+          graft.functions.GraftFunctions.DetHashPrime, col("id")) + lit(1L))
+          .cast("double") /
+          lit(graft.functions.GraftFunctions.DetHashPrime.toDouble + 1.0))
+      .select(col("id"), (log(col("__u")) / col("w")).as("__pk"))
+      .as[(Long, Double)].collect()
+    val expect = keyed.sortBy { case (id, pk) => (-pk, -id) }.take(20)
+      .map(_._1).toSet
+    assert(out1 == expect)
+  }
+
+  test("prioritySample favors heavy weights (sanity, not exactness)") {
+    // two strata: weight 1000 vs weight 1 — the heavy stratum should
+    // dominate a 50-of-1000 sample overwhelmingly
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 500) 1000.0 else 1.0)).toDF("id", "w")
+    val heavy = Relational.prioritySample(df, 50, col("w"), col("id"))
+      .where(col("id") <= 500).count()
+    assert(heavy >= 45, s"expected heavy-weight dominance, got $heavy/50")
+  }
+
+  // ---- Drift.psiReport ---------------------------------------------
+
+  test("psiReport is ~zero for identical distributions and positive under shift") {
+    val a = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Drift.psiReport(a, a, "v", bins = 10)
+      .agg(sum(abs(col("psi_term")))).head().getDouble(0)
+    assert(same == 0.0, s"identical frames must have PSI 0, got $same")
+    val shifted = (1 to 2000).map(i => (i % 100).toDouble + 50.0).toDF("v")
+    val psi = Drift.psiReport(a, shifted, "v", bins = 10)
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(psi > 0.25, s"a half-range shift must flag as drift, got $psi")
+  }
+
+  test("psiReport bins span both sides and a single-value column degenerates to one bin") {
+    val a = Seq(1.0, 1.0, 1.0).toDF("v")
+    val out = Drift.psiReport(a, a, "v", bins = 10).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 0L)
+    // disjoint ranges: all of ref in low bins, all of cur in high bins,
+    // every populated bin present exactly once
+    val lo = (1 to 100).map(_ => 0.0).toDF("v")
+    val hi = (1 to 100).map(_ => 9.0).toDF("v")
+    val rep = Drift.psiReport(lo, hi, "v", bins = 10)
+      .select("bin", "n_ref", "n_cur").as[(Long, Long, Long)].collect()
+      .map { case (k, a2, b2) => k -> ((a2, b2)) }.toMap
+    assert(rep == Map(0L -> (100L, 0L), 9L -> (0L, 100L)))
+  }
+}
