@@ -363,6 +363,62 @@ object AdvancedQueries {
         |SELECT doc_id, j, neg_doc_id
         |FROM draws JOIN pool USING (pool_idx)
         |WHERE neg_doc_id <> doc_id
-        |ORDER BY doc_id, j""".stripMargin))
+        |ORDER BY doc_id, j""".stripMargin)),
+
+    // PageRank over the part co-purchase graph (parts sharing an
+    // order are linked, both directions) — ops/Graph.pageRank's
+    // fixed-point integer formulation, so five damped iterations
+    // produce BIGINT ranks that hash identically against the oracle's
+    // unrolled-CTE replay with no rounding discipline at all. The
+    // oracle is generated from the same constants (unit/base/damping)
+    // as the operator call, so the two cannot drift.
+    QueryDef("graph_pagerank_parts",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok").as("ok2"), col("pk").as("dst")),
+            col("ok") === col("ok2") && col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        val pr = graft.ops.Graph.pageRank(e, "src", "dst", PageRankIters)
+        val out = pr.orderBy(col("node")).select(col("node"), col("r"))
+        out
+      },
+      Some(pageRankOracleSql(PageRankIters)))
   )
+
+  private val PageRankIters = 5
+
+  /** Unrolled-CTE oracle for graph_pagerank_parts, generated from the
+    * SAME fixed-point constants as ops/Graph.pageRank's defaults —
+    * iteration count and arithmetic cannot drift from the Spark side.
+    * `//` is DuckDB's integer division (truncating, like Spark's
+    * `div`, identical on the all-positive ranks here).
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val unit = 1000000000000L
+    val base = (unit * 15L) / 100L
+    val head = s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+      |  SELECT n.node,
+      |    CAST($base + (COALESCE(CAST(sum(p.r // deg.deg) AS BIGINT), 0) * 85)
+      |      // 100 AS BIGINT) AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.node
+      |  LEFT JOIN deg ON deg.src = e.src
+      |  LEFT JOIN r${i - 1} p ON p.node = e.src
+      |  GROUP BY n.node)""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"\nSELECT node, r FROM r$iters ORDER BY node"
+  }
 }

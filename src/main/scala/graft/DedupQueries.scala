@@ -148,6 +148,41 @@ object DedupQueries {
         |  FROM bands)
         |WHERE doc_id > mn ORDER BY doc_id""".stripMargin)),
 
+    // Incremental batch dedup (Similarity.minhashDedupIncremental) —
+    // the production ingest shape: dedup a NEW batch against an
+    // already-accepted corpus WITHOUT ever re-pairing corpus×corpus.
+    // The corpus ships only its signature table (numPerms longs/doc);
+    // the batch pays new×new (lowest-id window) plus a band-bucket
+    // LEFT SEMI against the corpus buckets — cost scales with the
+    // BATCH, not the corpus². Split is a deterministic detHash half.
+    QueryDef("dedup_incremental_minhash",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val known = d.where(detHash(2L, col("doc_id")) === 0L)
+        val batch = d.where(detHash(2L, col("doc_id")) =!= 0L)
+        val knownSigs = Similarity.minhashSignatures(known, "doc_id", "text",
+          NumPerms, ShingleN)
+        Similarity.minhashDedupIncremental(batch, "doc_id", "text", knownSigs,
+            NumPerms, ShingleN, Bands, Rows)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""$lshBandsSql,
+        |knownb AS (SELECT doc_id, band, bv FROM bands
+        |  WHERE ${detHashSql(2L, Seq("doc_id"))} = 0),
+        |newb AS (SELECT doc_id, band, bv FROM bands
+        |  WHERE ${detHashSql(2L, Seq("doc_id"))} <> 0),
+        |intra AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bv) AS mn
+        |    FROM newb)
+        |  WHERE doc_id > mn),
+        |crossd AS (SELECT DISTINCT n.doc_id FROM newb n
+        |  JOIN knownb k ON n.band = k.band AND n.bv = k.bv)
+        |SELECT doc_id FROM documents
+        |WHERE ${detHashSql(2L, Seq("doc_id"))} <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM intra
+        |                     UNION SELECT doc_id FROM crossd)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Transitive dup CLUSTERS from the LSH candidate pairs: connected
     // components via iterative min-label propagation (one survivor
     // per component, not per edge — A near B near C collapses to one

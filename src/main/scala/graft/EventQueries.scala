@@ -457,6 +457,40 @@ object EventQueries {
         |      THEN value END) AS p99
         |FROM s""".stripMargin)),
 
+    // Spark's BUILT-IN session_window operator (the same operator the
+    // streaming path uses with a watermark), oracle-pinned against the
+    // classic lag+cumsum islands SQL: window.start = first event,
+    // window.end = last event + gap, sessions merge transitively. The
+    // batch/streaming operator identity is what makes lambda-free
+    // reprocessing safe — this gate pins the batch half; the
+    // streaming half is spec-pinned in StreamingSpec.
+    QueryDef("events_session_window",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""WITH a AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |b AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |        > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM a),
+        |c AS (
+        |  SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, min(t) AS session_start_us,
+        |  max(t) + 1800000000 AS session_end_us, count(*) AS n
+        |FROM c GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
     // Distribution-drift tripwire (ops/Drift.psiReport): PSI between a
     // reference half and a current half of the corpus (deterministic
     // even/odd event_id split stands in for last-week/this-week), 10

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Unit1 = 1000000000000L
+
+  test("pageRank: symmetric cycle converges to equal ranks (mass conserved)") {
+    // 4-cycle, both directions: perfectly symmetric, so every node
+    // keeps exactly unit rank at every iteration (deg=2 division is
+    // exact for the even unit)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val und = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(und, "src", "dst", iters = 5)
+    val ranks = r.as[(Long, Long)].collect().toMap
+    r.unpersist()
+    assert(ranks.size == 4 && ranks.values.forall(_ == Unit1), s"$ranks")
+  }
+
+  test("pageRank: star center dominates the leaves") {
+    val leaves = (2L to 11L)
+    val und = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(und, "src", "dst", iters = 5)
+    val ranks = r.as[(Long, Long)].collect().toMap
+    r.unpersist()
+    val center = ranks(1L)
+    assert(leaves.forall(l => ranks(l) < center),
+      s"center must outrank every leaf: $ranks")
+    // every leaf is symmetric — identical ranks
+    assert(leaves.map(ranks).toSet.size == 1)
+  }
+
+  test("pageRank is partitioning-independent (bit-identical fixed point)") {
+    val edges = (1L to 400L).map(i => (i, (i * 7) % 97 + 1)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, "src", "dst", iters = 4)
+    val a = r1.as[(Long, Long)].collect().toSet
+    r1.unpersist()
+    val r2 = Graph.pageRank(edges.repartition(13), "src", "dst", iters = 4)
+    val b = r2.as[(Long, Long)].collect().toSet
+    r2.unpersist()
+    assert(a == b)
+  }
+}
