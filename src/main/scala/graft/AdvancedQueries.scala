@@ -385,7 +385,34 @@ object AdvancedQueries {
         val out = pr.orderBy(col("node")).select(col("node"), col("r"))
         out
       },
-      Some(pageRankOracleSql(PageRankIters)))
+      Some(pageRankOracleSql(PageRankIters))),
+
+    // Exact triangle count of the same co-purchase graph —
+    // Graph.triangleCount's degree-oriented wedge join (O(m^1.5)
+    // worst-case work regardless of hub skew). The oracle counts with
+    // the simple id-ordering (a<b<c) three-way join: triangle count
+    // is orientation-invariant, so agreement cross-checks the
+    // orientation logic itself, not just the arithmetic.
+    QueryDef("graph_triangles_parts",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok").as("ok2"), col("pk").as("dst")),
+            col("ok") === col("ok2") && col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+        graft.ops.Graph.triangleCount(e, "src", "dst")
+      },
+      Some("""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.v
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin))
   )
 
   private val PageRankIters = 5

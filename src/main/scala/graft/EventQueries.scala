@@ -457,6 +457,41 @@ object EventQueries {
         |      THEN value END) AS p99
         |FROM s""".stripMargin)),
 
+    // SCD2 compaction (Relational.scd2Compact): the event stream as a
+    // slowly-changing dimension — consecutive re-emissions of the
+    // same event_type per user collapse, survivors carry
+    // [valid_from, valid_to) version intervals (valid_to NULL = the
+    // current version). Paired with asofJoin this is full
+    // point-in-time dimension reconstruction. One shuffle on user_id
+    // serves the change-mark, the filter, and the lead().
+    QueryDef("scd2_compact_events",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        graft.ops.Relational.scd2Compact(e, Seq("user_id"), "ts_us",
+            Seq("event_id"), Seq("event_type"))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some("""WITH a AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS pv
+        |  FROM a),
+        |k AS (
+        |  SELECT user_id, event_id, t, event_type FROM m
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM pv)
+        |SELECT user_id, event_id, t AS valid_from,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS valid_to,
+        |  event_type
+        |FROM k ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
     // Spark's BUILT-IN session_window operator (the same operator the
     // streaming path uses with a watermark), oracle-pinned against the
     // classic lag+cumsum islands SQL: window.start = first event,

@@ -85,4 +85,51 @@ object Graph {
     e.unpersist(); deg.unpersist(); nodes.unpersist()
     r
   }
+
+  /** Exact global triangle count of an undirected simple graph — the
+    * standard cohesion metric (spam/link-farm detection, community
+    * density). Input edges may be directed/duplicated; they are
+    * normalized (u < v) and de-duplicated first.
+    *
+    * Shape matters at scale: the naive three-way edge self-join
+    * generates every PATH of length 2 — a single degree-10⁶ hub makes
+    * 10¹² wedges. This is the degree-ORIENTED form (Cohen's
+    * MapReduce-classic): each edge points from its (degree, id)-lower
+    * endpoint to the higher, making the graph a DAG where every
+    * node's out-degree is O(√m) — so wedges (out-out pairs) total
+    * O(m^1.5) WORST case regardless of hub skew, the provably optimal
+    * join-based bound. Each triangle then has EXACTLY one wedge
+    * (at its orientation-middle node) closed by one oriented edge —
+    * counted once via a semi-join, no post-dedup. Three hash
+    * shuffles (degree agg, wedge join, closing semi-join), no
+    * driver state.
+    *
+    * Returns a 1-row frame (n_triangles BIGINT). Triangle count is
+    * orientation-invariant, so an oracle may use the simpler id-only
+    * ordering and must agree.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("__u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("__v"))
+      .where(col("__u") =!= col("__v")).distinct()
+    val deg = und.select(col("__u").as("__n"))
+      .union(und.select(col("__v")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val withDeg = und
+      .join(deg.select(col("__n").as("__u"), col("__d").as("__du")), "__u")
+      .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")), "__v")
+    val lowFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("__u") < col("__v"))
+    val oriented = withDeg.select(
+        when(lowFirst, col("__u")).otherwise(col("__v")).as("s"),
+        when(lowFirst, col("__v")).otherwise(col("__u")).as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e2.t").as("c"))
+    wedges.join(oriented.as("e3"),
+        col("a") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

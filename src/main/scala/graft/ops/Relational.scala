@@ -291,6 +291,41 @@ object Relational {
       .drop("__fb", "__lb", "__rb")
   }
 
+  /** SCD2 compaction: collapse an append-only change stream into
+    * slowly-changing-dimension VERSION INTERVALS — keep only rows
+    * where some tracked value actually changed from the key's
+    * previous row (CDC feeds re-emit unchanged snapshots constantly),
+    * then stamp each survivor with [valid_from, valid_to) where
+    * valid_to = the next change's sequence value (NULL = current
+    * version). The standard warehouse shape for point-in-time
+    * dimension reconstruction — pair it with [[asofJoin]] on
+    * valid_from for "attribute as of time T" lookups.
+    *
+    * One hash shuffle on `keys` with one per-partition sort serves
+    * both windows (the change-mark filter preserves partitioning and
+    * order, so the valid_to lead() adds no exchange). Null-safe
+    * comparison (`<=>`): a null→value or value→null transition IS a
+    * change; a null→null run compacts. Ties on `seqCol` are broken by
+    * `tie` (pass a unique id for a deterministic result).
+    */
+  def scd2Compact(df: DataFrame, keys: Seq[String], seqCol: String,
+                  tie: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && valueCols.nonEmpty,
+      "scd2Compact needs >= 1 key and >= 1 tracked value column")
+    val ord = col(seqCol) +: tie.map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val changed = valueCols
+      .map(v => !(col(v) <=> lag(col(v), 1).over(w)))
+      .reduce(_ || _)
+    df.withColumn("__first", row_number().over(w) === 1)
+      .withColumn("__chg", changed)
+      .where(col("__first") || col("__chg"))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .select(keys.map(col) ++ tie.map(col) ++
+        Seq(col(seqCol).as("valid_from"), col("valid_to")) ++
+        valueCols.map(col): _*)
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     * priority sampling, the A-ES scheme): each row draws a
     * deterministic uniform u ∈ (0, 1] from its id via detHash and is

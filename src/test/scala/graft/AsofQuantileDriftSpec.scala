@@ -130,6 +130,37 @@ class AsofQuantileDriftSpec extends SparkSpec {
     assert(heavy >= 45, s"expected heavy-weight dominance, got $heavy/50")
   }
 
+  // ---- scd2Compact ---------------------------------------------------
+
+  test("scd2Compact collapses runs and stamps contiguous validity intervals") {
+    val cdc = Seq(
+      (1L, 10L, 100L, "A"), (1L, 11L, 200L, "A"), (1L, 12L, 300L, "B"),
+      (1L, 13L, 400L, "B"), (1L, 14L, 500L, "A"),
+      (2L, 20L, 100L, "X")
+    ).toDF("uid", "eid", "t", "v")
+    val out = Relational.scd2Compact(cdc, Seq("uid"), "t", Seq("eid"), Seq("v"))
+      .select("uid", "valid_from", "valid_to", "v")
+      .as[(Long, Long, Option[Long], String)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, Some(300L), "A"), (1L, 300L, Some(500L), "B"),
+      (1L, 500L, None, "A"), (2L, 100L, None, "X")))
+  }
+
+  test("scd2Compact treats null→value and value→null as changes, null→null as a run") {
+    val cdc = Seq(
+      (1L, 1L, 100L, Option.empty[String]),
+      (1L, 2L, 200L, Option.empty[String]),
+      (1L, 3L, 300L, Option("A")),
+      (1L, 4L, 400L, Option.empty[String])
+    ).toDF("uid", "eid", "t", "v")
+    val out = Relational.scd2Compact(cdc, Seq("uid"), "t", Seq("eid"), Seq("v"))
+      .select("valid_from", "valid_to", "v")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(out == Set(
+      (100L, Some(300L), None), (300L, Some(400L), Some("A")),
+      (400L, None, None)))
+  }
+
   // ---- Drift.psiReport ---------------------------------------------
 
   test("psiReport is ~zero for identical distributions and positive under shift") {

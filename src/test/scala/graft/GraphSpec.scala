@@ -34,6 +34,20 @@ class GraphSpec extends SparkSpec {
     assert(leaves.map(ranks).toSet.size == 1)
   }
 
+  test("triangleCount: known counts on K4, K4 minus an edge, and a path") {
+    def tri(pairs: Seq[(Long, Long)]): Long = {
+      val r = Graph.triangleCount(pairs.toDF("src", "dst"), "src", "dst")
+      r.as[Long].head()
+    }
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) == 4)
+    assert(tri(k4.filterNot(_ == ((3L, 4L)))) == 2)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0)
+    // normalization: duplicated + reversed + self-loop edges collapse
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (2L, 3L))
+    assert(tri(messy) == 4)
+  }
+
   test("pageRank is partitioning-independent (bit-identical fixed point)") {
     val edges = (1L to 400L).map(i => (i, (i * 7) % 97 + 1)).toDF("src", "dst")
     val r1 = Graph.pageRank(edges, "src", "dst", iters = 4)
