@@ -381,10 +381,11 @@ object RelationalQueries {
     // actual_rows: the probe is exact, not an estimate. At 100 TB
     // only the probe runs — it is the go/no-go (and
     // plain-vs-saltedJoin) decision for the join it predicts. Probe
-    // arithmetic is DECIMAL(38,0) end to end (mirrored here) — in the
-    // exploding regime the product sum can pass Long.MaxValue, where
-    // a BIGINT sum would wrap small/negative exactly when it should
-    // scream "too big".
+    // arithmetic is DECIMAL(38,0) INTERNALLY (mirrored here) so the
+    // exploding-regime sum can't wrap, but the report columns are
+    // BIGINT behind an in-range check (overflow → NULL, loud) — a
+    // decimal OUTPUT column hash-breaks the cross-engine compare
+    // (DuckDB renders DECIMAL(38,0) as float64 in pandas/arrow).
     QueryDef("join_size_probe",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
@@ -401,14 +402,20 @@ object RelationalQueries {
         |p AS (SELECT ca.ca::DECIMAL(19,0) * cb.cb::DECIMAL(19,0) AS p
         |  FROM ca JOIN cb ON ca.k = cb.k),
         |probe AS (
-        |  SELECT COALESCE(SUM(p), 0)::DECIMAL(38,0) AS est_rows,
-        |    COUNT(*) AS n_join_keys,
-        |    COALESCE(MAX(p), 0)::DECIMAL(38,0) AS max_key_rows
+        |  SELECT SUM(p) AS est, COUNT(*) AS n_join_keys, MAX(p) AS mx
         |  FROM p),
         |actual AS (
         |  SELECT COUNT(*) AS actual_rows
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |SELECT est_rows, n_join_keys, max_key_rows, actual_rows
+        |SELECT
+        |  CASE WHEN n_join_keys = 0 THEN 0
+        |       WHEN est <= 9223372036854775807::DECIMAL(38,0)
+        |       THEN est::BIGINT END AS est_rows,
+        |  n_join_keys,
+        |  CASE WHEN n_join_keys = 0 THEN 0
+        |       WHEN mx <= 9223372036854775807::DECIMAL(38,0)
+        |       THEN mx::BIGINT END AS max_key_rows,
+        |  actual_rows
         |FROM probe CROSS JOIN actual""".stripMargin))
   )
 }

@@ -149,14 +149,21 @@ object Relational {
     * that decides between a plain join, saltedJoin, or AQE skew
     * handling).
     *
-    * Arithmetic is DECIMAL(38,0), not LongType, ON PURPOSE: the probe
-    * exists for the exploding-join regime, where per-key products
-    * reach ~10¹² and their sum can exceed Long.MaxValue — exactly the
-    * case where a Long sum would silently wrap (non-ANSI) to a small
-    * or negative estimate and the guard would wave the job through.
-    * Two (19,0) counts multiply into (38,0) with headroom to ~10³⁸;
-    * past even that, decimal overflow nulls/throws loudly instead of
-    * wrapping.
+    * INTERNAL arithmetic is DECIMAL(38,0), not LongType, ON PURPOSE:
+    * the probe exists for the exploding-join regime, where per-key
+    * products reach ~10¹² and their sum can exceed Long.MaxValue —
+    * exactly the case where a Long sum would silently wrap (non-ANSI)
+    * to a small or negative estimate and the guard would wave the job
+    * through. Two (19,0) counts multiply into (38,0) with headroom to
+    * ~10³⁸. The REPORT columns, though, are BIGINT: a decimal output
+    * column round-trips differently across engines (DuckDB renders
+    * DECIMAL(38,0) as float64 in arrow/pandas, Spark writes exact
+    * decimal — a dtype/render break, not a math one), and every
+    * caller compares est_rows against Long row counts anyway. The
+    * BIGINT cast sits behind an explicit in-range check: a sum past
+    * Long.MaxValue surfaces as NULL — loudly distinguishable from the
+    * empty-join 0, because the 0 default is gated on n_join_keys = 0
+    * (a NULL est with keys present can ONLY mean overflow).
     */
   def joinSizeProbe(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String): DataFrame = {
@@ -166,13 +173,20 @@ object Relational {
     val cb = right.groupBy(col(rightKey).as("__k"))
       .agg(count(lit(1)).cast(dec).as("__cb"))
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    ca.join(cb, "__k")
+    // NULL → 0 only for the genuinely-empty aggregate; overflow NULLs
+    // (decimal sum past (38,0) can't happen below 10³⁸, but the
+    // BIGINT emit below can) must stay NULL.
+    def emitLong(c: Column, nKeys: Column): Column =
+      when(nKeys === 0, lit(0L))
+        .otherwise(when(c <= lit(Long.MaxValue).cast(dec38), c.cast("long")))
+    val agg = ca.join(cb, "__k")
       .select((col("__ca") * col("__cb")).cast(dec38).as("__p"))
-      .agg(coalesce(sum(col("__p")), lit(0L).cast(dec38)).cast(dec38)
-          .as("est_rows"),
-        count(lit(1)).as("n_join_keys"),
-        coalesce(max(col("__p")), lit(0L).cast(dec38)).cast(dec38)
-          .as("max_key_rows"))
+      .agg(sum(col("__p")).as("__est"), count(lit(1)).as("n_join_keys"),
+        max(col("__p")).as("__max"))
+    agg.select(
+      emitLong(col("__est"), col("n_join_keys")).as("est_rows"),
+      col("n_join_keys"),
+      emitLong(col("__max"), col("n_join_keys")).as("max_key_rows"))
   }
 
   /** Skew-resistant two-phase aggregation: salt the hot key space into

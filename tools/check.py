@@ -21,6 +21,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+# Exact-at-the-engine types that pandas silently degrades to float64.
+# When a compared column is one of these on EITHER side, the pandas
+# frames on BOTH sides may be float64 and .equals() passes while the
+# driver's dtype/render-strict hash fails (r2 cost_report, r6
+# join_size_probe). Canary: refuse to certify such a column at all —
+# the fix is always to emit BIGINT/DOUBLE explicitly on both sides.
+_INEXACT_IN_PANDAS = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def duck_types(con, sql: str) -> dict:
+    return {r[0]: r[1] for r in con.sql(f"DESCRIBE {sql}").fetchall()}
+
+
+def decimal_canary(name: str, spark_types: dict, oracle_types: dict) -> bool:
+    """True if any compared column is exact-in-engine but float in
+    pandas — a driver hash break that the value compare cannot see."""
+    bad = False
+    for c in sorted(set(spark_types) | set(oracle_types)):
+        st = spark_types.get(c, "?")
+        ot = oracle_types.get(c, "?")
+        for side, t, other in ((("spark", st, ot)), (("oracle", ot, st))):
+            if any(t.upper().startswith(p) for p in _INEXACT_IN_PANDAS):
+                print(f"  {name}.{c}: {side} side is {t} (other side {other})"
+                      f" — pandas coerces to float64, the driver hash will"
+                      f" diverge even if values match; emit BIGINT/DOUBLE")
+                bad = True
+                break
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -44,6 +74,12 @@ def main():
             want = canon(con.sql(oracles[name]).df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if decimal_canary(name,
+                duck_types(con, f"SELECT * FROM read_parquet({spark_files!r})"),
+                duck_types(con, oracles[name])):
+            print(f"FAIL {name}: decimal-dtype canary (see above)")
             n_fail += 1
             continue
         ok_schema = list(got.columns) == list(want.columns)
