@@ -398,10 +398,11 @@ object AdvancedQueries {
         val li = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-        val e = li.select(col("ok"), col("pk").as("src"))
-          .join(li.select(col("ok").as("ok2"), col("pk").as("dst")),
-            col("ok") === col("ok2") && col("src") =!= col("dst"))
-          .select(col("src"), col("dst"))
+        // u<v pairs directly (triangleCount normalizes anyway): half
+        // the pre-distinct intermediate of the both-directions build
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         graft.ops.Graph.triangleCount(e, "src", "dst")
       },
       Some("""WITH li AS (

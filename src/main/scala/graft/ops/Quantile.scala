@@ -70,9 +70,18 @@ object Quantile {
     kthOf(clean, n, k, buckets, directLimit)
   }
 
+  // NULL, NaN AND ±Infinity are all excluded: an infinite bracket
+  // endpoint makes (v−lo)/span NaN for every row, which floor-casts
+  // to null and pins the whole population in bin 0 — the bracket
+  // never narrows, the loop spins to the 64-round backstop, and the
+  // "direct" path then TakeOrders nearly the full column. Callers
+  // that mean to rank infinities must clamp them to finite sentinels
+  // first (the oracle mirrors the finite-only convention).
   private def cleaned(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).cast("double").as("__v"))
-      .where(col("__v").isNotNull && !isnan(col("__v")))
+      .where(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") > Double.NegativeInfinity &&
+        col("__v") < Double.PositiveInfinity)
 
   private def kthOf(clean: DataFrame, n: Long, k: Long,
                     buckets: Int, directLimit: Long): Double = {

@@ -48,6 +48,21 @@ class GraphSpec extends SparkSpec {
     assert(tri(messy) == 4)
   }
 
+  test("triangleCount: broadcast adj-intersect and shuffled wedge regimes agree") {
+    // overlapping 8-cliques plus deterministic chords — nontrivial
+    // count; force the shuffle fallback with broadcastMaxEdges = 0
+    val cliques = for {
+      b <- 0L until 20L; i <- 0L until 8L; j <- (i + 1) until 8L
+    } yield (b * 6 + i, b * 6 + j)
+    val chords = (1L to 500L).map(i => (i % 97, (i * 13) % 97))
+    val edges = (cliques ++ chords).toDF("src", "dst")
+    val fast = Graph.triangleCount(edges, "src", "dst").as[Long].head()
+    val shuffled = Graph.triangleCount(edges, "src", "dst",
+      broadcastMaxEdges = 0L).as[Long].head()
+    assert(fast == shuffled, s"adj-intersect $fast != wedge $shuffled")
+    assert(fast > 0)
+  }
+
   test("pageRank is partitioning-independent (bit-identical fixed point)") {
     val edges = (1L to 400L).map(i => (i, (i * 7) % 97 + 1)).toDF("src", "dst")
     val r1 = Graph.pageRank(edges, "src", "dst", iters = 4)
