@@ -41,8 +41,18 @@ object Bench {
     val queries = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // Suite order is shuffled DETERMINISTICALLY per round (seed =
+    // round index) and the median is taken per query ACROSS rounds:
+    // with a fixed order, a heavy query's JIT/heap wake billed its
+    // fixed successors every round and the median couldn't filter it
+    // (r4/r6 both flagged phantom 2-3× "regressions" on untouched
+    // queries that vanish when benched in isolation — SCALING.md).
+    // Different neighbors per round turn contamination into an
+    // outlier the median drops; fixed seeds keep runs reproducible.
+    val names = queries.keys.toSeq.sorted
+    val perRound = (1 to runs).map { round =>
+      val order = new scala.util.Random(round * 1009L).shuffle(names)
+      order.map { name =>
         // isolate runs: drop cached data/broadcasts accumulated by the
         // previous query so its GC debt isn't billed to this one
         spark.catalog.clearCache()
@@ -50,12 +60,17 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every output column;
         // count() would let Catalyst prune the projections being timed.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> median(times)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = names.map(n => n -> median(perRound.map(_(n)))).toMap
+    // completeness tripwire: BENCH_LOCAL.json is the only full archive
+    // (stdout keeps top-N); an accidentally-unregistered query must
+    // fail the bench, not hide in the omitted tail
+    require(only.nonEmpty || results.keySet == SparkEntry.queries.keySet,
+      s"bench ran ${results.size} of ${SparkEntry.queries.size} declared queries")
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
