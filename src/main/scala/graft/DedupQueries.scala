@@ -47,6 +47,41 @@ object DedupQueries {
   /** DuckDB mirror of md5Long. */
   private def md5LongSql(x: String) = s"('0x' || substring(md5($x), 1, 15))::BIGINT"
 
+  /** PageRank iterations for cluster_rank_representatives. */
+  private val PrIters = 4
+
+  /** Unrolled fixed-point PageRank CTEs over a CTE named `und`
+    * (directed src→dst, REQUIRED symmetric — both directions present,
+    * so src alone covers the node set), mirroring ops/Graph.pageRank's
+    * defaults (unit 10¹², damping 85/100) exactly — `//` floor
+    * division equals Spark's truncating `div` on the all-positive
+    * ranks. Emits CTEs deg, prnodes, pr0..pr$PrIters. prnodes
+    * deliberately avoids the `src UNION dst` form: inside a
+    * WITH RECURSIVE, DuckDB 1.0 does NOT deduplicate a top-level
+    * UNION's branches (recursive-union semantics leak into
+    * non-recursive CTEs), which sextupled the node list and with it
+    * every rank sum.
+    */
+  private def pageRankCtesSql: String = {
+    val unit = 1000000000000L
+    val base = (unit * 15L) / 100L
+    val head = s"""deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+      |prnodes AS (SELECT DISTINCT src AS node FROM und),
+      |pr0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM prnodes)""".stripMargin
+    val iters = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+      |  SELECT n.node,
+      |    CAST($base + (COALESCE(CAST(sum(p.r // deg.deg) AS BIGINT), 0) * 85)
+      |      // 100 AS BIGINT) AS r
+      |  FROM prnodes n
+      |  LEFT JOIN und ON und.dst = n.node
+      |  LEFT JOIN deg ON deg.src = und.src
+      |  LEFT JOIN pr${i - 1} p ON p.node = und.src
+      |  GROUP BY n.node)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** DuckDB mirror of wordShingles(text, ShingleN): distinct word
     * 5-grams; range() yields [] when the doc is too short.
     */
@@ -354,6 +389,60 @@ object DedupQueries {
         |  FROM m)
         |SELECT cluster, doc_id AS rep_id, n_members::BIGINT AS n_members
         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // Centrality-ranked canonical representatives: PageRank over the
+    // dup-pair graph picks each cluster's most-linked member (the
+    // principled upgrade over first-seen/longest-doc — the member most
+    // candidate pairs vouch for), via the same fixed-point BIGINT
+    // pageRank as graph_pagerank_parts so the oracle's unrolled-CTE
+    // replay hashes bit-identically. Composition gate: pageRank over a
+    // DERIVED graph (LSH candidate pairs), not a synthetic one.
+    QueryDef("cluster_rank_representatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text", NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands, Rows, MaxBucketSize)
+        val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b"), col("id_a")))
+        val pr = graft.ops.Graph.pageRank(und, "src", "dst", iters = PrIters)
+        val members = Similarity.connectedComponents(pairs)
+        val ranked = members.join(pr.withColumnRenamed("node", "doc_id"), "doc_id")
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("r").desc, col("doc_id"))
+        ranked
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster"))))
+          .where(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("rep_id"),
+            col("r").as("rep_rank"), col("n_members"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |$pageRankCtesSql,
+        |ranked AS (
+        |  SELECT cc.doc_id, cc.cluster, pr$PrIters.r
+        |  FROM cc JOIN pr$PrIters ON pr$PrIters.node = cc.doc_id),
+        |x AS (
+        |  SELECT cluster, doc_id, r,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY r DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM ranked)
+        |SELECT cluster, doc_id AS rep_id, r AS rep_rank,
+        |  n_members::BIGINT AS n_members
+        |FROM x WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
     // J1-pipeline — LSH recall + exact-Jaccard precision: the
     // production near-dup shape (only LSH candidates pay the exact
