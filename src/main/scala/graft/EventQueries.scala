@@ -370,6 +370,44 @@ object EventQueries {
         |  ON l.user_id = r.c_uid AND l.ts_us >= r.c_us
         |ORDER BY l.event_id""".stripMargin)),
 
+    // The inner + tolerance contract knobs of Relational.asofJoin,
+    // pinned by their own hash gate (events_asof_enrich gates the
+    // LEFT-outer carry): purchases whose freshest prior click is
+    // within 1 h survive with exact integer staleness; stale-match
+    // and no-match purchases are DROPPED, not nulled. Oracle is
+    // DuckDB's native inner ASOF JOIN (drops unmatched) plus the
+    // tolerance as a WHERE on the matched staleness — again an
+    // independent built-in implementation, not a window replay.
+    QueryDef("events_asof_inner",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = e.where(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_uid"), col("ts_us").as("c_us"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        graft.ops.Relational.asofJoin(purchases, clicks,
+            "user_id", "c_uid", "ts_us", "c_us", Seq("click_id"),
+            toleranceUs = Some(3600L * 1000000L), inner = true)
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            (col("ts_us") - col("asof_time_us")).as("staleness_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id AS c_uid, epoch_us(ts) AS c_us,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.click_id,
+        |  l.ts_us - r.c_us AS staleness_us
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.c_uid AND l.ts_us >= r.c_us
+        |WHERE l.ts_us - r.c_us <= 3600000000
+        |ORDER BY l.event_id""".stripMargin)),
+
     // Binned range join: clicks in the 10 minutes before each error,
     // per user — the "what led up to this" correlation query. The
     // naive same-key range join is per-user quadratic (every
@@ -455,6 +493,39 @@ object EventQueries {
         |      THEN value END) AS p90,
         |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
         |      THEN value END) AS p99
+        |FROM s""".stripMargin)),
+
+    // Multi-q tail report over a BIGGER, duplicate-heavy column
+    // (lineitem.l_extendedprice — ~30× the events row count at any
+    // sf, prices repeat across rows so bracket rounds hit duplicate
+    // pileups): p50/p95/p99/p999 from ONE exactQuantiles call. The
+    // rank-dedup inside exactQuantiles means equal ranks (e.g. p99
+    // vs p999 on small n) cost one selection, not two. Same
+    // row_number oracle convention, k = max(1, ceil(q*n)).
+    QueryDef("quantile_multi_report",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+        val (n, vals) = graft.ops.Quantile.exactQuantiles(
+          li, "l_extendedprice", Seq(0.5, 0.95, 0.99, 0.999))
+        Seq((n, vals(0), vals(1), vals(2), vals(3)))
+          .toDF("n", "p50", "p95", "p99", "p999")
+      },
+      Some("""WITH s AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE))
+        |      AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT max(n) AS n,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.500 * n) AS BIGINT))
+        |      THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.950 * n) AS BIGINT))
+        |      THEN v END) AS p95,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.990 * n) AS BIGINT))
+        |      THEN v END) AS p99,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.999 * n) AS BIGINT))
+        |      THEN v END) AS p999
         |FROM s""".stripMargin)),
 
     // SCD2 compaction (Relational.scd2Compact): the event stream as a

@@ -98,6 +98,53 @@ class AsofQuantileDriftSpec extends SparkSpec {
     assert(n == 3 && vals == Seq(4.0, 4.0))
   }
 
+  test("exactQuantiles excludes ±Infinity (finite-only convention)") {
+    val df = Seq(Double.NegativeInfinity, 1.0, 2.0, 3.0,
+      Double.PositiveInfinity).toDF("x")
+    val (n, vals) = Quantile.exactQuantiles(df, "x", Seq(1.0 / 3, 1.0))
+    assert(n == 3 && vals == Seq(1.0, 3.0))
+  }
+
+  test("bracketing survives 2^k duplicate pileups straddling bucket edges") {
+    // with buckets=4 over [0, 4], the values sit exactly ON the bin
+    // edges, in power-of-two multiplicities: a bracket round must
+    // recurse into a single-value bin (observed lo == hi) and resolve
+    // ranks inside runs without the direct path
+    val xs = Seq.fill(1)(0.0) ++ Seq.fill(2)(1.0) ++ Seq.fill(4)(2.0) ++
+      Seq.fill(8)(3.0) ++ Seq.fill(16)(4.0)
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    for (k <- 1 to xs.size)
+      assert(Quantile.kthSmallest(df, "x", k, buckets = 4,
+        directLimit = 1) == sorted(k - 1), s"rank $k")
+  }
+
+  test("bracketing resolves ulp-width brackets (denormal span)") {
+    // 33 distinct doubles one ulp apart around 1.0: span is ~2^-52 per
+    // step — histogram arithmetic must keep narrowing (observed
+    // min/max) instead of stalling, for every rank
+    val xs = Iterator.iterate(1.0)(v => Math.nextUp(v)).take(33).toSeq
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    for (k <- Seq(1, 2, 16, 32, 33))
+      assert(Quantile.kthSmallest(df, "x", k, buckets = 4,
+        directLimit = 2) == sorted(k - 1), s"rank $k")
+  }
+
+  test("property: kthSmallest equals local sort on random duplicate-heavy data") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // small value domain → heavy duplication; mixed magnitudes
+      val xs = Seq.fill(400)(rnd.nextInt(17).toDouble * math.pow(10,
+        rnd.nextInt(3) - 1))
+      val df = xs.toDF("x")
+      val sorted = xs.sorted
+      for (k <- Seq(1, 7, 200, 399, 400))
+        assert(Quantile.kthSmallest(df, "x", k, buckets = 4,
+          directLimit = 8) == sorted(k - 1), s"trial $trial rank $k")
+    }
+  }
+
   // ---- prioritySample ----------------------------------------------
 
   test("prioritySample returns exactly k rows, partitioning-independent, matching the naive key ranking") {
