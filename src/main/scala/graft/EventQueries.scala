@@ -408,6 +408,52 @@ object EventQueries {
         |WHERE l.ts_us - r.c_us <= 3600000000
         |ORDER BY l.event_id""".stripMargin)),
 
+    // Time-spine resample with forward fill: hourly grid × event_type,
+    // each slot carrying the last observed `value` at or before the
+    // slot (null before the first observation — the LEFT as-of carry).
+    // This is the gap-fill step in front of any fixed-frequency
+    // time-series model over irregular event data. The spine is
+    // metadata-sized (hours in the observed range × |types| — a few
+    // thousand rows at ANY data scale, from one 1-row min/max
+    // aggregate), so the only data-sized work is the per-(type, ts)
+    // dedup aggregate and the as-of window — one shuffle each, keyed
+    // on event_type. Oracle: DuckDB generate_series + native ASOF
+    // LEFT JOIN — an independent built-in implementation.
+    QueryDef("events_resample_ffill",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        // deterministic last-at-ts: among equal (type, ts) the value
+        // of the max event_id wins
+        val byTs = e.groupBy(col("event_type").as("r_type"),
+            unix_micros(col("ts")).as("r_us"))
+          .agg(max_by(col("value"), col("event_id")).as("fill_value"))
+        val st = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          max(col("ts")).as("h1"))
+        val spine = st.select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+        val grid = spine.crossJoin(
+            broadcast(e.select(col("event_type")).distinct()))
+          .withColumn("hour_us", unix_micros(col("hour")))
+        graft.ops.Relational.asofJoin(grid, byTs,
+            "event_type", "r_type", "hour_us", "r_us", Seq("fill_value"))
+          .select(col("hour"), col("event_type"), col("fill_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type AS r_type, epoch_us(ts) AS r_us,
+        |    max_by(value, event_id) AS fill_value
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT date_trunc('hour', min(ts)) AS h0, max(ts) AS h1
+        |  FROM events),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+        |  AS hour FROM st),
+        |grid AS (SELECT hour, event_type
+        |  FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events))
+        |SELECT g.hour, g.event_type, r.fill_value
+        |FROM grid g ASOF LEFT JOIN r
+        |  ON g.event_type = r.r_type AND epoch_us(g.hour) >= r.r_us
+        |ORDER BY hour, event_type""".stripMargin)),
+
     // Binned range join: clicks in the 10 minutes before each error,
     // per user — the "what led up to this" correlation query. The
     // naive same-key range join is per-user quadratic (every
@@ -636,6 +682,43 @@ object EventQueries {
         |      / greatest(n_ref::DOUBLE / tr::DOUBLE, 1e-6))
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS psi_term
         |FROM c, t ORDER BY bin""".stripMargin)),
+
+    // Binned two-sample KS over the same even/odd split as the PSI
+    // gate: d_term = |CDF_ref − CDF_cur| at each bin edge, KS =
+    // max(d_term). The oracle re-derives the CDFs with its own window
+    // arithmetic over the mirrored bin expression.
+    QueryDef("drift_ks_binned",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val ref = e.where(col("event_id") % 2 === 0)
+        val cur = e.where(col("event_id") % 2 === 1)
+        graft.ops.Drift.ksReport(ref, cur, "value", bins = 10)
+      },
+      Some("""WITH u AS (
+        |  SELECT value AS v, event_id % 2 AS side FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+        |b AS (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(9, greatest(0, CAST(floor((v - mn) / (mx - mn) * 10)
+        |      AS BIGINT))) END AS bin, side
+        |  FROM u, st),
+        |c AS (
+        |  SELECT bin, count(CASE WHEN side = 0 THEN 1 END) AS n_ref,
+        |    count(CASE WHEN side = 1 THEN 1 END) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |  CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+        |w AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    sum(n_ref) OVER (ORDER BY bin) AS cr,
+        |    sum(n_cur) OVER (ORDER BY bin) AS cc
+        |  FROM c)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST(round(CAST(abs(cr::DOUBLE / tr::DOUBLE
+        |    - cc::DOUBLE / tc::DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS d_term
+        |FROM w, t ORDER BY bin""".stripMargin)),
 
     // Daily event-type matrix via the pivot operator (fixed pivot
     // domain keeps the schema deterministic and avoids the

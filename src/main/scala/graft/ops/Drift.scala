@@ -27,14 +27,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Drift {
 
-  /** Per-bin drift report: (bin, n_ref, n_cur, psi_term) ordered by
-    * bin — total PSI is the sum of psi_term. Bins span the COMBINED
-    * observed [min, max] so both sides always bin identically.
+  /** Shared two-sample binning: union both sides tagged 0/1, bin over
+    * the COMBINED observed [min, max] (so both sides always bin
+    * identically), count per (bin, side). Output is ≤ `bins` rows.
     */
-  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
-                bins: Int = 10, floorP: Double = 1e-6): DataFrame = {
+  private def binnedCounts(ref: DataFrame, cur: DataFrame,
+                           valueCol: String, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
-    require(floorP > 0 && floorP < 1, s"floorP out of (0, 1): $floorP")
     val u = ref.select(col(valueCol).cast("double").as("__v"),
         lit(0).as("__side"))
       .unionByName(cur.select(col(valueCol).cast("double").as("__v"),
@@ -49,9 +48,19 @@ object Drift {
         .otherwise(least(lit((bins - 1).toLong), greatest(lit(0L),
           floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn")) *
             lit(bins)).cast("long")))))
-    val counts = binned.groupBy(col("__bin").as("bin"))
+    binned.groupBy(col("__bin").as("bin"))
       .agg(count(when(col("__side") === 0, 1)).as("n_ref"),
         count(when(col("__side") === 1, 1)).as("n_cur"))
+  }
+
+  /** Per-bin drift report: (bin, n_ref, n_cur, psi_term) ordered by
+    * bin — total PSI is the sum of psi_term. Bins span the COMBINED
+    * observed [min, max] so both sides always bin identically.
+    */
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+                bins: Int = 10, floorP: Double = 1e-6): DataFrame = {
+    require(floorP > 0 && floorP < 1, s"floorP out of (0, 1): $floorP")
+    val counts = binnedCounts(ref, cur, valueCol, bins)
     val totals = counts.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))
     val pr = greatest(col("n_ref").cast("double") / col("__tr").cast("double"),
@@ -62,6 +71,43 @@ object Drift {
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(((pc - pr) * log(pc / pr)).cast(DecimalType(18, 8)), 6)
           .cast("double").as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov report: (bin, n_ref, n_cur,
+    * d_term) ordered by bin, where d_term = |CDF_ref(bin) −
+    * CDF_cur(bin)| at the bin's upper edge — the KS statistic is
+    * max(d_term). Binned KS trades the exact sup over every value for
+    * O(bins) aggregation state (the exact statistic needs a global
+    * sort over all distinct values — unbounded at 100 TB), the same
+    * trade [[psiReport]] makes; `bins` bounds the resolution error at
+    * one bin's probability mass.
+    *
+    * Scale shape: identical to PSI — one union scan bins both sides,
+    * one O(bins)-state aggregation; the CDF window runs over ≤ `bins`
+    * rows (driver-bounded, not data-bounded). Bins empty on BOTH
+    * sides are absent from the report; their CDF is flat there, so
+    * max(d_term) is unaffected. Counts stay exact BIGINT; only the
+    * final CDF difference is double, decimal-rounded to 6 places for
+    * cross-engine bit-stability.
+    */
+  def ksReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = binnedCounts(ref, cur, valueCol, bins)
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    // unpartitioned window is safe: input is ≤ `bins` rows by
+    // construction (the aggregation above collapsed the data)
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("__cr", sum(col("n_ref")).over(wCum))
+      .withColumn("__cc", sum(col("n_cur")).over(wCum))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(abs(col("__cr").cast("double") / col("__tr").cast("double") -
+          col("__cc").cast("double") / col("__tc").cast("double"))
+          .cast(DecimalType(18, 8)), 6).cast("double").as("d_term"))
       .orderBy(col("bin"))
   }
 }

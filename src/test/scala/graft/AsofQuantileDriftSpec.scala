@@ -234,4 +234,36 @@ class AsofQuantileDriftSpec extends SparkSpec {
       .map { case (k, a2, b2) => k -> ((a2, b2)) }.toMap
     assert(rep == Map(0L -> (100L, 0L), 9L -> (0L, 100L)))
   }
+
+  // ---- Drift.ksReport ----------------------------------------------
+
+  test("ksReport: identical sides give zero, disjoint sides give KS = 1") {
+    val a = (1 to 200).map(_.toDouble).toDF("v")
+    val same = Drift.ksReport(a, a, "v", bins = 10)
+      .agg(max(col("d_term"))).head().getDouble(0)
+    assert(same == 0.0)
+    // ref entirely below cur: at the crossover bin CDF_ref = 1,
+    // CDF_cur = 0 → KS exactly 1
+    val lo = (1 to 100).map(_ => 0.0).toDF("v")
+    val hi = (1 to 100).map(_ => 9.0).toDF("v")
+    val ks = Drift.ksReport(lo, hi, "v", bins = 10)
+      .agg(max(col("d_term"))).head().getDouble(0)
+    assert(ks == 1.0)
+  }
+
+  test("ksReport matches a hand-computed binned CDF difference") {
+    // ref uniform over [0,10); cur concentrated in [0,5): with 10 bins
+    // over the combined range, CDF_cur runs ahead of CDF_ref until
+    // bin 4, where |CDF diff| peaks at |0.5 - 1.0| = 0.5
+    val ref = (0 until 100).map(i => i % 10 + 0.5).toDF("v")
+    val cur = (0 until 100).map(i => i % 5 + 0.5).toDF("v")
+    val rows = Drift.ksReport(ref, cur, "v", bins = 10)
+      .select("bin", "d_term").as[(Long, Double)].collect().toMap
+    assert(rows(4L) == 0.5)
+    assert(rows.values.max == 0.5)
+    // counts columns stay exact longs
+    val n = Drift.ksReport(ref, cur, "v", bins = 10)
+      .agg(sum(col("n_ref")), sum(col("n_cur"))).head()
+    assert(n.getLong(0) == 100L && n.getLong(1) == 100L)
+  }
 }
