@@ -574,6 +574,73 @@ object EventQueries {
         |      THEN v END) AS p999
         |FROM s""".stripMargin)),
 
+    // Per-group exact quantiles (Quantile.groupQuantiles): the
+    // per-segment latency/price report shape. Unlike the global
+    // bracketing loop, this is ONE job: compress to (group, value,
+    // count), then a per-group cumulative window over DISTINCT values
+    // picks each k-th. Oracle uses the independent row_number-per-
+    // group formulation of the same lower-quantile convention.
+    QueryDef("group_quantiles_exact",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        graft.ops.Quantile.groupQuantiles(li, "l_returnflag",
+          "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+      },
+      Some("""WITH s AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT g AS l_returnflag, max(n) AS n,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |      THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |      THEN v END) AS p95,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+        |      THEN v END) AS p99
+        |FROM s GROUP BY g ORDER BY l_returnflag""".stripMargin)),
+
+    // Equi-depth feature binning: quartile edges from the exact
+    // quantile machinery, then bin assignment as a scan-time CASE —
+    // the discretization step in front of categorical models and
+    // drift monitors. The edges are 3 driver-side doubles (bounded
+    // metadata, same pattern as the bracketing loop); the binning
+    // pass is one aggregate over the scan. Bin populations are NOT
+    // equal when edge values repeat (ties all fall in the lower bin)
+    // — the oracle pins that tie convention too.
+    QueryDef("feature_quantile_bins",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val (_, edges) = graft.ops.Quantile.exactQuantiles(
+          d, "n_chars", Seq(0.25, 0.5, 0.75))
+        val v = col("n_chars").cast("double")
+        val bin = when(v <= edges(0), 0L).when(v <= edges(1), 1L)
+          .when(v <= edges(2), 2L).otherwise(3L)
+        d.where(col("n_chars").isNotNull)
+          .groupBy(bin.as("bin"))
+          .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |e AS (
+        |  SELECT
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+        |        THEN v END) AS e1,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |        THEN v END) AS e2,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+        |        THEN v END) AS e3
+        |  FROM s)
+        |SELECT CAST(CASE WHEN v <= e1 THEN 0 WHEN v <= e2 THEN 1
+        |    WHEN v <= e3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+        |  count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM s, e GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // SCD2 compaction (Relational.scd2Compact): the event stream as a
     // slowly-changing dimension — consecutive re-emissions of the
     // same event_type per user collapse, survivors carry

@@ -61,6 +61,59 @@ object Quantile {
     (n, qs.map(q => byRank(math.max(1L, math.ceil(q * n).toLong))))
   }
 
+  /** Per-group exact lower-quantiles in ONE job — no driver loop.
+    *
+    * The bracketing loop above is the right shape for ONE global
+    * quantile over an unbounded column; per-group quantiles would
+    * multiply its driver rounds by |groups|. Instead: compress to
+    * (group, value, count) — for real columns (prices, latencies,
+    * scores) duplication makes this orders of magnitude smaller than
+    * the raw rows and it is ONE map-side-combined aggregate — then a
+    * per-group cumulative-count window over the compressed frame
+    * selects value where cumsum first reaches k = max(1, ceil(q·n)),
+    * the same lower-quantile convention as [[exactQuantiles]].
+    *
+    * Scale shape: one shuffle keyed on (group, value) for the
+    * compression, one window shuffle keyed on group; the window
+    * streams over DISTINCT values per group, never raw rows. Skew
+    * bound: a group with d distinct values costs O(d) window state —
+    * safe wherever d ≪ rows (the duplicate-heavy regime this targets);
+    * for near-unique continuous columns at extreme scale, fall back to
+    * per-group invocations of the bracketing path. NULL/NaN/±Inf are
+    * excluded, matching [[cleaned]]'s finite-only convention.
+    *
+    * Output: (groupCol, n, <one column per (name, q)>), one row per
+    * group.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0 && q <= 1 },
+      s"quantiles must be in (0, 1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") > Double.NegativeInfinity &&
+        col("__v") < Double.PositiveInfinity)
+    val counts = clean.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val picks = qs.map { case (name, q) =>
+      // k = max(1, ceil(q*n)); q·n is exact-enough double (n < 2^53)
+      // and both engines ceil identically
+      min(when(col("__cum") >= greatest(lit(1L),
+        ceil(lit(q) * col("__n")).cast("long")), col("__v"))).as(name)
+    }
+    cum.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n")).as("n"), picks: _*)
+      .orderBy(col(groupCol))
+  }
+
   /** Exact k-th smallest (1-based) of `valueCol`. */
   def kthSmallest(df: DataFrame, valueCol: String, k: Long,
                   buckets: Int = 4096, directLimit: Long = 1L << 22): Double = {

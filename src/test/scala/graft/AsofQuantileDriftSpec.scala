@@ -235,6 +235,38 @@ class AsofQuantileDriftSpec extends SparkSpec {
     assert(rep == Map(0L -> (100L, 0L), 9L -> (0L, 100L)))
   }
 
+  // ---- Quantile.groupQuantiles -------------------------------------
+
+  test("groupQuantiles matches per-group local sort under the lower-quantile convention") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(600) { i =>
+      (s"g${i % 3}", rnd.nextInt(13).toDouble) // duplicate-heavy
+    }
+    val df = rows.toDF("g", "v")
+    val out = Quantile.groupQuantiles(df, "g", "v",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      def kth(q: Double) = vs(math.max(1, math.ceil(q * vs.size).toInt) - 1)
+      val (_, n, p50, p95, p100) = out(g)
+      assert(n == vs.size && p50 == kth(0.5) && p95 == kth(0.95) &&
+        p100 == vs.last, s"group $g")
+    }
+  }
+
+  test("groupQuantiles excludes null/NaN/±Inf per group and keeps groups independent") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("a", Some(Double.NaN)), ("a", Some(Double.PositiveInfinity)),
+      ("b", Some(100.0))
+    ).toDF("g", "v")
+    val out = Quantile.groupQuantiles(df, "g", "v", Seq("p50" -> 0.5))
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("a", 2L, 1.0), ("b", 1L, 100.0)))
+  }
+
   // ---- Drift.ksReport ----------------------------------------------
 
   test("ksReport: identical sides give zero, disjoint sides give KS = 1") {
