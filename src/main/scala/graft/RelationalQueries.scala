@@ -416,6 +416,31 @@ object RelationalQueries {
         |       WHEN mx <= 9223372036854775807::DECIMAL(38,0)
         |       THEN mx::BIGINT END AS max_key_rows,
         |  actual_rows
-        |FROM probe CROSS JOIN actual""".stripMargin))
+        |FROM probe CROSS JOIN actual""".stripMargin)),
+
+    // Key-skew diagnostics (Relational.skewReport) on the customer
+    // key of orders — the "should I salt this shuffle" probe. All
+    // columns derive from per-key counts; the p99 walk runs over
+    // counts-of-counts (≤ √(2n) rows). DuckDB sums BIGINT into
+    // HUGEINT, so the oracle casts n_rows back explicitly.
+    QueryDef("skew_report",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        Relational.skewReport(o, "o_custkey")
+      },
+      Some("""WITH c AS (
+        |  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, max(c) AS max_cnt FROM c),
+        |hot AS (SELECT min(k) AS hot_key FROM c, st WHERE c = max_cnt),
+        |cc AS (SELECT c, count(*) AS nk FROM c GROUP BY 1),
+        |w AS (SELECT c, sum(nk) OVER (ORDER BY c) AS cum FROM cc),
+        |p AS (SELECT min(CASE WHEN cum >= greatest(1,
+        |    CAST(ceil(0.99 * n_keys) AS BIGINT)) THEN c END) AS p99_cnt
+        |  FROM w, st)
+        |SELECT n_rows, n_keys, max_cnt, hot_key, p99_cnt,
+        |  CAST(round(CAST(max_cnt::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS skew_ratio
+        |FROM st, hot, p""".stripMargin))
   )
 }

@@ -189,6 +189,47 @@ object Relational {
       emitLong(col("__max"), col("n_join_keys")).as("max_key_rows"))
   }
 
+  /** Key-distribution skew diagnostics — the companion to
+    * [[joinSizeProbe]]: before committing a shuffle strategy (plain
+    * vs salted vs broadcast), measure HOW skewed the key actually is.
+    * One row: total rows, distinct keys, the hottest key and its
+    * count, the p99 per-key count, and skew_ratio = max/mean (1.0 =
+    * perfectly uniform; salting pays off roughly when this exceeds
+    * the per-reducer row budget ratio).
+    *
+    * Scale shape: one shuffle on the key for the count aggregate,
+    * then everything runs over per-key COUNTS, never rows. The p99
+    * walk uses a counts-of-counts frame: its size is the number of
+    * DISTINCT multiplicities, ≤ √(2·n_rows) by the pigeonhole sum
+    * bound (counts 1..m alone sum to m²/2), so the unpartitioned
+    * cumulative window is driver-bounded even at 100 TB — ~4.5 M rows
+    * at 10¹³ input rows, and real power-law corpora sit orders below
+    * that.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val c = df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+    val stats = c.agg(sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("__c")).as("max_cnt"))
+    val hot = c.crossJoin(broadcast(stats.select(col("max_cnt").as("__m"))))
+      .where(col("__c") === col("__m"))
+      .agg(min(col("__k")).as("hot_key"))
+    val cc = c.groupBy(col("__c")).agg(count(lit(1)).as("__nk"))
+    val wCum = Window.orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p99 = cc.crossJoin(broadcast(stats.select(col("n_keys").as("__t"))))
+      .withColumn("__cum", sum(col("__nk")).over(wCum))
+      .agg(min(when(col("__cum") >= greatest(lit(1L),
+        ceil(lit(0.99) * col("__t")).cast("long")), col("__c")))
+        .as("p99_cnt"))
+    stats.crossJoin(broadcast(hot)).crossJoin(broadcast(p99))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("hot_key"), col("p99_cnt"),
+        round((col("max_cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).cast(dec), 6)
+          .cast("double").as("skew_ratio"))
+  }
+
   /** Skew-resistant two-phase aggregation: salt the hot key space into
     * `salts` subkeys, partially aggregate per (key, salt), then
     * combine per key. Use when one key holds a disproportionate share

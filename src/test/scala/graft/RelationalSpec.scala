@@ -135,6 +135,25 @@ class RelationalSpec extends SparkSpec {
     assert(none == ((0L, 0L, 0L)))
   }
 
+  test("skewReport: hand-computed stats, min-key tie-break, p99 on counts") {
+    // keys: 7 ×6, 8 ×6 (tie on hot count → hot_key = 7), 1..4 ×1
+    val rows = Seq.fill(6)(7L) ++ Seq.fill(6)(8L) ++ (1L to 4L)
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val r = Relational.skewReport(df, "k").head()
+    assert(r.getLong(0) == 16L) // n_rows
+    assert(r.getLong(1) == 6L)  // n_keys
+    assert(r.getLong(2) == 6L)  // max_cnt
+    assert(r.getLong(3) == 7L)  // hot_key: min key among the tied max
+    // per-key counts sorted: 1,1,1,1,6,6 → k = ceil(.99*6) = 6 → 6
+    assert(r.getLong(4) == 6L)
+    // skew_ratio = max/mean = 6 / (16/6) = 2.25
+    assert(r.getDouble(5) == 2.25)
+    // uniform keys → ratio exactly 1.0
+    val uni = Relational.skewReport(
+      (1L to 12L).map(k => (k % 4, k)).toDF("k", "v"), "k").head()
+    assert(uni.getDouble(5) == 1.0)
+  }
+
   test("skew_join_salted plan tripwire: salt column is live in the join key") {
     // if someone "simplifies" the salt away, the join degenerates to
     // the skewed single-key shuffle this operator exists to prevent —
