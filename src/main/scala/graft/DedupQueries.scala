@@ -311,6 +311,31 @@ object DedupQueries {
         |WHERE round(common::DOUBLE / (ca.n + cb.n - common), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // J1-exact without the df cap — word-set Jaccard via PREFIX
+    // filtering (Similarity.jaccardPrefixPairs): rarity-ordered token
+    // prefixes give exact recall at the threshold with no cap
+    // parameter to tune, the complement of the df-capped inverted
+    // index above. Oracle is the definition itself: brute-force all
+    // pairs with list_intersect (feasible because the documents table
+    // is oracle-sized; the Spark side runs the real algorithm).
+    QueryDef("dedup_jaccard_prefix",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.jaccardPrefixPairs(d, "doc_id", "text", 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+        |      AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // J1-asymmetric — shingle containment C = common/min(na, nb): the
     // quote/subset detector. A short doc embedded verbatim in a long
     // one scores containment ≈ 1 while its Jaccard stays below any

@@ -649,6 +649,33 @@ object TextQueries {
         |  count(*) AS n_tokens
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Collocation mining (Text.pmiBigrams): top adjacent-pair PMI —
+    // the phrase detector feeding tokenizer-vocab induction. Bigrams
+    // come from a scan-time array transform (no join); the support
+    // floor prunes the bigram tail BEFORE the unigram-count joins.
+    // The oracle rebuilds bigrams with generate_series list indexing.
+    QueryDef("text_pmi_bigrams",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.pmiBigrams(d, "text", minCount = 5, topK = 20)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |u AS (SELECT unnest(w) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uc),
+        |ix AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+        |bg AS (SELECT w[i] AS a, w[i + 1] AS b FROM ix),
+        |bc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM bc)
+        |SELECT a, b, cab AS n_ab,
+        |  CAST(round(CAST(ln((cab::DOUBLE * nt::DOUBLE * nt::DOUBLE)
+        |    / (nb::DOUBLE * ca.c::DOUBLE * cb.c::DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS pmi
+        |FROM bc JOIN uc ca ON ca.tok = bc.a JOIN uc cb ON cb.tok = bc.b
+        |  CROSS JOIN nt CROSS JOIN nb
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin)),
+
     // Vocabulary builder — the first step of any tokenizer/BPE
     // training run: global token counts, deterministic top-k. One
     // explode + one hash aggregate (map-side partials make the

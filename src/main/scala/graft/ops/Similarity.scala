@@ -346,6 +346,60 @@ object Similarity {
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
 
+  /** Exact word-set Jaccard self-join via PREFIX FILTERING (the
+    * PPJoin/AllPairs family): order each doc's distinct tokens by
+    * global rarity (df asc, token asc) and index only the first
+    * |s| − ⌈t·|s|⌉ + 1 of them — two sets with J ≥ t MUST share at
+    * least one prefix token (if they shared none, the overlap is
+    * confined to the ⌈t·|s|⌉ − 1 suffix tokens, below the overlap
+    * ⌈t/(1+t)·(|a|+|b|)⌉ that J ≥ t forces). So candidate generation
+    * is exact-recall WITHOUT the df cap [[jaccardPairs]] needs: the
+    * cap trades recall for skew-safety, the prefix trades nothing —
+    * hot (common) tokens land in nobody's prefix precisely because
+    * the ordering puts rare tokens first.
+    *
+    * Scale shape: token postings (one explode), a df count, one
+    * per-doc window to rank tokens (shuffle on id), group-then-
+    * pair-explode on prefix tokens (never a self-join of the exploded
+    * frame), then exact verification of DISTINCT candidates against
+    * the collected word sets (bounded per doc by doc length). Prefix
+    * bucket sizes are data-dependent but concentrate on rare tokens;
+    * for corpora whose pair density at `threshold` is itself huge
+    * (everything really is similar), the OUTPUT is the quadratic
+    * term — no algorithm beats its own result size.
+    */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold: $threshold")
+    val tok = df.select(col(idCol).as("__id"),
+      explode(array_distinct(split(col(textCol), " "))).as("__w"))
+    val dfreq = tok.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val sz = tok.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val wOrd = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__w"))
+    val pre = tok.join(dfreq, "__w").join(sz, "__id")
+      .withColumn("__rn", row_number().over(wOrd))
+      .where(col("__rn") <= col("__sz") -
+        ceil(lit(threshold) * col("__sz").cast("double")).cast("long") + 1)
+      .select(col("__w"), col("__id"))
+    val pairs = pre.groupBy(col("__w"))
+      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) >= 2)
+      .select(explode(orderedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    val sets = tok.groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__w"))).as("__s"))
+    pairs
+      .join(sets.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("__common",
+        size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", round(col("__common").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 16-bit SimHash of whitespace tokens, as a single pure expression:
     * hash each token once, fold ±1 votes per bit position with an
     * array accumulator, then pack sign bits. Each subexpression is

@@ -194,6 +194,52 @@ object Text {
     tokenBudgetSelectScalar(df, idCol, scoreCol, tokensCol, b)
   }
 
+  /** Pointwise mutual information of ADJACENT token pairs — the
+    * collocation detector ("new york", "machine learning") behind
+    * phrase mining and tokenizer-vocabulary induction:
+    *   PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    * with p(a,b) = c_ab/N_bigrams and p(a) = c_a/N_tokens.
+    *
+    * Scale shape: bigram generation is a scan-time array transform
+    * (no self-join — each doc emits its own adjacent pairs), then two
+    * count aggregates (unigram, bigram) and two hash joins of the
+    * bigram counts against the unigram counts. The `minCount` support
+    * floor is applied BEFORE the joins, so the joined frame carries
+    * only candidate collocations, not the full bigram tail. Totals
+    * ride along as broadcast 1-row frames. Top-k is a TakeOrdered on
+    * (pmi desc, a, b) — deterministic because (a, b) is unique. The
+    * PMI double is decimal-rounded to 6 places; its argument is
+    * assembled in a fixed multiply/divide order so both engines see
+    * identical IEEE arithmetic.
+    */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long = 5,
+                 topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad minCount=$minCount topK=$topK")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val toks = df.select(split(col(textCol), " ").as("__w"))
+    val uni = toks.select(explode(col("__w")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val nTok = uni.agg(sum(col("__c")).as("__nt"))
+    val bigrams = toks.select(explode(expr(
+        "transform(slice(__w, 1, size(__w) - 1), " +
+          "(x, i) -> struct(x AS a, __w[i + 1] AS b))")).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val bigCnt = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nBig = bigCnt.agg(sum(col("n_ab")).as("__nb"))
+    bigCnt.where(col("n_ab") >= minCount)
+      .join(uni.select(col("__tok").as("a"), col("__c").as("__ca")), "a")
+      .join(uni.select(col("__tok").as("b"), col("__c").as("__cb")), "b")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") * col("__nt").cast("double") *
+            col("__nt").cast("double")) /
+          (col("__nb").cast("double") * col("__ca").cast("double") *
+            col("__cb").cast("double"))).cast(dec), 6)
+          .cast("double").as("pmi"))
+      .orderBy(desc("pmi"), col("a"), col("b")).limit(topK)
+  }
+
   private def tokenBudgetSelectScalar(df: DataFrame, idCol: String,
                                       scoreCol: String, tokensCol: String,
                                       budgetDf: DataFrame): DataFrame = {

@@ -67,6 +67,37 @@ class SimilaritySpec extends SparkSpec {
     assert(jac.count() == 0) // 16/36 shared — symmetric metric misses it
   }
 
+  test("jaccardPrefixPairs: exact-recall property vs brute force on random corpora") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      // small vocab → dense similarity: exercises recall at every band
+      val corpus = Seq.tabulate(40) { i =>
+        (i.toLong, Seq.fill(6 + rnd.nextInt(10))(s"w${rnd.nextInt(12)}")
+          .mkString(" "))
+      }
+      val d = corpus.toDF("doc_id", "text")
+      for (t <- Seq(0.5, 0.8)) {
+        val got = Similarity.jaccardPrefixPairs(d, "doc_id", "text", t)
+          .as[(Long, Long, Double)].collect().toSet
+        val sets = corpus.map { case (id, s) => id -> s.split(" ").toSet }
+        val want = (for {
+          (a, sa) <- sets; (b, sb) <- sets if a < b
+          c = (sa & sb).size
+          j = BigDecimal(c.toDouble / (sa.size + sb.size - c))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if j >= t
+        } yield (a, b, j)).toSet
+        assert(got == want, s"trial $trial threshold $t")
+      }
+    }
+  }
+
+  test("jaccardPrefixPairs: disjoint docs produce no candidates at all") {
+    val d = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    assert(Similarity.jaccardPrefixPairs(d, "doc_id", "text", 0.5).count() == 0)
+  }
+
   test("simhash: near-dups land within small hamming distance, far text does not") {
     val sh = docs.select(col("doc_id"), Similarity.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
