@@ -676,6 +676,42 @@ object TextQueries {
         |WHERE cab >= 5
         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin)),
 
+    // Corpus-adaptive boilerplate strip (Text.stripBoilerplate):
+    // tokens present in > 60% of documents are template noise;
+    // cleaned text preserves original token order. The oracle
+    // rebuilds the df table and reassembles with an ordered
+    // string_agg.
+    QueryDef("text_strip_boilerplate",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.stripBoilerplate(d, "doc_id", "text", 0.6)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |dfq AS (
+        |  SELECT tok, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(w)) AS tok FROM t)
+        |  GROUP BY 1),
+        |bp AS (SELECT tok FROM dfq CROSS JOIN n
+        |  WHERE df::DOUBLE > 0.6 * nd::DOUBLE),
+        |tok AS (
+        |  SELECT doc_id, i, w[i] AS tok
+        |  FROM (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w))) AS i FROM t)),
+        |kept AS (SELECT k.doc_id, k.i, k.tok FROM tok k
+        |  ANTI JOIN bp ON bp.tok = k.tok),
+        |agg AS (SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  len(t.w) - coalesce(a.n_kept, 0) AS n_removed
+        |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
     // Vocabulary builder — the first step of any tokenizer/BPE
     // training run: global token counts, deterministic top-k. One
     // explode + one hash aggregate (map-side partials make the

@@ -240,6 +240,51 @@ object Text {
       .orderBy(desc("pmi"), col("a"), col("b")).limit(topK)
   }
 
+  /** Corpus-adaptive boilerplate stripping: remove every token whose
+    * DOCUMENT frequency exceeds `maxDocFrac` of the corpus, keeping
+    * the remaining tokens in their original order. This is the
+    * data-driven upgrade of a fixed stopword list — nav bars, license
+    * headers, and template phrases identify themselves by appearing
+    * in "too many" documents, whatever the domain's vocabulary is.
+    *
+    * Scale shape: one explode of DISTINCT per-doc tokens for the df
+    * aggregate, then a BROADCAST anti-join of the positional token
+    * stream against the boilerplate set, then one shuffle on doc id
+    * to reassemble. The broadcast is provably bounded: postings total
+    * at most N·L (L = mean distinct tokens/doc), so at most L/frac
+    * tokens can each appear in more than frac·N docs — corpus size
+    * cancels; only doc LENGTH and the threshold matter. Reassembly
+    * sorts each doc's own (pos, token) structs — per-row state is one
+    * document, never a window over the corpus.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       maxDocFrac: Double): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac < 1, s"maxDocFrac: $maxDocFrac")
+    val w = df.select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
+    val nDocs = w.agg(count(lit(1)).as("__nd"))
+    val bp = w.select(explode(array_distinct(col("__w"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("__df").cast("double") >
+        lit(maxDocFrac) * col("__nd").cast("double"))
+      .select(col("tok"))
+    val kept = w.select(col("__id"),
+        posexplode(col("__w")).as(Seq("__i", "tok")))
+      .join(broadcast(bp), Seq("tok"), "left_anti")
+    val agg = kept.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__i"), col("tok")))).as("__s"))
+      .select(col("__id"),
+        concat_ws(" ", expr("transform(__s, x -> x.tok)")).as("clean_text"),
+        size(col("__s")).cast("long").as("n_kept"))
+    // left join back so fully-boilerplate docs survive as empty text
+    w.join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (size(col("__w")).cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   private def tokenBudgetSelectScalar(df: DataFrame, idCol: String,
                                       scoreCol: String, tokensCol: String,
                                       budgetDf: DataFrame): DataFrame = {

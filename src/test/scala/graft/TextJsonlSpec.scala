@@ -195,4 +195,40 @@ class TextJsonlSpec extends SparkSpec {
     val out = d.select(chatmlToText(normalizeRoles(msgs))).as[String].head()
     assert(out == "<user>S</user><assistant>Ok.</assistant><user>hi</user>")
   }
+
+  test("stripBoilerplate: df-threshold tokens removed, order kept, empty docs survive") {
+    // "the" in 4/4 docs, "nav" in 3/4 — both > 0.6; "cats" in 2/4 stays
+    val d = Seq(
+      (1L, "the nav cats sleep the"),
+      (2L, "the nav dogs cats"),
+      (3L, "the nav run"),
+      (4L, "the the the")).toDF("doc_id", "text")
+    val got = Text.stripBoilerplate(d, "doc_id", "text", 0.6)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "cats sleep", 2L, 3L),
+      (2L, "dogs cats", 2L, 2L),
+      (3L, "run", 1L, 2L),
+      (4L, "", 0L, 3L)))
+  }
+
+  test("stripBoilerplate: brute-force equivalence on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val corpus = Seq.tabulate(30) { i =>
+      (i.toLong, Seq.fill(4 + rnd.nextInt(8))(s"w${rnd.nextInt(15)}")
+        .mkString(" "))
+    }
+    val frac = 0.3
+    val bp = corpus.flatMap(_._2.split(" ").distinct).groupBy(identity)
+      .collect { case (t, xs) if xs.size > frac * corpus.size => t }.toSet
+    val want = corpus.map { case (id, s) =>
+      val kept = s.split(" ").filterNot(bp)
+      (id, kept.mkString(" "), kept.length.toLong,
+        (s.split(" ").length - kept.length).toLong)
+    }
+    val got = Text.stripBoilerplate(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", frac).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }
