@@ -601,6 +601,33 @@ object EventQueries {
         |      THEN v END) AS p99
         |FROM s GROUP BY g ORDER BY l_returnflag""".stripMargin)),
 
+    // Weighted median (Quantile.groupWeightedQuantile): quantity-
+    // weighted price point per returnflag — the "half the VOLUME is
+    // below this price" statistic, not half the line items. Weights
+    // sum as DECIMAL so the threshold compare is exact on any
+    // partitioning; the oracle mirrors the same decimal cumsum.
+    QueryDef("group_weighted_median",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        graft.ops.Quantile.groupWeightedQuantile(li, "l_returnflag",
+          "l_extendedprice", "l_quantity", 0.5)
+      },
+      Some("""WITH g AS (
+        |  SELECT l_returnflag AS gk, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    sum(CAST(l_quantity AS DECIMAL(28,8))) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT gk, v,
+        |    sum(w) OVER (PARTITION BY gk ORDER BY v) AS cw,
+        |    sum(w) OVER (PARTITION BY gk) AS tw
+        |  FROM g)
+        |SELECT gk AS l_returnflag, min(v) AS w_quantile,
+        |  CAST(max(tw) AS DOUBLE) AS total_weight
+        |FROM c WHERE cw >= 0.5 * tw
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // Equi-depth feature binning: quartile edges from the exact
     // quantile machinery, then bin assignment as a scan-time CASE —
     // the discretization step in front of categorical models and

@@ -114,6 +114,50 @@ object Quantile {
       .orderBy(col(groupCol))
   }
 
+  /** Exact WEIGHTED quantile per group: the smallest value v whose
+    * cumulative weight (ordered by value) reaches q·W_group — e.g.
+    * the token-weighted median document length, or the revenue-
+    * weighted price point. Degenerates to [[groupQuantiles]]'s lower
+    * quantile when every weight is 1.
+    *
+    * Scale shape: identical to [[groupQuantiles]] — one (group,
+    * value) pre-aggregate collapses duplicate values (the shuffled
+    * frame is bounded by distinct values, not rows), then one
+    * window exchange per group serves both the cumulative and total
+    * weight. Weights are summed as DECIMAL(28,8): double summation
+    * is partitioning-order-dependent, and a weighted quantile whose
+    * pick flips with the partition count is not oracle-checkable —
+    * decimal makes the threshold compare exact on any cluster
+    * layout and any engine.
+    */
+  def groupWeightedQuantile(df: DataFrame, groupCol: String,
+                            valueCol: String, weightCol: String,
+                            q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1]: $q")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val clean = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast(dec).as("__w"))
+      .where(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") > Double.NegativeInfinity &&
+        col("__v") < Double.PositiveInfinity &&
+        col("__w").isNotNull && col("__w") > 0)
+    val agg = clean.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__w")).as("__gw"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    agg
+      .withColumn("__cw", sum(col("__gw")).over(wCum))
+      .withColumn("__tw", sum(col("__gw")).over(wAll))
+      .where(col("__cw") >= lit(q).cast(dec) * col("__tw"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(min(col("__v")).as("w_quantile"),
+        max(col("__tw").cast("double")).as("total_weight"))
+      .orderBy(col(groupCol))
+  }
+
   /** Exact k-th smallest (1-based) of `valueCol`. */
   def kthSmallest(df: DataFrame, valueCol: String, k: Long,
                   buckets: Int = 4096, directLimit: Long = 1L << 22): Double = {

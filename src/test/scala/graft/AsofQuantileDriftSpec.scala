@@ -298,4 +298,35 @@ class AsofQuantileDriftSpec extends SparkSpec {
       .agg(sum(col("n_ref")), sum(col("n_cur"))).head()
     assert(n.getLong(0) == 100L && n.getLong(1) == 100L)
   }
+
+  test("groupWeightedQuantile matches brute-force weighted ranking on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(300) { i =>
+      (s"g${i % 3}", rnd.nextInt(40).toDouble, 1 + rnd.nextInt(9))
+    }
+    val df = rows.toDF("g", "v", "w")
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val got = Quantile.groupWeightedQuantile(df, "g", "v", "w", q)
+        .select("g", "w_quantile").as[(String, Double)].collect().toMap
+      // exact-rational threshold, matching the operator's decimal compare
+      val qd = BigDecimal(q.toString)
+      val want = rows.groupBy(_._1).map { case (g, xs) =>
+        val sorted = xs.sortBy(_._2)
+        val tot = BigDecimal(sorted.map(_._3.toLong).sum)
+        var cum = BigDecimal(0)
+        g -> sorted.collectFirst {
+          case (_, v, w) if { cum += w; cum >= qd * tot } => v
+        }.get
+      }
+      assert(got == want, s"q=$q")
+    }
+  }
+
+  test("groupWeightedQuantile with unit weights equals the lower quantile; zero/null weights drop") {
+    val df = Seq(("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1),
+      ("a", 99.0, 0), ("b", 5.0, 2)).toDF("g", "v", "w")
+    val got = Quantile.groupWeightedQuantile(df, "g", "v", "w", 0.5)
+      .select("g", "w_quantile").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 2.0, "b" -> 5.0))
+  }
 }
