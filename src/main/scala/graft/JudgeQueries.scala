@@ -165,6 +165,43 @@ object JudgeQueries {
       Some(s"""WITH j AS ($judgeInputSql),
         |p AS (SELECT doc_id, name, src_text, gen_text, $promptSql AS prompt FROM j),
         |judged AS (SELECT name, src_text, gen_text, $factualitySql AS factuality FROM p),
-        |${MetricsSql.replaceFirst("WITH ", "")}""".stripMargin))
+        |${MetricsSql.replaceFirst("WITH ", "")}""".stripMargin)),
+
+    // Inter-rater agreement — Cohen's kappa between the two panel
+    // judges' RAW labels (panel averaging hides disagreement; kappa
+    // is the "can we trust one judge" statistic). Both sides compute
+    // κ from exact contingency counts with one IEEE division each
+    // for p_o and p_e, so the doubles match bit-for-bit.
+    QueryDef("judge_agreement",
+      (s, dir) => {
+        val in = judgeInput(s, dir)
+        val labeled = Judge.panelLabels(in, Template,
+          Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+          judges, Seq("label_a", "label_b"))
+        Judge.kappaReport(labeled, "label_a", "label_b")
+      },
+      Some {
+        val la = MockJudgeClient.labelSql(JudgeModels.head, "prompt")
+        val lb = MockJudgeClient.labelSql(JudgeModels.last, "prompt")
+        val po = "(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))"
+        val pe = "(CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+        def r6(x: String) =
+          s"CAST(round(CAST($x AS DECIMAL(18,8)), 6) AS DOUBLE)"
+        s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, $promptSql AS prompt FROM j),
+        |l AS (SELECT $la AS la, $lb AS lb FROM p),
+        |cells AS (SELECT la, lb, count(*) AS c FROM l GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells),
+        |ra AS (SELECT la AS k, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT lb AS k, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |spe AS (SELECT coalesce(sum(CAST(ra.ra AS DECIMAL(38,0)) *
+        |    CAST(cb.cb AS DECIMAL(38,0))), 0) AS spe
+        |  FROM ra JOIN cb USING (k))
+        |SELECT n, ${r6(po)} AS po, ${r6(pe)} AS pe,
+        |  CASE WHEN $pe < 1.0 THEN ${r6(s"(($po - $pe) / (1.0 - $pe))")} END AS kappa
+        |FROM tot CROSS JOIN spe""".stripMargin
+      })
   )
 }

@@ -79,6 +79,74 @@ object Judge {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Per-judge raw LABELS (not the panel average): one string column
+    * per judge, parse failures as "parse_fail". The input to
+    * agreement analysis — panel averaging hides exactly the
+    * disagreement [[kappaReport]] measures.
+    */
+  def panelLabels(df: DataFrame, template: String,
+                  bindings: Map[String, String], judges: Seq[LlmClient],
+                  outCols: Seq[String]): DataFrame = {
+    require(outCols.size == judges.size, "one output column per judge")
+    val schema = df.schema
+    val idx = bindings.map { case (ph, c) => ph -> schema.fieldIndex(c) }
+    val outSchema = outCols.foldLeft(schema)(
+      (s, c) => s.add(c, org.apache.spark.sql.types.StringType))
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val vars = idx.map { case (ph, i) => ph -> String.valueOf(row.get(i)) }
+        val msgs = Seq(ChatMessage("user", fillTemplate(template, vars)))
+        val labels = judges.map(j =>
+          parseLabel(j.run(msgs)).getOrElse("parse_fail"))
+        Row.fromSeq(row.toSeq ++ labels)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Cohen's kappa between two categorical annotator columns — the
+    * standard chance-corrected inter-rater agreement behind "can we
+    * trust this judge panel": κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * observed agreement rate and p_e = Σ_c p_a(c)·p_b(c) the
+    * agreement two independent raters with the same marginals would
+    * reach by luck. One row out: n, po, pe, kappa.
+    *
+    * Scale shape: ONE shuffle builds the (a, b) contingency table —
+    * at most k² cells for k categories — which is persisted (cells,
+    * not rows) and re-aggregated three ways (totals, row marginals,
+    * column marginals); the corpus is scanned exactly once however
+    * many categories exist. The marginal product sums as
+    * DECIMAL(38,0) (n² overflows BIGINT past ~3·10⁹ rows); the final
+    * ratios are single IEEE divisions of exact integers in a fixed
+    * expression shape, so any engine reproduces them bit-for-bit.
+    * κ is NULL when p_e = 1 (both raters constant — agreement is
+    * vacuous and the statistic is undefined).
+    */
+  def kappaReport(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c")).persist()
+    val tot = cells.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__agree"))
+    val ra = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__cb"))
+    val spe = ra.join(cb, "__k")
+      .agg(coalesce(sum(col("__ra").cast(dec38) * col("__cb").cast(dec38)),
+        lit(0).cast(dec38)).as("__spe"))
+    val po = col("__agree").cast("double") / col("n").cast("double")
+    val pe = col("__spe").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast(dec), 6).cast("double")
+    tot.crossJoin(broadcast(spe))
+      .select(col("n"), r6(po).as("po"), r6(pe).as("pe"),
+        when(pe < 1.0d, r6((po - pe) / (lit(1.0d) - pe))).as("kappa"))
+  }
 }
 
 /** Generalized panel scoring with a custom label→score mapping (the
@@ -155,6 +223,17 @@ final case class MockJudgeClient(override val model: String) extends LlmClient {
 }
 
 object MockJudgeClient {
+
+  /** DuckDB mirror of parseLabel(mock(model, prompt)) as the raw
+    * label string ("parse_fail" for the unparseable d = f branch) —
+    * the [[Judge.panelLabels]] counterpart of scoreSql.
+    */
+  def labelSql(model: String, promptSql: String): String =
+    s"""(CASE WHEN substring(sha256('$model' || chr(10) || $promptSql), 1, 1) = 'f'
+       |  THEN 'parse_fail'
+       | WHEN substring(sha256('$model' || chr(10) || $promptSql), 1, 1) < '8'
+       |  THEN 'supported'
+       | ELSE 'unsupported' END)""".stripMargin
 
   /** DuckDB mirror of score(parseLabel(mock(model, prompt))). */
   def scoreSql(model: String, promptSql: String): String =

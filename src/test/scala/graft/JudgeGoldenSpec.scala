@@ -80,4 +80,25 @@ class JudgeGoldenSpec extends SparkSpec {
       Seq(RuleJudge(false), ContrarianJudge()), "factuality")
     assert(judged.select("factuality").as[Double].head() == 0.5)
   }
+
+  test("kappaReport matches the textbook worked example") {
+    // Classic 2x2: a=20 yes/yes, d=15 no/no, b=5, c=10 → po=0.7,
+    // pe = 0.6*0.5 + 0.4*0.5 = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val out = Judge.kappaReport(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(out == ((50L, 0.7, 0.5, Some(0.4))))
+  }
+
+  test("kappaReport: perfect agreement is 1; constant raters yield NULL kappa") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    val p = Judge.kappaReport(perfect, "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(p._2 == 1.0 && p._4.contains(1.0))
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val c = Judge.kappaReport(const, "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(c._2 == 1.0 && c._3 == 1.0 && c._4.isEmpty)
+  }
 }
