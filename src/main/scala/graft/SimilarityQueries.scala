@@ -247,6 +247,81 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)),
 
+    // Recall@k eval (Similarity.recallReport): grade the IVF
+    // (nprobe=1) index against the brute-force ground truth — the
+    // number an index tuner actually watches. Both result sets are
+    // k·|Q| rows; the report is two tiny aggregates and a join.
+    QueryDef("ann_recall_report",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val q = e.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+        val raw = Tables.load(s, dir, "embeddings")
+        val cents = raw.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val approx = Similarity.ivfTopK(raw, "vec_id", "embedding", cents,
+          col("vec_id") < NumQueryVecs, TopK)
+        Similarity.recallReport(approx, exact, "query_id", "neighbor_id")
+      },
+      Some(s"""WITH q0 AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+        |  WHERE vec_id < $NumQueryVecs),
+        |bf_scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings e JOIN q0 q ON e.vec_id <> q.query_id),
+        |bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM bf_scored)
+        |  WHERE rank <= $TopK),
+        |c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < $NumCells),
+        |assigned AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+        |  FROM embeddings e CROSS JOIN c),
+        |cells AS (
+        |  SELECT vec_id, embedding, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM assigned)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qemb, cell AS qcell
+        |  FROM cells WHERE vec_id < $NumQueryVecs),
+        |iscored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM cells e JOIN q ON e.cell = q.qcell AND e.vec_id <> q.query_id),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM iscored)
+        |  WHERE rank <= $TopK),
+        |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
+        |hits AS (
+        |  SELECT a.query_id, count(*) AS n_hit
+        |  FROM ivf a JOIN bf b
+        |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.query_id, t.n_true, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+        |    CAST(t.n_true AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+        |ORDER BY t.query_id""".stripMargin)),
+
     // Product quantization top-k (asymmetric): vectors stored as m=4
     // codebook codes (~100× smaller than raw floats at scale); scoring
     // sums the query's broadcast per-(sub, codeword) partial dots over

@@ -677,6 +677,40 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Recall@k of an approximate ANN result against exact ground
+    * truth — the eval loop every production index tuning runs
+    * (nprobe / planes / codebook size move THIS number). Per query:
+    * |approx ∩ exact| / |exact|. Inputs are any two (query,
+    * neighbor) frames, so the same report grades LSH, IVF,
+    * multiprobe, or PQ against the brute-force baseline — or
+    * against each other.
+    *
+    * Scale shape: the result frames are k·|Q| rows (the corpus never
+    * enters), so this is two small hash aggregates and one join on
+    * (query, neighbor). Ground truth at 100 TB is computed on a
+    * SAMPLED query set — the report's cost is proportional to the
+    * sample, which is exactly why eval is affordable while the index
+    * build is the expensive part.
+    */
+  def recallReport(approx: DataFrame, exact: DataFrame,
+                   queryCol: String, neighborCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val a = approx.select(col(queryCol).as("query_id"),
+      col(neighborCol).as("__n"))
+    val e = exact.select(col(queryCol).as("query_id"),
+      col(neighborCol).as("__n"))
+    val truth = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    val hits = a.join(e, Seq("query_id", "__n"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round((coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).cast(dec), 6)
+          .cast("double").as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Multi-probe IVF: each query probes its `nprobe` nearest cells
     * instead of one — the recall/cost dial of a production IVF index
     * (nprobe=1 misses neighbors sitting just across a Voronoi

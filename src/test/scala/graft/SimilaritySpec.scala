@@ -92,6 +92,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recallReport: identical, partial, and missing-query overlap") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallReport(approx, exact, "query_id", "neighbor_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+  }
+
   test("jaccardPrefixPairs: disjoint docs produce no candidates at all") {
     val d = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
       .toDF("doc_id", "text")
