@@ -393,6 +393,49 @@ object AdvancedQueries {
     // the simple id-ordering (a<b<c) three-way join: triangle count
     // is orientation-invariant, so agreement cross-checks the
     // orientation logic itself, not just the arithmetic.
+    // k-core of the REPEAT-co-purchase part graph (edges = part pairs
+    // sharing >= 2 distinct orders — the single-order clique blow-up
+    // pruned at the source): the dense kernel a curation pipeline
+    // special-cases before any all-pairs work. At sf0.01 the 3-core
+    // peel genuinely cascades ~10 rounds. The oracle is the SAME
+    // peel unrolled to KcoreRounds fixed rounds — identical to the
+    // operator's early-stopping loop whether or not it has converged
+    // (a stable round is an identity filter on both sides).
+    QueryDef("graph_kcore_parts",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+          .select(col("src"), col("dst"))
+        val core = graft.ops.Graph.kCore(e, "src", "dst", k = KcoreK,
+          maxIters = KcoreRounds)
+        core.orderBy(col("node"))
+      },
+      Some {
+        // MATERIALIZED: default CTE inlining re-expands e(i-1) three
+        // times per round — 3^rounds plan copies blow the fd limit
+        val rounds = (1 to KcoreRounds).map { i =>
+          s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u
+             |  HAVING count(*) >= $KcoreK),
+             |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+             |  JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |$rounds
+        |SELECT u AS node, count(*) AS degree FROM e$KcoreRounds
+        |GROUP BY 1 ORDER BY node""".stripMargin
+      }),
+
     QueryDef("graph_triangles_parts",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
@@ -417,6 +460,10 @@ object AdvancedQueries {
   )
 
   private val PageRankIters = 5
+  // 3-core over the repeat-pair graph cascades ~10 peel rounds at
+  // sf0.01; 12 gives margin, and a converged round is a no-op filter
+  private val KcoreK = 3
+  private val KcoreRounds = 12
 
   /** Unrolled-CTE oracle for graph_pagerank_parts, generated from the
     * SAME fixed-point constants as ops/Graph.pageRank's defaults —

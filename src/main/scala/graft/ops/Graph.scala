@@ -194,4 +194,69 @@ object Graph {
     oriented.unpersist()
     Seq(n).toDF("n_triangles")
   }
+
+  /** The k-CORE of an undirected simple graph: the maximal subgraph
+    * in which every node has degree ≥ k — the standard "dense kernel"
+    * extractor (spam/link-farm cores in web graphs, bot rings in
+    * interaction graphs, the hub set worth special-casing before an
+    * expensive all-pairs pass). Computed by the classic peel: drop
+    * all nodes with degree < k, recompute degrees, repeat until the
+    * edge set is stable.
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins,
+    * all keyed on node ids; the edge frame only ever SHRINKS, each
+    * round is materialized (RDD-rooted) so the iterative plan never
+    * grows, and the fixed point is detected from the persisted
+    * frame's count — bounded driver metadata, like [[pageRank]]'s
+    * round counter. Rounds are data-dependent: hub-and-spoke graphs
+    * peel in a handful, a bare path peels O(n) layers — `maxIters`
+    * bounds the walk and a non-converged exit returns the current
+    * (superset) peel state; callers wanting a guaranteed fixed point
+    * raise it and re-run (the round count is cheap to log).
+    *
+    * Returns (node, degree) rows of the k-core, degree measured IN
+    * the core. Empty when no k-core exists.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var e = materialize(und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b"), col("a"))))
+    var m = e.count()
+    var stable = m == 0
+    var round = 0
+    while (!stable && round < maxIters) {
+      round += 1
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("u").as("__keep"))
+      val next = materialize(e
+        .join(keep, e("u") === col("__keep"), "left_semi")
+        .join(keep, e("v") === col("__keep"), "left_semi"))
+      val nm = next.count()
+      e.unpersist()
+      e = next
+      // a sub-k node always owns ≥1 directed edge row, so edge-count
+      // stability IS node stability (isolated nodes have no rows)
+      stable = nm == m
+      m = nm
+    }
+    // materialize the result BEFORE dropping the edge frame — the
+    // aggregate is lazy and an early unpersist would recompute the
+    // whole peel chain. Persisted; the caller owns .unpersist().
+    val out = materialize(
+      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("node")))
+    out.count()
+    e.unpersist()
+    out
+  }
 }

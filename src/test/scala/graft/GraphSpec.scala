@@ -73,4 +73,51 @@ class GraphSpec extends SparkSpec {
     r2.unpersist()
     assert(a == b)
   }
+
+  // local reference peel for kCore checks
+  private def bruteKCore(pairs: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .distinct.filter(p => p._1 != p._2)
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+      changed = drop.nonEmpty
+      adj = (adj -- drop).map { case (n, nb) => n -> (nb -- drop) }
+        .filter(_._2.nonEmpty)
+    }
+    adj.map { case (n, nb) => n -> nb.size }
+  }
+
+  test("kCore: clique keeps everyone, pendants peel, path needs multi-round cascade") {
+    def core(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val r = Graph.kCore(pairs.toDF("src", "dst"), "src", "dst", k)
+      val m = r.as[(Long, Long)].collect().toMap
+      r.unpersist()
+      m
+    }
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(core(k4, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(core(k4, 4) == Map.empty)
+    // K4 with a pendant chain hanging off node 1: chain peels, K4 stays
+    val pend = k4 ++ Seq((1L, 5L), (5L, 6L), (6L, 7L))
+    assert(core(pend, 2).keySet == Set(1L, 2L, 3L, 4L))
+    // a 12-path has no 2-core and needs ~n/2 cascading peel rounds
+    val path = (1L until 12L).map(i => (i, i + 1))
+    assert(core(path, 2) == Map.empty)
+  }
+
+  test("kCore matches brute-force peel on random graphs, any partitioning") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    for (k <- Seq(2, 3, 4)) {
+      val want = bruteKCore(pairs, k).map { case (n, d) => n -> d.toLong }
+      val r = Graph.kCore(pairs.toDF("src", "dst").repartition(7),
+        "src", "dst", k)
+      val got = r.as[(Long, Long)].collect().toMap
+      r.unpersist()
+      assert(got == want, s"k=$k")
+    }
+  }
 }
