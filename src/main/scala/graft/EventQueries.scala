@@ -628,6 +628,49 @@ object EventQueries {
         |FROM c WHERE cw >= 0.5 * tw
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Winsorized robust moments (Quantile.winsorizedStats): clip at
+    // the exact per-group [p05, p95] then report mean/std — the
+    // outlier-proof summary. Σv / Σv² ride DECIMAL(38,10) so the
+    // report is identical on any partitioning; the oracle repeats
+    // the same fixed-shape IEEE arithmetic over the same exact sums.
+    QueryDef("stats_winsorized",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        graft.ops.Quantile.winsorizedStats(li, "l_returnflag",
+          "l_extendedprice", 0.05, 0.95)
+      },
+      Some {
+        val meanSql = "CAST(sum(CAST(cv AS DECIMAL(38,10))) AS DOUBLE)" +
+          " / CAST(count(*) AS DOUBLE)"
+        val varSql = "CAST(sum(CAST(cv * cv AS DECIMAL(38,10))) AS DOUBLE)" +
+          s" / CAST(count(*) AS DOUBLE) - ($meanSql) * ($meanSql)"
+        def r6(x: String) =
+          s"CAST(round(CAST($x AS DECIMAL(18,8)), 6) AS DOUBLE)"
+        s"""WITH s AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        |  SELECT g,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |        THEN v END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |        THEN v END) AS hi
+        |  FROM s GROUP BY g),
+        |j AS (
+        |  SELECT s.g, s.v, b.lo, b.hi,
+        |    least(greatest(s.v, b.lo), b.hi) AS cv
+        |  FROM s JOIN b ON b.g = s.g)
+        |SELECT g AS l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(v < lo OR v > hi AS INT)) AS BIGINT) AS n_clipped,
+        |  min(lo) AS lo, min(hi) AS hi,
+        |  ${r6(meanSql)} AS w_mean,
+        |  ${r6(s"sqrt(greatest(0.0, $varSql))")} AS w_std
+        |FROM j GROUP BY g ORDER BY l_returnflag""".stripMargin
+      }),
+
     // Equi-depth feature binning: quartile edges from the exact
     // quantile machinery, then bin assignment as a scan-time CASE —
     // the discretization step in front of categorical models and

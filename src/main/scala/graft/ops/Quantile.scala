@@ -158,6 +158,65 @@ object Quantile {
       .orderBy(col(groupCol))
   }
 
+  /** Winsorized (clipped-at-quantiles) moments per group — the
+    * robust mean/std used when a handful of fat-tail outliers would
+    * otherwise own the statistic (pricing summaries, latency SLO
+    * dashboards, quality-score normalization). Values are clipped to
+    * the group's exact [qLo, qHi] lower-quantiles, then n, clip
+    * count, bounds, mean and std are reported.
+    *
+    * Scale shape: two passes — the [[groupQuantiles]]-style
+    * (group, value) compression + cumulative window finds the clip
+    * bounds, then one join + aggregate computes the moments; both
+    * shuffles are keyed on the group. Σv and Σv² accumulate as
+    * DECIMAL(38,10): double sums are partition-order-dependent, and
+    * the whole point of a winsorized report is a number two runs (or
+    * two engines) agree on. The final mean/std are fixed-shape IEEE
+    * expressions over those exact sums, decimal-rounded to 6.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      qLo: Double, qHi: Double): DataFrame = {
+    require(qLo > 0 && qLo < qHi && qHi <= 1, s"bad bounds: $qLo, $qHi")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val out6 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val clean = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") > Double.NegativeInfinity &&
+        col("__v") < Double.PositiveInfinity)
+    val counts = clean.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    def pick(q: Double) = min(when(col("__cum") >= greatest(lit(1L),
+      ceil(lit(q) * col("__n")).cast("long")), col("__v")))
+    val bounds = cum.groupBy(col("__g"))
+      .agg(pick(qLo).as("__lo"), pick(qHi).as("__hi"))
+    val clipped = least(greatest(col("__v"), col("__lo")), col("__hi"))
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast(out6), 6).cast("double")
+    val nD = col("n").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val varExpr = col("__s2").cast("double") / nD - mean * mean
+    clean.join(bounds, "__g")
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__v") < col("__lo") || col("__v") > col("__hi"))
+          .cast("long")).as("n_clipped"),
+        min(col("__lo")).as("lo"), min(col("__hi")).as("hi"),
+        sum(clipped.cast(dec)).as("__s"),
+        sum((clipped * clipped).cast(dec)).as("__s2"))
+      .select(col(groupCol), col("n"), col("n_clipped"),
+        col("lo"), col("hi"), r6(mean).as("w_mean"),
+        r6(sqrt(greatest(lit(0.0d), varExpr))).as("w_std"))
+      .orderBy(col(groupCol))
+  }
+
   /** Exact k-th smallest (1-based) of `valueCol`. */
   def kthSmallest(df: DataFrame, valueCol: String, k: Long,
                   buckets: Int = 4096, directLimit: Long = 1L << 22): Double = {

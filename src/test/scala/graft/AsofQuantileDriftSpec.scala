@@ -322,6 +322,32 @@ class AsofQuantileDriftSpec extends SparkSpec {
     }
   }
 
+  test("winsorizedStats matches a local clip-then-moments computation") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(400) { i =>
+      (s"g${i % 2}", if (i % 97 == 0) 1e6 else rnd.nextInt(100).toDouble)
+    }
+    val got = Quantile.winsorizedStats(rows.toDF("g", "v"), "g", "v",
+        0.1, 0.9)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    for ((g, xs) <- rows.groupBy(_._1)) {
+      val vs = xs.map(_._2).sorted
+      val n = vs.length
+      def q(p: Double) = vs(math.max(1, math.ceil(p * n).toInt) - 1)
+      val (lo, hi) = (q(0.1), q(0.9))
+      val cv = vs.map(v => math.min(math.max(v, lo), hi))
+      val mean = cv.sum / n
+      val std = math.sqrt(cv.map(x => x * x).sum / n - mean * mean)
+      val r = got(g)
+      assert(r._2 == n && r._3 == vs.count(v => v < lo || v > hi).toLong)
+      assert(r._4 == lo && r._5 == hi)
+      assert(math.abs(r._6 - mean) < 1e-4 && math.abs(r._7 - std) < 1e-4)
+    }
+    // the 1e6 outliers must not own the mean
+    assert(got("g0")._6 < 200)
+  }
+
   test("groupWeightedQuantile with unit weights equals the lower quantile; zero/null weights drop") {
     val df = Seq(("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1),
       ("a", 99.0, 0), ("b", 5.0, 2)).toDF("g", "v", "w")
