@@ -495,6 +495,41 @@ object DedupQueries {
         |SELECT id_a, id_b, jaccard FROM v
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // J1-eval — MinHash estimate quality (Similarity.
+    // minhashEstimateReport): per LSH candidate, the signature
+    // estimate next to the true shingle Jaccard — the numPerms/
+    // bands/rows tuning report. Both engines derive est from the
+    // same integer component-match count and true from the same
+    // hashed-set intersection.
+    QueryDef("dedup_minhash_estimate",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.minhashEstimateReport(d, "doc_id", "text",
+            NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val estTerms = (0 until NumPerms)
+          .map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+        s"""$lshPairsSql,
+        |ss AS (SELECT doc_id,
+        |  list_distinct(list_transform($shinglesSql,
+        |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS ss FROM w),
+        |e AS (
+        |  SELECT p.id_a, p.id_b,
+        |    ($estTerms)::DOUBLE / ${NumPerms}.0 AS est,
+        |    len(list_intersect(a.ss, b.ss))::DOUBLE /
+        |      (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS tru
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.id_a
+        |  JOIN sig sb ON sb.doc_id = p.id_b
+        |  JOIN ss a ON a.doc_id = p.id_a
+        |  JOIN ss b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, round(est, 6) AS est_jaccard,
+        |  round(tru, 6) AS true_jaccard, round(abs(est - tru), 6) AS abs_err
+        |FROM e ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // Chunk-level shared-content pairs (substring-dedup family at
     // chunk granularity): doc pairs sharing ≥2 identical 64-word
     // chunks (48-word stride). Same group-then-pair inverted index as

@@ -456,6 +456,48 @@ object Similarity {
       .where(col("jaccard") >= threshold)
   }
 
+  /** MinHash estimate-quality report — the dedup-index analog of
+    * [[recallReport]]: for every LSH candidate pair, the
+    * signature-ESTIMATED Jaccard (matching components / numPerms —
+    * the only number a signature-based pipeline ever sees) next to
+    * the TRUE shingle-set Jaccard, with their absolute error. This
+    * is the tuning loop for numPerms/bands/rows: if abs_err is wide
+    * at the dedup threshold, the signature is too short; if every
+    * est is far below the threshold, the bands are too permissive.
+    *
+    * Scale shape: candidates come from the capped band buckets
+    * (never all pairs); signatures (numPerms longs) and hashed
+    * shingle sets join onto the |pairs|-row frame, so per-pair work
+    * is O(numPerms + doc length) and nothing quadratic in the
+    * corpus exists anywhere.
+    */
+  def minhashEstimateReport(df: DataFrame, idCol: String, textCol: String,
+                            numPerms: Int = 64, shingleN: Int = 5,
+                            bands: Int = 16, rows: Int = 4,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val cand = lshCandidatePairs(sig, idCol, bands, rows, maxBucketSize)
+    val sigArr = sig.select(col(idCol),
+      array((0 until numPerms).map(i => col(s"m$i")): _*).as("__sig"))
+    val sets = df.select(col(idCol),
+      array_distinct(shingleHashes(col(textCol), shingleN)).as("__ss"))
+    val nEq = size(filter(zip_with(col("sa.__sig"), col("sb.__sig"),
+      (x, y) => x === y), b => b))
+    val common = size(array_intersect(col("a.__ss"), col("b.__ss")))
+    val est = nEq.cast("double") / lit(numPerms.toDouble)
+    val tru = common.cast("double") /
+      (size(col("a.__ss")) + size(col("b.__ss")) - common)
+    cand
+      .join(sigArr.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sigArr.as("sb"), col("id_b") === col(s"sb.$idCol"))
+      .join(sets.as("a"), col("id_a") === col(s"a.$idCol"))
+      .join(sets.as("b"), col("id_b") === col(s"b.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        round(est, 6).as("est_jaccard"),
+        round(tru, 6).as("true_jaccard"),
+        round(abs(est - tru), 6).as("abs_err"))
+  }
+
   /** Incremental MinHash-LSH dedup for batch-append ingestion: drop
     * rows of `newDf` that collide (share an LSH band bucket) with the
     * already-accepted corpus, represented by its signature frame

@@ -92,6 +92,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("minhashEstimateReport: identical docs estimate 1.0; disjoint docs never pair") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 140).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val got = Similarity.minhashEstimateReport(d, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0, 1.0, 0.0)))
+  }
+
   test("recallReport: identical, partial, and missing-query overlap") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
