@@ -676,6 +676,30 @@ object TextQueries {
         |WHERE cab >= 5
         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin)),
 
+    // Source-mixture reweighting (Text.sourceReweight): observed
+    // token share per source and the uniform-target sampling weight
+    // — the knob a pretraining mixture actually turns. One aggregate
+    // + broadcast totals; exact-count IEEE ratios on both engines.
+    QueryDef("mix_reweight_sources",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.sourceReweight(d, "source", "text")
+      },
+      Some("""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |    count(*) AS ns FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(round(CAST(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS actual_frac,
+        |  CAST(round(CAST(CAST(total AS DOUBLE) /
+        |    (CAST(ns AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
+
     // Corpus-adaptive boilerplate strip (Text.stripBoilerplate):
     // tokens present in > 60% of documents are template noise;
     // cleaned text preserves original token order. The oracle

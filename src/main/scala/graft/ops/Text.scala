@@ -285,6 +285,36 @@ object Text {
           .as("n_removed"))
   }
 
+  /** Source-mixture reweighting toward a UNIFORM token budget — the
+    * first-order version of trained mixture weighting (DoReMi-style
+    * pipelines start exactly here): per source, its observed token
+    * share, and the sampling weight target_share / actual_share that
+    * equalizes the mixture (weight > 1 ⇒ upsample, < 1 ⇒ downsample).
+    *
+    * Scale shape: token counting is a scan-time expression, then ONE
+    * hash aggregate on source; the corpus totals ride a broadcast
+    * 1-row frame. The ratios are fixed-shape IEEE divisions of exact
+    * BIGINT counts — reproducible anywhere.
+    */
+  def sourceReweight(df: DataFrame, srcCol: String,
+                     textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val per = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__total"),
+      count(lit(1)).as("__ns"))
+    def r6(c: Column) = round(c.cast(dec), 6).cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r6(col("n_tokens").cast("double") / col("__total").cast("double"))
+          .as("actual_frac"),
+        r6(col("__total").cast("double") /
+          (col("__ns").cast("double") * col("n_tokens").cast("double")))
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
   private def tokenBudgetSelectScalar(df: DataFrame, idCol: String,
                                       scoreCol: String, tokensCol: String,
                                       budgetDf: DataFrame): DataFrame = {

@@ -196,6 +196,20 @@ class TextJsonlSpec extends SparkSpec {
     assert(out == "<user>S</user><assistant>Ok.</assistant><user>hi</user>")
   }
 
+  test("sourceReweight: balanced sources weigh 1.0; rare sources upsample") {
+    val d = Seq(
+      ("a", "w w w w"), ("a", "w w w w"),     // 8 tokens
+      ("b", "w w w w w w w w"),               // 8 tokens — balanced vs a
+      ("c", "w w")).toDF("source", "text")    // 2 tokens — rare
+    val got = Text.sourceReweight(d, "source", "text")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a")._3 == 8L && got("b")._3 == 8L && got("c")._3 == 2L)
+    // uniform target is 6 tokens per source (18 total / 3 sources)
+    assert(got("a")._5 == 0.75 && got("b")._5 == 0.75 && got("c")._5 == 3.0)
+    assert(math.abs(got("c")._4 - 2.0 / 18) < 1e-6)
+  }
+
   test("stripBoilerplate: df-threshold tokens removed, order kept, empty docs survive") {
     // "the" in 4/4 docs, "nav" in 3/4 — both > 0.6; "cats" in 2/4 stays
     val d = Seq(
