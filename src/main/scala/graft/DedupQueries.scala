@@ -325,7 +325,9 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH d AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(string_split(text, ' ')),
+        |    t -> ('0x' || substring(md5(t), 1, 15))::BIGINT)) AS s
         |  FROM documents),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
