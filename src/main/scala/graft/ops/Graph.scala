@@ -245,8 +245,9 @@ object Graph {
       e.unpersist()
       e = next
       // a sub-k node always owns ≥1 directed edge row, so edge-count
-      // stability IS node stability (isolated nodes have no rows)
-      stable = nm == m
+      // stability IS node stability (isolated nodes have no rows);
+      // an emptied edge set is final — skip the residual no-op rounds
+      stable = nm == m || nm == 0
       m = nm
     }
     // materialize the result BEFORE dropping the edge frame — the
