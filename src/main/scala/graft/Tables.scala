@@ -13,18 +13,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-    // rejects. Read nanos as long and floor to microseconds in integer
-    // arithmetic (a double round-trip would lose precision: ns epochs
-    // exceed 2^53). DuckDB's reader truncates to micros the same way,
-    // so both engines see identical timestamps.
+    // events.parquet has stored `ts` as TIMESTAMP(NANOS) in some data
+    // generations (which Spark's reader rejects — read nanos as long
+    // and floor to micros in integer arithmetic; a double round-trip
+    // would lose precision because ns epochs exceed 2^53) and as plain
+    // TIMESTAMP(MICROS) in others (arrives as TIMESTAMP_NTZ). Branch on
+    // the arrived type so either generation loads; the session timezone
+    // is UTC everywhere (LocalSession), so the NTZ→timestamp cast
+    // preserves the instant and both shapes agree with DuckDB's naive
+    // micros reading.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register all tables as temp views for spark.sql queries. */

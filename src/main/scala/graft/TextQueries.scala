@@ -29,6 +29,13 @@ object TextQueries {
   /** Exact per-stratum sample size for sample_stratified_exact. */
   private val StratifiedK = 50
 
+  /** Decontamination gate: eval split = doc_id % mod == 0; n-gram
+    * order 3 (see the QueryDef comment — published recipes use 8-13,
+    * but this corpus's word-salad texts never collide at 8).
+    */
+  private val DecontamEvalMod = 97
+  private val DecontamN = 3
+
   /** Unigram-LM quality filter: model size and the out-of-vocab
     * negative-log-likelihood floor (nats).
     */
@@ -865,6 +872,72 @@ object TextQueries {
         |                           ORDER BY tfidf DESC, t) AS rk
         |      FROM sc)
         |SELECT doc_id, t, tfidf, rk::INT AS rk FROM r WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin))
+        |ORDER BY doc_id, rk""".stripMargin)),
+
+    // Entropy/repetition signals missing from text_repetition: word
+    // entropy (low ⇒ templated text) and duplicated-trigram mass (the
+    // Gopher-family repetition filter). Gram hashes + decimal-term
+    // entropy sum keep both engines bit-identical — see
+    // ops/Text.entropySignals for the decomposition that avoids a
+    // per-doc-total join.
+    QueryDef("text_entropy_signals",
+      (s, dir) =>
+        Text.entropySignals(Tables.load(s, dir, "documents"),
+          "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |puni AS (
+        |  SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS g,
+        |    count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(log2(sum(c)::DOUBLE) -
+        |      CAST(sum(CAST(c::DOUBLE * log2(c::DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)
+        |        / sum(c)::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) AS word_entropy
+        |  FROM puni GROUP BY 1),
+        |ptri AS (
+        |  SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS g,
+        |    count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |        FROM w) GROUP BY 1, 2),
+        |trif AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DECIMAL(18,6)
+        |      / sum(c) AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_trigram_frac
+        |  FROM ptri GROUP BY 1)
+        |SELECT e.doc_id, e.word_entropy,
+        |  coalesce(t.dup_trigram_frac, 0.0) AS dup_trigram_frac
+        |FROM ent e LEFT JOIN trif t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Eval-set decontamination: training docs sharing any word n-gram
+    // with the eval split (deterministic doc_id % 97 holdout here; a
+    // real pipeline joins against benchmark files). Published recipes
+    // use 8-13 grams; this synthetic word-salad corpus needs n=3 for a
+    // non-trivial gate — the operator takes n as a parameter. Scale
+    // shape: eval n-gram hashes broadcast (~8 B each), train side is
+    // one scan + explode + broadcast join + one doc_id shuffle.
+    QueryDef("decontam_ngram_overlap",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Text.decontaminate(
+          d.where(col("doc_id") % DecontamEvalMod =!= 0),
+          d.where(col("doc_id") % DecontamEvalMod === 0),
+          "doc_id", "text", DecontamN)
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    ('0x' || substring(md5(
+        |      array_to_string(w[i:i+${DecontamN - 1}], ' ')), 1, 15))::BIGINT AS h
+        |  FROM d, unnest(generate_series(1, len(w) - ${DecontamN - 1})) AS t(i)),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM g
+        |       WHERE doc_id % $DecontamEvalMod = 0)
+        |SELECT g.doc_id, count(DISTINCT g.h) AS n_ngrams_hit,
+        |  count(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM g JOIN ev ON g.h = ev.h WHERE g.doc_id % $DecontamEvalMod <> 0
+        |GROUP BY 1 ORDER BY n_ngrams_hit DESC, doc_id""".stripMargin))
   )
 }

@@ -285,6 +285,105 @@ object Text {
           .as("n_removed"))
   }
 
+  /** Word n-grams of a text column as an array of space-joined strings
+    * (positions kept — callers distinct() if they want the set). Docs
+    * shorter than n yield an empty array.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document entropy/repetition signals complementing the
+    * dup-word / top-bigram pair in text_repetition — the remaining
+    * published pretraining heuristics for machine-generated or
+    * boilerplate text:
+    *   word_entropy     Shannon entropy (bits) of the doc's word
+    *                    distribution (low ⇒ repetitive/TEMPLATED)
+    *   dup_trigram_frac fraction of trigram OCCURRENCES whose trigram
+    *                    appears more than once in the doc
+    * Docs with fewer than 3 words report dup_trigram_frac = 0.0.
+    *
+    * Scale shape: two explode→hash-agg pipelines (words, trigrams),
+    * each grouping on (doc_id, 60-bit gram hash) with map-side partial
+    * aggregation — an 8-byte shuffle key, no gram string enters the
+    * plan (same featurizer as text_repetition) — reduced to one row
+    * per doc and joined on doc_id. No windows, no driver state.
+    *
+    * Determinism: entropy decomposes as log2(n) − (Σ c·log2 c)/n, so
+    * the per-gram terms need no per-doc total — each rounds to
+    * DECIMAL(18,8) before the decimal sum (addition-order-independent
+    * across partitionings and engines); the final ratios use the
+    * decimal-quotient pattern shared with ops/Cost.
+    */
+  def entropySignals(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.DecimalType
+    val dec8 = DecimalType(18, 8)
+    def grams(n: Int) = column(graft.expressions.WordShingleHashes(
+      expression(col(textCol)), n, distinct = false, xx = hashModeIsXx))
+    def perGram(n: Int) =
+      df.select(col(idCol), explode(grams(n)).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val ent = perGram(1)
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c").cast("double") * log2(col("c").cast("double")))
+          .cast(dec8)).as("sclc"))
+      .select(col(idCol),
+        round((log2(col("n").cast("double")) -
+          col("sclc").cast("double") / col("n").cast("double"))
+          .cast(dec8), 6).cast("double").as("word_entropy"))
+    val tri = perGram(3)
+      .groupBy(col(idCol))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        sum(col("c")).as("tot"))
+      .select(col(idCol),
+        round((col("dup").cast(DecimalType(18, 6)) / col("tot"))
+          .cast(dec8), 6).cast("double").as("dup_trigram_frac"))
+    ent.join(tri, Seq(idCol), "left")
+      .select(col(idCol), col("word_entropy"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+      .orderBy(col(idCol))
+  }
+
+  /** Eval-set decontamination: for each training document, count the
+    * distinct word n-grams it shares with ANY document of an
+    * evaluation split, and how many distinct eval documents it
+    * collides with. The standard pre-training hygiene step — eval
+    * benchmarks leak into web-scale corpora, and n-gram collision
+    * (typically 8-13 grams; parameterized here) is the published
+    * detection recipe. Only contaminated docs are returned; the
+    * complement (an anti-join on the result) is the clean corpus.
+    *
+    * Scale shape: the eval split is small by construction (benchmarks
+    * are thousands of docs, the corpus is billions), so its distinct
+    * hashed n-grams BROADCAST to the train scan — the train side is
+    * one scan + explode + broadcast hash join + ONE shuffle on doc id
+    * for the per-doc counts. N-grams join on the 60-bit mode hash
+    * (md5 default — DuckDB-reproducible; xxhash64 at deployment), so
+    * the broadcast ships ~8 bytes per eval n-gram, not strings: a
+    * 10k-doc eval split is a few MB against any corpus size.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(wordNgrams(col(textCol), n)).as("__ng"))
+        .select(col(as), hash60(col("__ng")).as("__h"))
+    val ev = hashed(eval, "__eval_id").distinct()
+    hashed(train, idCol)
+      .join(broadcast(ev), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__h")).as("n_ngrams_hit"),
+        countDistinct(col("__eval_id")).as("n_eval_docs"))
+      .orderBy(desc("n_ngrams_hit"), col(idCol))
+  }
+
   /** Source-mixture reweighting toward a UNIFORM token budget — the
     * first-order version of trained mixture weighting (DoReMi-style
     * pipelines start exactly here): per source, its observed token

@@ -245,4 +245,59 @@ class TextJsonlSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("wordNgrams: positions kept, short docs empty") {
+    val d = Seq("a b c d", "a b", "a a a").toDF("text")
+    val got = d.select(Text.wordNgrams(col("text"), 3)).as[Seq[String]]
+      .collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq("a a a")))
+  }
+
+  test("decontaminate: hand-computed overlap counts, clean docs absent") {
+    val train = Seq(
+      (1L, "x y z p q"),     // shares "x y z" with eval 100
+      (2L, "p q r s t u"),   // shares "p q r","q r s","r s t" w/ 100+101
+      (3L, "m n o")          // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "x y z a b p q r s"),
+      (101L, "q r s t z z")).toDF("doc_id", "text")
+    val got = Text.decontaminate(train, eval, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 2: ngrams {p q r, q r s, r s t, s t u}; hits: "p q r"(100),
+    // "q r s"(100,101), "r s t"(101) → 3 ngrams, 2 eval docs
+    assert(got == Seq((2L, 3L, 2L), (1L, 1L, 1L)))
+  }
+
+  test("entropySignals: uniform vs constant docs, trigram dup mass") {
+    val d = Seq(
+      (1L, "a b c d"),   // all distinct: H = log2(4) = 2.0; no dup tri
+      (2L, "a a a a"),   // single word: H = 0; trigrams "a a a"×2 dup
+      (3L, "a b")        // too short for trigrams → 0.0
+    ).toDF("doc_id", "text")
+    val got = Text.entropySignals(d, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2.0, 0.0), (2L, 0.0, 1.0), (3L, 1.0, 0.0)))
+  }
+
+  test("entropySignals: entropy matches a driver-side computation") {
+    val rnd = new scala.util.Random(11)
+    val corpus = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(6)}")
+        .mkString(" "))
+    }
+    def h(s: String): Double = {
+      val c = s.split(" ").groupBy(identity).map(_._2.length.toDouble)
+      val n = c.sum
+      val raw = math.log(n) / math.log(2) -
+        c.map(x => BigDecimal(x * math.log(x) / math.log(2))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Text.entropySignals(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("word_entropy"))
+      .as[(Long, Double)].collect().toMap
+    corpus.foreach { case (id, s) => assert(got(id) == h(s), s"doc $id") }
+  }
 }
