@@ -54,9 +54,22 @@ object Bench {
       val order = new scala.util.Random(round * 1009L).shuffle(names)
       order.map { name =>
         // isolate runs: drop cached data/broadcasts accumulated by the
-        // previous query so its GC debt isn't billed to this one
+        // previous query so its GC debt isn't billed to this one.
+        // clearCache + System.gc alone is NOT enough: gc() only
+        // ENQUEUES reference processing, and the ContextCleaner's
+        // broadcast/shuffle removal RPCs then land DURING the next
+        // timed query (suite-mode ran multi-job queries ~2x their
+        // isolated time; probe sketch_distinct_kmv 3.0 suite vs 0.8
+        // isolated). So: gc, run an UNTIMED settle action that spins
+        // the scheduler while the cleaner queue drains, gc the newly
+        // unreachable state, and park briefly for concurrent-GC tails.
         spark.catalog.clearCache()
         System.gc()
+        spark.range(1024).repartition(4)
+          .groupBy(org.apache.spark.sql.functions.expr("id % 8")).count()
+          .write.format("noop").mode("overwrite").save()
+        System.gc()
+        Thread.sleep(250)
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every output column;
         // count() would let Catalyst prune the projections being timed.

@@ -23,6 +23,14 @@ object Tables {
     // preserves the instant and both shapes agree with DuckDB's naive
     // micros reading.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→timestamp cast below preserves the instant ONLY under a
+    // UTC session timezone. LocalSession pins it, but load() is the
+    // contract boundary — enforce here so a future non-UTC caller
+    // fails loudly instead of silently shifting every event timestamp
+    // relative to the DuckDB oracle's naive-micros reading.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.load requires spark.sql.session.timeZone=UTC " +
+        "(events NTZ timestamps are instant-preserving only under UTC)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

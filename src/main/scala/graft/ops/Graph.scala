@@ -82,9 +82,15 @@ object Graph {
     require(nNodes <= Long.MaxValue / unit,
       s"nNodes ($nNodes) × unit ($unit) exceeds Long range — shrink unit")
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
+      // Per-node contribution r div deg is computed on the NODE-sized
+      // frame first (one narrow join), so the edge set — the only
+      // big frame here — is joined exactly once per round. Joining
+      // edges to deg and r separately shipped the edge set through
+      // two join operators; deg ⋈ r is |nodes| rows and AQE
+      // broadcasts the result onto the edge scan when it fits.
+      val rd = r.withColumnRenamed("node", "src").join(deg, "src")
+        .select(col("src"), expr("r div deg").as("c"))
+      val contrib = e.join(rd, "src").select(col("dst").as("node"), col("c"))
       val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
       // (s div den)·num + ((s mod den)·num) div den ≡ (s·num) div den
       // on non-negatives, without the ×num intermediate (wraps at

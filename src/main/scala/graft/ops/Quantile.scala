@@ -203,14 +203,21 @@ object Quantile {
     val nD = col("n").cast("double")
     val mean = col("__s").cast("double") / nD
     val varExpr = col("__s2").cast("double") / nD - mean * mean
-    clean.join(bounds, "__g")
+    // One exchange chain for the whole report: `cum` already carries
+    // the per-(group, value) multiplicity __c and is hash-partitioned
+    // on __g by its window, so the moments aggregate runs on the
+    // distinct-value frame weighted by __c. Re-joining `clean`
+    // (the full row set) shuffled the data a second time for sums
+    // that are exactly Σ value·count — decimal × BIGINT multiply is
+    // exact, so the result is hash-identical to the per-row form.
+    cum.join(bounds, "__g")
       .groupBy(col("__g").as(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sum((col("__v") < col("__lo") || col("__v") > col("__hi"))
-          .cast("long")).as("n_clipped"),
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__v") < col("__lo") || col("__v") > col("__hi"),
+          col("__c")).otherwise(lit(0L))).as("n_clipped"),
         min(col("__lo")).as("lo"), min(col("__hi")).as("hi"),
-        sum(clipped.cast(dec)).as("__s"),
-        sum((clipped * clipped).cast(dec)).as("__s2"))
+        sum(clipped.cast(dec) * col("__c")).as("__s"),
+        sum((clipped * clipped).cast(dec) * col("__c")).as("__s2"))
       .select(col(groupCol), col("n"), col("n_clipped"),
         col("lo"), col("hi"), r6(mean).as("w_mean"),
         r6(sqrt(greatest(lit(0.0d), varExpr))).as("w_std"))

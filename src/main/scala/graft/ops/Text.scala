@@ -318,6 +318,11 @@ object Text {
     * DECIMAL(18,8) before the decimal sum (addition-order-independent
     * across partitionings and engines); the final ratios use the
     * decimal-quotient pattern shared with ops/Cost.
+    *
+    * Note: signals are computed over the 60-bit word-gram hash (the
+    * text_repetition / decontaminate convention), so distinct words
+    * that collide merge counts — engine-consistent (both engines share
+    * the featurizer) but an approximation of true word entropy.
     */
   def entropySignals(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
@@ -370,14 +375,21 @@ object Text {
     * 10k-doc eval split is a few MB against any corpus size.
     */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
+                    textCol: String, n: Int,
+                    broadcastMaxEvalDocs: Long = 1000000L): DataFrame = {
     def hashed(df: DataFrame, as: String) =
       df.select(col(idCol).as(as),
           explode(wordNgrams(col(textCol), n)).as("__ng"))
         .select(col(as), hash60(col("__ng")).as("__h"))
     val ev = hashed(eval, "__eval_id").distinct()
+    // The broadcast hint is only safe for the benchmark-sized eval
+    // split the docstring assumes; the API is general, so gate it on
+    // a counted bound (one cheap scan of the eval split) and above it
+    // let AQE pick the join strategy instead of blowing driver /
+    // executor memory on a forced broadcast of a corpus-sized "eval".
+    val evJoin = if (eval.count() <= broadcastMaxEvalDocs) broadcast(ev) else ev
     hashed(train, idCol)
-      .join(broadcast(ev), Seq("__h"))
+      .join(evJoin, Seq("__h"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__h")).as("n_ngrams_hit"),
         countDistinct(col("__eval_id")).as("n_eval_docs"))
