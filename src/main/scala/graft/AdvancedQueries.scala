@@ -436,6 +436,29 @@ object AdvancedQueries {
         |GROUP BY 1 ORDER BY node""".stripMargin
       }),
 
+    // Full coreness decomposition of the same repeat-co-purchase
+    // graph, capped at CorenessKMax — the whole density hierarchy
+    // (coreness 1 = periphery … kMax = "kMax or denser") in one
+    // layered peel, each level peeling the previous level's shrinking
+    // edge frame. The oracle unrolls every level to CorenessRounds
+    // fixed rounds; the operator runs the SAME round cap per level,
+    // so converged levels agree through identity rounds and an
+    // unconverged level agrees state-for-state (Graph.peelRounds).
+    QueryDef("graph_coreness_parts",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+          .select(col("src"), col("dst"))
+        graft.ops.Graph.corenessDecomposition(e, "src", "dst",
+          kMax = CorenessKMax, maxItersPerLevel = CorenessRounds)
+      },
+      Some(corenessOracleSql(CorenessKMax, CorenessRounds))),
+
     QueryDef("graph_triangles_parts",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
@@ -464,6 +487,44 @@ object AdvancedQueries {
   // sf0.01; 12 gives margin, and a converged round is a no-op filter
   private val KcoreK = 3
   private val KcoreRounds = 12
+  // coreness hierarchy capped at 4 ("4 or denser"); 12 rounds per
+  // level match KcoreRounds — and because operator and oracle run the
+  // SAME fixed cap, agreement holds even if a level hasn't converged
+  private val CorenessKMax = 4
+  private val CorenessRounds = 12
+
+  /** Unrolled-CTE oracle for graph_coreness_parts: the layered peel
+    * (level k = `rounds` peel rounds at threshold k over the previous
+    * level's final edge frame), then coreness = max level membership.
+    * Same MATERIALIZED discipline as the kcore oracle — inlined CTEs
+    * re-expand multiplicatively per round.
+    */
+  private def corenessOracleSql(kMax: Int, rounds: Int): String = {
+    def eOf(k: Int): String = if (k == 1) "e0" else s"e${k}r$rounds"
+    val levels = (2 to kMax).map { k =>
+      (1 to rounds).map { i =>
+        val src = if (i == 1) eOf(k - 1) else s"e${k}r${i - 1}"
+        s"""k${k}r$i AS MATERIALIZED (SELECT u FROM $src GROUP BY u
+           |  HAVING count(*) >= $k),
+           |e${k}r$i AS MATERIALIZED (SELECT e.u, e.v FROM $src e
+           |  JOIN k${k}r$i a ON a.u = e.u JOIN k${k}r$i b ON b.u = e.v)""".stripMargin
+      }.mkString(",\n")
+    }.mkString(",\n")
+    val members = (1 to kMax)
+      .map(k => s"SELECT u AS node, CAST($k AS BIGINT) AS k FROM ${eOf(k)}")
+      .mkString("\n  UNION ALL ")
+    s"""WITH li AS (
+    |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    |p AS (
+    |  SELECT a.pk AS u, b.pk AS v FROM li a
+    |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    |  GROUP BY 1, 2 HAVING count(*) >= 2),
+    |e0 AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+    |$levels
+    |SELECT node, max(k) AS coreness FROM (
+    |  $members)
+    |GROUP BY node ORDER BY node""".stripMargin
+  }
 
   /** Unrolled-CTE oracle for graph_pagerank_parts, generated from the
     * SAME fixed-point constants as ops/Graph.pageRank's defaults —

@@ -69,7 +69,7 @@ object Bench {
           .groupBy(org.apache.spark.sql.functions.expr("id % 8")).count()
           .write.format("noop").mode("overwrite").save()
         System.gc()
-        Thread.sleep(250)
+        Thread.sleep(400)
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every output column;
         // count() would let Catalyst prune the projections being timed.

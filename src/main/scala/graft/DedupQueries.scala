@@ -26,6 +26,9 @@ object DedupQueries {
     */
   private val MaxShingleDf = 1000
   private val MaxBucketSize = 1000
+  // band-curve denominator threshold: 5-shingle Jaccard ≥ 0.5 keeps
+  // the exact-recall PPJoin cheap while spanning the analytic knee
+  private val LshCurveThreshold = 0.5
 
   /** Per-label block-size cap for embedding-cosine dedup: labels above
     * this row count are sub-blocked by a CosineSubPlanes-bit sign-LSH
@@ -530,6 +533,50 @@ object DedupQueries {
         |SELECT id_a, id_b, round(est, 6) AS est_jaccard,
         |  round(tru, 6) AS true_jaccard, round(abs(est - tru), 6) AS abs_err
         |FROM e ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // J1-tuning — LSH band-probability curve: per true-Jaccard bin,
+    // observed candidate rate (exact-recall PPJoin denominator, band
+    // bucket numerator) vs the analytic 1−(1−s^r)^b. The report that
+    // says whether bands/rows put the collision knee AT the dedup
+    // threshold before a production run bets on it. Bins are integer
+    // (10·common) div union — no float bin edges to disagree on.
+    QueryDef("lsh_band_curve",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.lshBandCurveReport(d, "doc_id", "text",
+          LshCurveThreshold, NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
+      },
+      Some {
+        val jChain = Seq.fill(Rows)("j").mkString(" * ")
+        val tChain = Seq.fill(Bands)("t").mkString(" * ")
+        s"""$lshPairsSql,
+        |ss AS (SELECT doc_id,
+        |  list_distinct(list_transform($shinglesSql,
+        |    s -> ${md5LongSql("s")})) AS ss FROM w),
+        |ex AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.ss, b.ss)) AS common,
+        |    len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS u
+        |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id),
+        |exf AS (SELECT * FROM ex
+        |  WHERE round(common::DOUBLE / u, 6) >= $LshCurveThreshold),
+        |cv AS (
+        |  SELECT e.common, e.u,
+        |    CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS hit,
+        |    e.common::DOUBLE / e.u AS j
+        |  FROM exf e LEFT JOIN pairs p
+        |    ON p.id_a = e.id_a AND p.id_b = e.id_b),
+        |c1 AS (SELECT (10 * common) // u AS sim_bin, hit,
+        |  1 - ($jChain) AS t FROM cv),
+        |c2 AS (SELECT sim_bin, hit, 1 - ($tChain) AS p FROM c1)
+        |SELECT sim_bin, count(*) AS n_pairs,
+        |  CAST(sum(hit) AS BIGINT) AS n_candidates,
+        |  CAST(round(CAST(CAST(sum(hit) AS DOUBLE) / count(*)::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS observed_rate,
+        |  CAST(round(CAST(CAST(sum(CAST(p AS DECIMAL(18,8))) AS DOUBLE)
+        |    / count(*)::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) AS analytic_rate
+        |FROM c2 GROUP BY sim_bin ORDER BY sim_bin""".stripMargin
       }),
 
     // Chunk-level shared-content pairs (substring-dedup family at

@@ -235,8 +235,36 @@ object Graph {
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct()
-    var e = materialize(und.select(col("a").as("u"), col("b").as("v"))
+    val e0 = materialize(und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b"), col("a"))))
+    val e = peelRounds(spark, e0, k, maxIters)
+    // materialize the result BEFORE dropping the edge frame — the
+    // aggregate is lazy and an early unpersist would recompute the
+    // whole peel chain. Persisted; the caller owns .unpersist().
+    val out = materialize(
+      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("node")))
+    out.count()
+    e.unpersist()
+    out
+  }
+
+  /** The k-core peel loop shared by [[kCore]] and
+    * [[corenessDecomposition]]: drop all nodes with degree < k from
+    * the DIRECTED-both-ways edge frame `e0` (must be persisted; it is
+    * unpersisted once superseded), recompute, repeat until the edge
+    * count is stable or `maxIters` rounds ran. Returns the final
+    * persisted frame — EXACTLY `maxIters` rounds of peeling when
+    * unconverged (each skipped round after convergence is an identity
+    * filter), which is what lets a fixed-round unrolled oracle match
+    * the early-exiting loop bit-for-bit in either regime.
+    */
+  private def peelRounds(spark: org.apache.spark.sql.SparkSession,
+                         e0: DataFrame, k: Int, maxIters: Int): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    var e = e0
     var m = e.count()
     var stable = m == 0
     var round = 0
@@ -256,14 +284,70 @@ object Graph {
       stable = nm == m || nm == 0
       m = nm
     }
-    // materialize the result BEFORE dropping the edge frame — the
-    // aggregate is lazy and an early unpersist would recompute the
-    // whole peel chain. Persisted; the caller owns .unpersist().
-    val out = materialize(
-      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
-        .orderBy(col("node")))
-    out.count()
+    e
+  }
+
+  /** Full CORENESS decomposition capped at `kMax`: for every node of
+    * the undirected simple graph, the largest k ≤ kMax such that the
+    * node survives in the k-core — the whole density hierarchy in one
+    * result instead of [[kCore]]'s single slice (curation pipelines
+    * use the level sets directly: coreness 1 ⇒ periphery, rising
+    * levels ⇒ increasingly dense kernels worth special-casing).
+    * Nodes in the kMax-core report kMax ("kMax or denser") — the cap
+    * is part of the contract, bounding both work and the unrolled
+    * oracle, and callers wanting the exact top read it as "≥ kMax".
+    *
+    * Computed by LAYERED peeling: the k-core of the (k−1)-core is the
+    * k-core of the whole graph, so each level peels the previous
+    * level's (monotonically shrinking) edge frame — total work is the
+    * sum of level sizes, dominated by the first level, never
+    * kMax × |E|. Per level the node membership frame (|nodes| narrow
+    * rows) is materialized before the next peel supersedes the edges;
+    * coreness is then one union + max-aggregate keyed on node id.
+    * `maxItersPerLevel` bounds each level's cascade; an unconverged
+    * level returns its round-`maxItersPerLevel` superset state, which
+    * a fixed-round oracle reproduces exactly (see [[peelRounds]]).
+    *
+    * Returns (node, coreness ∈ [1, kMax]) for every node with at
+    * least one edge, persisted; the caller owns `.unpersist()`.
+    */
+  def corenessDecomposition(edges: DataFrame, srcCol: String,
+                            dstCol: String, kMax: Int,
+                            maxItersPerLevel: Int = 64): DataFrame = {
+    require(kMax >= 1, s"kMax must be >= 1: $kMax")
+    require(maxItersPerLevel >= 1,
+      s"maxItersPerLevel must be >= 1: $maxItersPerLevel")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var e = materialize(und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b"), col("a"))))
+    def membership(frame: DataFrame, k: Int): DataFrame = {
+      val n = materialize(frame.select(col("u").as("node")).distinct()
+        .withColumn("coreness", lit(k.toLong)))
+      n.count() // root it NOW — the edge frame it reads dies next level
+      n
+    }
+    val levels = scala.collection.mutable.ArrayBuffer(membership(e, 1))
+    var k = 2
+    var nonEmpty = e.count() > 0
+    while (nonEmpty && k <= kMax) {
+      e = peelRounds(spark, e, k, maxItersPerLevel)
+      nonEmpty = e.count() > 0
+      if (nonEmpty) levels += membership(e, k)
+      k += 1
+    }
     e.unpersist()
+    val out = materialize(levels.reduce(_ union _)
+      .groupBy(col("node")).agg(max(col("coreness")).as("coreness"))
+      .orderBy(col("node")))
+    out.count()
+    levels.foreach(_.unpersist())
     out
   }
 }

@@ -375,10 +375,26 @@ object Similarity {
     * result size.
     */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    jaccardPrefixPairsDetailed(
+      df.select(col(idCol).as("__id"),
+        explode(array_distinct(split(col(textCol), " "))).as("__w")),
+      threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** [[jaccardPrefixPairs]]'s engine over a caller-tokenized element
+    * frame `tok` of DISTINCT (__id, __w) rows — any set representation
+    * (words, shingles, hashes rendered to string) runs the same
+    * prefix-filtered exact join. Returns one row per pair with
+    * jaccard ≥ threshold, INCLUDING the integer support (sz_a, sz_b,
+    * common over the 60-bit hashed element sets) that downstream
+    * reports need for engine-exact binning — a ratio re-derived from
+    * the rounded jaccard would bin differently across engines at the
+    * bin edges; (10·common) div union cannot.
+    */
+  def jaccardPrefixPairsDetailed(tok: DataFrame,
+                                 threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold: $threshold")
-    val tok = df.select(col(idCol).as("__id"),
-      explode(array_distinct(split(col(textCol), " "))).as("__w"))
     val dfreq = tok.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
     val sz = tok.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val wOrd = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__w"))
@@ -426,7 +442,10 @@ object Similarity {
       .withColumn("jaccard", round(col("__common").cast("double") /
         (size(col("__sa")) + size(col("__sb")) - col("__common")), 6))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        size(col("__sa")).cast("long").as("sz_a"),
+        size(col("__sb")).cast("long").as("sz_b"),
+        col("__common").cast("long").as("common"))
   }
 
   /** 16-bit SimHash of whitespace tokens, as a single pure expression:
@@ -525,6 +544,66 @@ object Similarity {
         round(est, 6).as("est_jaccard"),
         round(tru, 6).as("true_jaccard"),
         round(abs(est - tru), 6).as("abs_err"))
+  }
+
+  /** LSH band-probability tuning curve — the "is my threshold right"
+    * telemetry that turns [[minhashEstimateReport]] into a decision
+    * tool: per true-similarity bin, the OBSERVED candidate rate (what
+    * fraction of genuinely-similar pairs the banded index actually
+    * surfaced) next to the ANALYTIC collision probability
+    * 1 − (1 − s^rows)^bands. Wide gaps mean the signature is too
+    * short for the curve to hold; an analytic curve whose knee sits
+    * left of the dedup threshold means bands/rows are mis-chosen and
+    * the index wastes verification work (or misses pairs) — both
+    * visible here before any production run.
+    *
+    * The denominator (all pairs with true Jaccard ≥ threshold) comes
+    * from the PPJoin prefix-filtered EXACT join — scalable exact
+    * recall, no corpus² anywhere; candidates come from the same
+    * capped band buckets production dedup uses. Binning is integer
+    * arithmetic on the pair's support ((10·common) div union — no
+    * float bin edges), and both rates use the decimal-sum/
+    * fixed-shape-division discipline, so the report is reproducible
+    * bit-for-bit on any engine and partitioning.
+    */
+  def lshBandCurveReport(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double,
+                         numPerms: Int = 64, shingleN: Int = 5,
+                         bands: Int = 16, rows: Int = 4,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec8 = DecimalType(18, 8)
+    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val cand = lshCandidatePairs(sig, idCol, bands, rows, maxBucketSize)
+      .withColumn("__hit", lit(1L))
+    val tok = df.select(col(idCol).as("__id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("__w"))
+    val exact = jaccardPrefixPairsDetailed(tok, threshold)
+    // p(s) = 1 − (1 − s^rows)^bands evaluated as LEFT-ASSOCIATIVE
+    // multiply chains — the same IEEE operation sequence the oracle
+    // spells out, so the doubles agree to the last bit before the
+    // decimal cast freezes them.
+    val j = col("common").cast("double") / col("__u").cast("double")
+    exact
+      .join(cand, Seq("id_a", "id_b"), "left")
+      .withColumn("__u", col("sz_a") + col("sz_b") - col("common"))
+      .withColumn("__j", j)
+      .withColumn("__t",
+        lit(1.0) - (1 to rows).map(_ => col("__j")).reduce(_ * _))
+      .withColumn("__p",
+        lit(1.0) - (1 to bands).map(_ => col("__t")).reduce(_ * _))
+      .groupBy(expr("(10 * common) div __u").as("sim_bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_candidates"),
+        sum(col("__p").cast(dec8)).as("__sp"))
+      .select(col("sim_bin"), col("n_pairs"), col("n_candidates"),
+        round((col("n_candidates").cast("double") /
+          col("n_pairs").cast("double")).cast(dec8), 6).cast("double")
+          .as("observed_rate"),
+        round((col("__sp").cast("double") /
+          col("n_pairs").cast("double")).cast(dec8), 6).cast("double")
+          .as("analytic_rate"))
+      .orderBy(col("sim_bin"))
   }
 
   /** Incremental MinHash-LSH dedup for batch-append ingestion: drop

@@ -120,4 +120,30 @@ class GraphSpec extends SparkSpec {
       assert(got == want, s"k=$k")
     }
   }
+
+  test("corenessDecomposition matches per-k brute cores, caps at kMax") {
+    def decompose(pairs: Seq[(Long, Long)], kMax: Int): Map[Long, Long] = {
+      val r = Graph.corenessDecomposition(
+        pairs.toDF("src", "dst").repartition(5), "src", "dst", kMax)
+      val m = r.as[(Long, Long)].collect().toMap
+      r.unpersist()
+      m
+    }
+    // K4 + pendant chain: clique coreness 3, chain coreness 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pend = k4 ++ Seq((1L, 5L), (5L, 6L), (6L, 7L))
+    assert(decompose(pend, 4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+    // cap: with kMax=2 the clique reports 2 ("2 or denser")
+    assert(decompose(pend, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+    // random graph: coreness(v) == max k whose brute k-core keeps v
+    val rnd = new scala.util.Random(47)
+    val pairs = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val kMax = 5
+    val want = (1 to kMax).flatMap(k => bruteKCore(pairs, k).keys.map(_ -> k))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).max.toLong }
+    assert(decompose(pairs, kMax) == want)
+  }
 }
