@@ -66,6 +66,19 @@ object Graph {
     def materialize(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
+    // Catalyst-plan truncation WITHOUT eager evaluation: rounds chain
+    // through RDD roots (so analysis never sees a growing
+    // self-referencing plan) but stay LAZY — the whole iteration
+    // evaluates as ONE job at the final count instead of paying the
+    // scheduler/job floor `iters` times (the floor, not the
+    // arithmetic, dominated the sf0.1 bench: 4 jobs × 5 rounds ≈
+    // whole seconds of fixed overhead). Every intermediate round is
+    // consumed exactly once (by the next round), so skipping the
+    // per-round cache loses no work; e/deg/nodes are persisted and
+    // get cached by their first evaluating stage, then reused by
+    // all later rounds of the same job.
+    def root(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
 
     val e = materialize(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")))
@@ -74,13 +87,13 @@ object Graph {
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
     val base = (unit * (dampingDen - dampingNum)) / dampingDen
 
-    var r = materialize(nodes.withColumn("r", lit(unit)))
-    val nNodes = r.count()
+    val nNodes = nodes.count()
     // total-mass overflow canary: any node's incoming sum is ≤ the
     // total rank mass ≤ nNodes·unit; past Long.MaxValue the BIGINT
     // sum would wrap silently into a plausible-looking wrong rank.
     require(nNodes <= Long.MaxValue / unit,
       s"nNodes ($nNodes) × unit ($unit) exceeds Long range — shrink unit")
+    var r = root(nodes.withColumn("r", lit(unit)))
     for (_ <- 1 to iters) {
       // Per-node contribution r div deg is computed on the NODE-sized
       // frame first (one narrow join), so the edge set — the only
@@ -98,14 +111,15 @@ object Graph {
       val damped = s"(coalesce(s, 0L) div ${dampingDen}L) * ${dampingNum}L" +
         s" + ((coalesce(s, 0L) % ${dampingDen}L) * ${dampingNum}L)" +
         s" div ${dampingDen}L"
-      val next = materialize(nodes.join(sums, Seq("node"), "left")
+      r = root(nodes.join(sums, Seq("node"), "left")
         .select(col("node"), (lit(base) + expr(damped)).as("r")))
-      next.count()
-      r.unpersist()
-      r = next
     }
+    val out = r.persist(StorageLevel.MEMORY_AND_DISK)
+    // force the full chain BEFORE dropping the shared inputs — an
+    // early unpersist would recompute e/deg/nodes once per round
+    out.count()
     e.unpersist(); deg.unpersist(); nodes.unpersist()
-    r
+    out
   }
 
   /** Exact global triangle count of an undirected simple graph — the
