@@ -29,6 +29,9 @@ object DedupQueries {
   // band-curve denominator threshold: 5-shingle Jaccard ≥ 0.5 keeps
   // the exact-recall PPJoin cheap while spanning the analytic knee
   private val LshCurveThreshold = 0.5
+  // prefix-truncation fractions (twentieths) for the curve's
+  // synthetic moderate-similarity pairs
+  private val CurveFracs = Seq(11, 13, 15, 17)
 
   /** Per-label block-size cap for embedding-cosine dedup: labels above
     * this row count are sub-blocked by a CosineSubPlanes-bit sign-LSH
@@ -95,7 +98,12 @@ object DedupQueries {
     * 16 band values (UNION ALL), ending at the `bands` CTE shared by
     * both LSH oracles.
     */
-  private def lshBandsSql: String = {
+  private def lshBandsSql: String = lshBandsSqlFrom("documents")
+
+  /** Same CTE chain over an arbitrary (doc_id, text) source CTE/table
+    * name, for oracles that augment the corpus first.
+    */
+  private def lshBandsSqlFrom(src: String): String = {
     val mins = (0 until NumPerms)
       .map(i => s"min((b * ${2L * i + 1} + ${7919L * i + 12345L}) % $P) AS m$i")
       .mkString(",\n    ")
@@ -104,7 +112,7 @@ object DedupQueries {
         .reduce((a, b) => s"($a * 31 + $b)")
       s"SELECT doc_id, $j AS band, $bv AS bv FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w),
        |hb AS (SELECT doc_id, ${md5LongSql("s")} % $B30 AS b FROM sh),
        |sig AS (SELECT doc_id,
@@ -118,8 +126,10 @@ object DedupQueries {
     * lshCandidatePairs' maxBucketSize guard; docs are unique per
     * bucket so count(*) is the bucket size).
     */
-  private def lshPairsSql: String =
-    s"""$lshBandsSql,
+  private def lshPairsSql: String = lshPairsSqlFrom("documents")
+
+  private def lshPairsSqlFrom(src: String): String =
+    s"""${lshBandsSqlFrom(src)},
        |ok AS (
        |  SELECT band, bv FROM bands GROUP BY band, bv
        |  HAVING count(*) BETWEEN 2 AND $MaxBucketSize),
@@ -544,13 +554,34 @@ object DedupQueries {
     QueryDef("lsh_band_curve",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        Similarity.lshBandCurveReport(d, "doc_id", "text",
+          .select(col("doc_id"), col("text"))
+        // The synthetic corpus's organic near-dups all sit at J ≥ 0.8,
+        // which exercises only the flat top of the curve. Augment with
+        // prefix-truncated copies of the first 200 docs at
+        // 11/13/15/17 twentieths — shingle-prefix subsets whose true
+        // Jaccard lands ≈ 0.5-0.85, populating the bins where the
+        // analytic knee actually lives. Pure integer arithmetic
+        // ((len·k) div 20), so both engines build the same corpus.
+        val variants = CurveFracs.map(k =>
+          d.where(col("doc_id") < 200L).selectExpr(
+            s"doc_id + ${100000L * k} AS doc_id",
+            s"array_join(slice(split(text, ' '), 1, " +
+              s"CAST((size(split(text, ' ')) * $k) div 20 AS INT)), ' ') AS text"))
+        val aug = variants.foldLeft(d)(_ union _)
+        Similarity.lshBandCurveReport(aug, "doc_id", "text",
           LshCurveThreshold, NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
       },
       Some {
         val jChain = Seq.fill(Rows)("j").mkString(" * ")
         val tChain = Seq.fill(Bands)("t").mkString(" * ")
-        s"""$lshPairsSql,
+        val augSrc = "(SELECT doc_id, text FROM documents" +
+          "\n  UNION ALL" +
+          "\n  SELECT d.doc_id + 100000 * f.k AS doc_id," +
+          "\n    array_to_string((string_split(d.text, ' '))" +
+          "[1:(len(string_split(d.text, ' ')) * f.k) // 20], ' ') AS text" +
+          s"\n  FROM documents d, (SELECT unnest([${CurveFracs.mkString(", ")}]) AS k) f" +
+          "\n  WHERE d.doc_id < 200) aug"
+        s"""${lshPairsSqlFrom(augSrc)},
         |ss AS (SELECT doc_id,
         |  list_distinct(list_transform($shinglesSql,
         |    s -> ${md5LongSql("s")})) AS ss FROM w),
