@@ -39,6 +39,24 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Embedding PCA + whitening (ops/Pca): decimal-sum covariance
+    // (distributed, partition-independent) + driver-side power
+    // iteration over the d×d matrix (d bounded), whitening as a pure
+    // scan-time projection. Iterative eigendecomposition is not
+    // ANSI-expressible, so this is the repo's one rows-only query —
+    // correctness is spec-gated (PcaSpec: planted-basis recovery,
+    // orthonormality, unit whitened variance, bit-identical fit under
+    // repartitioning); registering it still runs the full surface
+    // end-to-end each round.
+    QueryDef("embedding_pca_whiten",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val m = graft.ops.Pca.pcaFit(e, "embedding", k = 8)
+        graft.ops.Pca.pcaWhiten(e, "vec_id", "embedding", m)
+          .orderBy(col("vec_id"))
+      },
+      None),
+
     // Symmetric int8 quantization of the embedding column — the
     // standard 4× storage shrink for corpus-scale vector tables:
     // q_i = floor(x_i·127/max|x| + 0.5) with the per-vector scale kept
