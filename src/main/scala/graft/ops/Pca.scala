@@ -51,32 +51,34 @@ object Pca {
       .where(col("__x").isNotNull && size(col("__x")) > 0)
     val d = e.select(size(col("__x"))).head().getInt(0)
     require(k <= d, s"k ($k) exceeds embedding dim ($d)")
-    // one explode per row: (i, -1) carries x_i for the mean; (i, j≥i)
-    // carries x_i·x_j for the (symmetric) second-moment matrix
-    val tri = e.select(explode(expr(
+    // Upper triangle as a FLAT positional explode — no per-element
+    // struct construction (the named-struct form measured ~2× the
+    // whole fit); pos decodes to (i, j) on the driver. Mean sums ride
+    // a second, d-element explode of the raw vector.
+    def sumsByPos(df: DataFrame): Array[(Int, java.math.BigDecimal, Long)] =
+      df.groupBy(col("pos"))
+        .agg(sum(col("v").cast(SumDec)).as("s"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2)))
+    val covSums = sumsByPos(e.select(posexplode(expr(
       s"""flatten(transform(sequence(0, ${d - 1}), i ->
-         |  concat(
-         |    array(struct(i AS i, -1 AS j, __x[i] AS v)),
-         |    transform(sequence(i, ${d - 1}), j ->
-         |      struct(i AS i, j AS j, __x[i] * __x[j] AS v)))))""".stripMargin))
-      .as("t"))
-    val sums = tri
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.v").cast(SumDec)).as("s"), count(lit(1)).as("c"))
-      .collect()
-    val n = sums.collectFirst {
-      case r if r.getInt(1) == -1 => r.getLong(3)
-    }.getOrElse(0L)
+         |  transform(sequence(i, ${d - 1}), j -> __x[i] * __x[j])))"""
+        .stripMargin)).as(Seq("pos", "v"))))
+    val meanSums = sumsByPos(
+      e.select(posexplode(col("__x")).as(Seq("pos", "v"))))
+    val n = meanSums.headOption.map(_._3).getOrElse(0L)
     require(n > 0, "pcaFit: no rows")
-    require(sums.forall(_.getLong(3) == n),
+    require(meanSums.forall(_._3 == n) && covSums.forall(_._3 == n),
       "pcaFit: ragged embedding dimensions")
     val mean = new Array[Double](d)
+    meanSums.foreach { case (i, s, _) => mean(i) = s.doubleValue() / n }
     val m2 = Array.ofDim[Double](d, d) // E[x xᵀ]
-    sums.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      val s = r.getDecimal(2).doubleValue() / n
-      if (j == -1) mean(i) = s
-      else { m2(i)(j) = s; m2(j)(i) = s }
+    // pos → (i, j): row-major over the upper triangle
+    val posIJ = (for (i <- 0 until d; j <- i until d) yield (i, j)).toArray
+    covSums.foreach { case (pos, sDec, _) =>
+      val (i, j) = posIJ(pos)
+      val s = sDec.doubleValue() / n
+      m2(i)(j) = s; m2(j)(i) = s
     }
     val cov = Array.tabulate(d, d)((i, j) => m2(i)(j) - mean(i) * mean(j))
     // driver-side deterministic power iteration with deflation
