@@ -459,6 +459,26 @@ object AdvancedQueries {
       },
       Some(corenessOracleSql(CorenessKMax, CorenessRounds))),
 
+    // Deterministic label-propagation communities over the same
+    // repeat-co-purchase part graph — min-label tie-break, EXACTLY
+    // LpaRounds synchronous rounds on both sides (Graph.
+    // labelPropagation), so the oracle's unrolled per-round
+    // count-then-argmin window replays the operator state-for-state
+    // whether or not the labels have converged.
+    QueryDef("graph_label_prop_parts",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+          .select(col("src"), col("dst"))
+        graft.ops.Graph.labelPropagation(e, "src", "dst", iters = LpaRounds)
+      },
+      Some(lpaOracleSql(LpaRounds))),
+
     QueryDef("graph_triangles_parts",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
@@ -492,6 +512,10 @@ object AdvancedQueries {
   // SAME fixed cap, agreement holds even if a level hasn't converged
   private val CorenessKMax = 4
   private val CorenessRounds = 12
+  // synchronous LPA on the repeat-pair graph settles in 2-3 rounds;
+  // 4 fixed rounds on BOTH sides (fixed-round contract, not a
+  // convergence test — see Graph.labelPropagation)
+  private val LpaRounds = 4
 
   /** Unrolled-CTE oracle for graph_coreness_parts: the layered peel
     * (level k = `rounds` peel rounds at threshold k over the previous
@@ -524,6 +548,36 @@ object AdvancedQueries {
     |SELECT node, max(k) AS coreness FROM (
     |  $members)
     |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE oracle for graph_label_prop_parts: per round, the
+    * neighbor-label counts then a (count DESC, label ASC)
+    * row_number pick — the same deterministic argmax as the
+    * operator's packed-long max, expressed as a window. MATERIALIZED
+    * for the same inlining reason as the kcore oracle.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.u AS node, l.lab AS lab, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY c DESC, lab ASC) AS rn
+         |    FROM c$i) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+    |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    |p AS (
+    |  SELECT a.pk AS u, b.pk AS v FROM li a
+    |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    |  GROUP BY 1, 2 HAVING count(*) >= 2),
+    |e AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+    |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e),
+    |$roundCtes
+    |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
   }
 
   /** Unrolled-CTE oracle for graph_pagerank_parts, generated from the

@@ -364,4 +364,75 @@ object Graph {
     levels.foreach(_.unpersist())
     out
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007), made DETERMINISTIC: labels start as node ids, and
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label — the
+    * published algorithm's random tie-break is replaced by a total
+    * order, because a community assignment that differs run-to-run
+    * is unusable as a curation signal (and un-oracle-checkable).
+    * Runs EXACTLY `iters` synchronous rounds, converged or not:
+    * synchronous LPA can 2-cycle on bipartite-ish structure, so a
+    * convergence test may never fire, while a fixed-round contract
+    * is what an unrolled oracle replays bit-for-bit (the same
+    * discipline as [[kCore]]'s peel).
+    *
+    * Scale shape per round: one equi-join of the persisted
+    * both-directions edge frame to the |nodes|-row label frame on
+    * the neighbor end, one (node, label) count aggregate, one
+    * per-node argmax. The argmax is a single codegen'd
+    * HashAggregate `max` over a packed long — count·2³¹ +
+    * (2³¹−1−label) — the hard_negatives_pool trick: no sort, no
+    * window, full map-side combine. All shuffles key on node ids;
+    * rounds chain through lazy RDD roots (plan truncation without
+    * per-round jobs) exactly like [[pageRank]], so the whole
+    * iteration evaluates as ONE job. Node ids must fit [0, 2³¹) for
+    * the packing (checked); counts are ≤ n < 2³¹ by the same bound.
+    *
+    * `edges` may be directed/duplicated; normalized to an undirected
+    * simple graph first. Returns (node, community) where community
+    * is the winning label (a member node id), one row per node with
+    * ≥ 1 edge. Persisted; the caller owns `.unpersist()`.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def root(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = materialize(und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b"), col("a"))))
+    val shift = 1L << 31
+    val maxId = e.agg(coalesce(max(col("u")), lit(-1L))).head().getLong(0)
+    require(maxId < shift,
+      s"node ids must be < 2^31 for the packed argmax: max id $maxId")
+    // both directions are present, so distinct u covers every node
+    var l = root(e.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node")))
+    for (_ <- 1 to iters) {
+      val nbr = e.join(l.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("lab"))
+      val cnt = nbr.groupBy(col("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      l = root(cnt.groupBy(col("node"))
+        .agg(max(col("c") * lit(shift) + (lit(shift - 1) - col("lab")))
+          .as("p"))
+        .select(col("node"), (lit(shift - 1) - (col("p") % lit(shift)))
+          .as("lab")))
+    }
+    val out = materialize(
+      l.select(col("node"), col("lab").as("community"))
+        .orderBy(col("node")))
+    out.count()
+    e.unpersist()
+    out
+  }
 }

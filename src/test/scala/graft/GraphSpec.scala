@@ -146,4 +146,64 @@ class GraphSpec extends SparkSpec {
       .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).max.toLong }
     assert(decompose(pairs, kMax) == want)
   }
+
+  // local reference: synchronous LPA, min-label tie-break, over the
+  // normalized undirected simple graph
+  private def bruteLpa(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = pairs.filter(p => p._1 != p._2)
+      .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  private def runLpa(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val r = Graph.labelPropagation(
+      pairs.toDF("src", "dst").repartition(5), "src", "dst", iters)
+    val m = r.as[(Long, Long)].collect().toMap
+    r.unpersist()
+    m
+  }
+
+  test("labelPropagation: two triangles joined by a bridge split into two communities") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = runLpa(pairs, iters = 4)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"$got")
+    assert(got == bruteLpa(pairs, 4))
+  }
+
+  test("labelPropagation matches the brute sync reference on random graphs") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(120)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      for (iters <- Seq(1, 3)) {
+        assert(runLpa(pairs, iters) == bruteLpa(pairs, iters),
+          s"trial=$trial iters=$iters")
+      }
+    }
+  }
+
+  test("labelPropagation is partitioning-independent") {
+    val rnd = new scala.util.Random(59)
+    val pairs = Seq.fill(100)(
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val a = runLpa(pairs, 3)
+    val r2 = Graph.labelPropagation(
+      pairs.toDF("src", "dst").repartition(17), "src", "dst", 3)
+    val b = r2.as[(Long, Long)].collect().toMap
+    r2.unpersist()
+    assert(a == b)
+  }
 }
