@@ -41,6 +41,9 @@ object TextQueries {
     */
   private val VocabK = 10000
   private val OovNll = 20.0
+  // JS-drift vocab cap: top tokens cover the bulk of any Zipfian
+  // corpus; the OOV bucket keeps the remainder's mass in-distribution
+  private val JsVocabK = 400
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -706,6 +709,57 @@ object TextQueries {
         |    (CAST(ns AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
+
+    // Jensen-Shannon divergence of each source's token distribution
+    // vs the whole corpus (Text.jsDivergenceBySlice): categorical
+    // drift per mixture component, top-JsVocabK vocab + one OOV
+    // bucket so both distributions sum to 1 and per-slice work is
+    // bounded by slices x vocab. One corpus scan; per-term IEEE
+    // ratios of exact counts, 6dp-rounded decimal term sum.
+    QueryDef("drift_js_sources",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.jsDivergenceBySlice(d, "source", "text", JsVocabK)
+      },
+      Some(s"""WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |base AS (SELECT source, t, count(*) AS c FROM w GROUP BY 1, 2),
+        |gv AS (SELECT t, sum(c)::BIGINT AS cg FROM base GROUP BY 1),
+        |topv AS (SELECT t, cg FROM gv ORDER BY cg DESC, t LIMIT $JsVocabK),
+        |tots AS (SELECT source, sum(c)::BIGINT AS tot_s FROM base GROUP BY 1),
+        |gtot AS (SELECT sum(cg)::BIGINT AS tot_g FROM gv),
+        |ing AS (SELECT sum(cg)::BIGINT AS in_g FROM topv),
+        |grid AS (SELECT s.source, v.t, v.cg
+        |         FROM (SELECT source FROM tots) s CROSS JOIN topv v),
+        |cnt AS (SELECT g.source, g.cg, coalesce(b.c, 0)::BIGINT AS cs
+        |        FROM grid g LEFT JOIN base b
+        |          ON b.source = g.source AND b.t = g.t),
+        |ins AS (SELECT source, sum(cs)::BIGINT AS in_s FROM cnt GROUP BY 1),
+        |rws AS (SELECT source, cg, cs FROM cnt
+        |        UNION ALL
+        |        SELECT t.source,
+        |          (SELECT tot_g FROM gtot) - (SELECT in_g FROM ing),
+        |          t.tot_s - i.in_s
+        |        FROM tots t JOIN ins i USING (source)),
+        |terms AS (
+        |  SELECT r.source, t.tot_s,
+        |    round(
+        |      0.5 * (CASE WHEN r.cs = 0 THEN 0 ELSE
+        |        (r.cs::DOUBLE / t.tot_s::DOUBLE) *
+        |        ln((r.cs::DOUBLE / t.tot_s::DOUBLE) /
+        |           (((r.cs::DOUBLE / t.tot_s::DOUBLE) +
+        |             (r.cg::DOUBLE / g.tot_g::DOUBLE)) / 2.0)) END)
+        |    + 0.5 * (CASE WHEN r.cg = 0 THEN 0 ELSE
+        |        (r.cg::DOUBLE / g.tot_g::DOUBLE) *
+        |        ln((r.cg::DOUBLE / g.tot_g::DOUBLE) /
+        |           (((r.cs::DOUBLE / t.tot_s::DOUBLE) +
+        |             (r.cg::DOUBLE / g.tot_g::DOUBLE)) / 2.0)) END), 6)
+        |      AS term
+        |  FROM rws r JOIN tots t USING (source) CROSS JOIN gtot g)
+        |SELECT source, max(tot_s) AS n_tokens,
+        |  CAST(round(CAST(sum(term::DECIMAL(18,8)) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS js_vs_corpus
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
 
     // Corpus-adaptive boilerplate strip (Text.stripBoilerplate):
     // tokens present in > 60% of documents are template noise;

@@ -426,6 +426,76 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Per-slice distribution drift vs the WHOLE corpus: the
+    * Jensen-Shannon divergence between each slice's unigram token
+    * distribution and the global one — the mixture-health telemetry
+    * that says WHICH source is lexically atypical (PSI/KS in
+    * ops/Drift compare two numeric samples; this compares
+    * categorical token distributions, the thing a pretraining
+    * mixture actually drifts in). JS rather than KL because it is
+    * symmetric, bounded by ln 2, and defined even where a slice is
+    * missing a token.
+    *
+    * Distributions are restricted to the global top-`vocabK` tokens
+    * plus ONE out-of-vocab bucket holding all remaining mass — the
+    * 100 TB contract: per-slice work after the first aggregate is
+    * bounded by slices × vocabK regardless of corpus vocabulary, and
+    * both distributions still sum to exactly 1 so the divergence is
+    * a true JS value, not a truncated approximation. Tokens the
+    * slice lacks contribute their q·ln(q/m) half (p = 0 kills the
+    * other half); the OOV bucket can be empty on both sides (term
+    * 0).
+    *
+    * Scale shape: ONE corpus scan into a (slice, token) count
+    * aggregate; the global vocabulary, per-slice totals, and the
+    * slices × vocabK grid all derive from that aggregate — nothing
+    * re-reads the corpus. Per-term p, q, m are IEEE ratios of exact
+    * BIGINT counts (identical on any engine); each term rounds to
+    * 6dp and sums as DECIMAL so the per-slice total is
+    * addition-order-independent.
+    *
+    * Returns (source, n_tokens, js_vs_corpus), one row per slice.
+    */
+  def jsDivergenceBySlice(df: DataFrame, sliceCol: String,
+                          textCol: String, vocabK: Int = 400): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1: $vocabK")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val base = df.select(col(sliceCol).as("source"),
+        explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val glob = base.groupBy(col("t")).agg(sum(col("c")).as("cg"))
+    val topv = glob.orderBy(col("cg").desc, col("t")).limit(vocabK)
+    val tots = base.groupBy(col("source")).agg(sum(col("c")).as("tot_s"))
+    val gtot = glob.agg(sum(col("cg")).as("tot_g"))
+    val ing = topv.agg(sum(col("cg")).as("in_g"))
+    val grid = tots.select(col("source")).crossJoin(broadcast(topv))
+    val inb = base.join(broadcast(topv.select(col("t"))), Seq("t"),
+      "left_semi")
+    val cnt = grid.join(inb, Seq("source", "t"), "left")
+      .select(col("source"), col("cg"), coalesce(col("c"), lit(0L)).as("cs"))
+    val ins = cnt.groupBy(col("source")).agg(sum(col("cs")).as("in_s"))
+    val oov = tots.join(ins, "source")
+      .crossJoin(broadcast(gtot)).crossJoin(broadcast(ing))
+      .select(col("source"), (col("tot_g") - col("in_g")).as("cg"),
+        (col("tot_s") - col("in_s")).as("cs"))
+    val rows = cnt.select(col("source"), col("cg"), col("cs"))
+      .union(oov.select(col("source"), col("cg"), col("cs")))
+    val withTot = rows.join(tots, "source").crossJoin(broadcast(gtot))
+    val p = col("cs").cast("double") / col("tot_s").cast("double")
+    val q = col("cg").cast("double") / col("tot_g").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term =
+      lit(0.5) * when(col("cs") === 0, lit(0.0)).otherwise(p * log(p / m)) +
+      lit(0.5) * when(col("cg") === 0, lit(0.0)).otherwise(q * log(q / m))
+    withTot
+      .select(col("source"), col("tot_s"), round(term, 6).as("__term"))
+      .groupBy(col("source"))
+      .agg(max(col("tot_s")).as("n_tokens"),
+        round(sum(col("__term").cast(dec)).cast(dec), 6).cast("double")
+          .as("js_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   private def tokenBudgetSelectScalar(df: DataFrame, idCol: String,
                                       scoreCol: String, tokensCol: String,
                                       budgetDf: DataFrame): DataFrame = {
