@@ -14,6 +14,10 @@ import graft.functions.GraftFunctions._
 object EventQueries {
 
   private val SessionGapUs = 1800L * 1000000L // 30 min in microseconds
+  // modified-z cutoff 3.5 × normal consistency 1.4826, pre-folded to
+  // one decimal literal both engines parse to the same double (a
+  // runtime product could associate/round differently per engine)
+  private val MadK = 5.1891
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -244,6 +248,66 @@ object EventQueries {
         |SELECT event_type,
         |  round((n * sxy - sx * sy) /
         |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Per-type linear trend over DAILY volume: closed-form OLS
+    // (slope per day + intercept) from five decimal-exact moment
+    // sums — the monitoring question "is this stream growing or
+    // decaying, and how fast" answered with the same exact-moments
+    // recipe as events_corr_value_hour (built-in regr_slope has the
+    // same double-accumulation order-dependence as corr()). Day
+    // numbers and daily totals are exact DECIMALs; the final
+    // formula is one fixed IEEE shape on both engines. Single-day
+    // groups have no slope (den = 0) and report NULL on both sides.
+    QueryDef("events_trend_ols",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)).as("y"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              .cast(DecimalType(10, 0)).as("x"),
+            col("y"))
+        val m = daily.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_days"),
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+        m.select(col("event_type"), col("n_days"),
+            when(den === 0.0, lit(null).cast("double"))
+              .otherwise(round(slope, 6)).as("slope_per_day"),
+            when(den === 0.0, lit(null).cast("double"))
+              .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
+              .as("intercept"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    SUM(value::DECIMAL(18,6))::DECIMAL(18,6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', day)::DECIMAL(10,0) AS x, y
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_days, COUNT(*)::DOUBLE AS n,
+        |    SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+        |    SUM(x * x)::DOUBLE AS sxx, SUM(x * y)::DOUBLE AS sxy
+        |  FROM d2 GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |  END AS slope_per_day,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |      * sx) / n, 6)
+        |  END AS intercept
         |FROM m ORDER BY event_type""".stripMargin)),
 
     // Incremental rollup maintenance: the stored historical aggregate
@@ -627,6 +691,53 @@ object EventQueries {
         |  CAST(max(tw) AS DOUBLE) AS total_weight
         |FROM c WHERE cw >= 0.5 * tw
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // Robust anomaly screen (Quantile.robustOutliers): per event
+    // type, exact median, MAD, and the modified-z outlier count at
+    // the published 3.5 cutoff (pre-folded with the 1.4826 normal
+    // consistency constant into ONE literal both engines parse from
+    // the same decimal string). The zscore report's skew-immune
+    // sibling — one extreme value can drag a mean/σ threshold past
+    // every real anomaly; the median/MAD pair doesn't move. No
+    // rounding convention anywhere: medians are exact data values
+    // and the threshold compare is a fixed-shape IEEE product.
+    QueryDef("events_anomaly_mad",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        graft.ops.Quantile.robustOutliers(e, "event_type", "value", MadK)
+      },
+      Some(s"""WITH s AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |c AS (SELECT g, v, count(*) AS c FROM s GROUP BY 1, 2),
+        |cm AS (SELECT g, v, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM c),
+        |med AS (SELECT g, max(n)::BIGINT AS n,
+        |    min(CASE WHEN cum >= greatest(1, ceil(0.5 * n)::BIGINT)
+        |        THEN v END) AS med
+        |  FROM cm GROUP BY g),
+        |d AS (SELECT c.g, abs(c.v - m.med) AS dv, sum(c.c)::BIGINT AS c
+        |  FROM c JOIN med m ON m.g = c.g GROUP BY 1, 2),
+        |dm AS (SELECT g, dv, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY dv
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM d),
+        |mad AS (SELECT g,
+        |    min(CASE WHEN cum >= greatest(1, ceil(0.5 * n)::BIGINT)
+        |        THEN dv END) AS mad
+        |  FROM dm GROUP BY g),
+        |o AS (SELECT c.g,
+        |    sum(CASE WHEN md.mad > 0 AND abs(c.v - m.med) > $MadK * md.mad
+        |        THEN c.c ELSE 0 END)::BIGINT AS n_outliers
+        |  FROM c JOIN med m ON m.g = c.g JOIN mad md ON md.g = c.g
+        |  GROUP BY 1)
+        |SELECT m.g AS event_type, m.n, m.med, md.mad, o.n_outliers
+        |FROM med m JOIN mad md ON md.g = m.g JOIN o ON o.g = m.g
+        |ORDER BY event_type""".stripMargin)),
 
     // Winsorized robust moments (Quantile.winsorizedStats): clip at
     // the exact per-group [p05, p95] then report mean/std — the

@@ -224,6 +224,70 @@ object Quantile {
       .orderBy(col(groupCol))
   }
 
+  /** Robust per-group outlier report: exact (lower) median, median
+    * absolute deviation, and the count of rows whose |v − median|
+    * exceeds `k` · MAD — the modified-z-score anomaly screen
+    * (Iglewicz–Hoaglin), the mean/σ z-score's skew-immune sibling: a
+    * single 10⁶× sensor glitch shifts a mean-based threshold past
+    * every real anomaly, while the median/MAD pair doesn't move.
+    * `k` is the FOLDED cutoff (cutoff · 1.4826 pre-multiplied by the
+    * caller into one literal so both engines fold the same constant;
+    * 3.5 · 1.4826 ≈ 5.1891 is the published default).
+    *
+    * MAD = 0 (over half the group at one value) makes the modified z
+    * undefined — the report returns 0 outliers for such groups
+    * rather than dividing by zero, pinned on both sides by the
+    * `mad > 0` gate.
+    *
+    * Scale shape: ONE (group, value) count aggregate feeds the whole
+    * report — the median's cumulative window, the deviation
+    * re-aggregate ((group, |v−med|) is at most the distinct-value
+    * frame again), the MAD window, and the outlier count all run
+    * over distinct-value-sized frames, never re-scanning rows. Both
+    * medians and the threshold compare are exact data values /
+    * fixed-shape IEEE products, so the report is engine- and
+    * partitioning-independent with no rounding convention needed.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") > Double.NegativeInfinity &&
+        col("__v") < Double.PositiveInfinity)
+    val counts = clean.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    def medianOf(frame: DataFrame, vCol: String, out: String) = {
+      val wCum = Window.partitionBy(col("__g")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("__g"))
+      frame
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .groupBy(col("__g"))
+        .agg(max(col("__n")).as(s"${out}_n"),
+          min(when(col("__cum") >= greatest(lit(1L),
+            ceil(lit(0.5) * col("__n")).cast("long")), col(vCol)))
+            .as(out))
+    }
+    val med = medianOf(counts, "__v", "med")
+    val devCounts = counts.join(med, "__g")
+      .groupBy(col("__g"), abs(col("__v") - col("med")).as("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = medianOf(devCounts, "__d", "mad")
+    val outliers = counts.join(med, "__g").join(mad, "__g")
+      .groupBy(col("__g"))
+      .agg(sum(when(col("mad") > 0 &&
+          abs(col("__v") - col("med")) > lit(k) * col("mad"),
+        col("__c")).otherwise(lit(0L))).as("n_outliers"))
+    med.join(mad, "__g").join(outliers, "__g")
+      .select(col("__g").as(groupCol), col("med_n").as("n"),
+        col("med"), col("mad"), col("n_outliers"))
+      .orderBy(col(groupCol))
+  }
+
   /** Exact k-th smallest (1-based) of `valueCol`. */
   def kthSmallest(df: DataFrame, valueCol: String, k: Long,
                   buckets: Int = 4096, directLimit: Long = 1L << 22): Double = {

@@ -355,4 +355,35 @@ class AsofQuantileDriftSpec extends SparkSpec {
       .select("g", "w_quantile").as[(String, Double)].collect().toMap
     assert(got == Map("a" -> 2.0, "b" -> 5.0))
   }
+
+  test("robustOutliers flags the planted extreme and is immune to it; MAD=0 group reports 0") {
+    // g0: tight cluster around 10 plus one 1e6 glitch — median/MAD
+    // must not move, and exactly the glitch exceeds k·MAD.
+    // g1: >half the mass at one value → MAD = 0 → 0 outliers by
+    // contract even though 50.0 is far away.
+    val g0 = (1 to 99).map(i => ("g0", 10.0 + (i % 5) * 0.1)) :+ ("g0", 1e6)
+    val g1 = Seq.fill(5)(("g1", 7.0)) ++ Seq(("g1", 50.0), ("g1", 7.5))
+    val df = (g0 ++ g1).toDF("g", "v").repartition(7)
+    val got = Quantile.robustOutliers(df, "g", "v", k = 5.1891)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n0, med0, mad0, out0) = got("g0")
+    assert(n0 == 100 && med0 == 10.2 && math.abs(mad0 - 0.1) < 1e-9 &&
+      out0 == 1, s"${got("g0")}")
+    val (_, n1, med1, mad1, out1) = got("g1")
+    assert(n1 == 7 && med1 == 7.0 && mad1 == 0.0 && out1 == 0,
+      s"${got("g1")}")
+  }
+
+  test("robustOutliers is partitioning-independent and ignores null/NaN") {
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(500)(("g" + rnd.nextInt(3), rnd.nextDouble() * 100)) ++
+      Seq(("g0", Double.NaN))
+    val df = rows.toDF("g", "v")
+    val a = Quantile.robustOutliers(df.repartition(3), "g", "v", 5.1891)
+      .collect().toSeq
+    val b = Quantile.robustOutliers(df.repartition(29), "g", "v", 5.1891)
+      .collect().toSeq
+    assert(a == b && a.size == 3)
+  }
 }

@@ -300,4 +300,50 @@ class TextJsonlSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     corpus.foreach { case (id, s) => assert(got(id) == h(s), s"doc $id") }
   }
+
+  test("jsDivergenceBySlice: identical slices diverge 0, disjoint slices approach ln 2") {
+    // two slices with the SAME token distribution → each equals the
+    // corpus mix → JS = 0 after 6dp rounding
+    val same = Seq(("a", "x x y"), ("a", "z"), ("b", "x x y"), ("b", "z"))
+    val got0 = Text.jsDivergenceBySlice(same.toDF("source", "text"),
+        "source", "text", vocabK = 10)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got0 == Map("a" -> ((4L, 0.0)), "b" -> ((4L, 0.0))), s"$got0")
+    // disjoint vocabularies at equal mass: each slice is {own: 1} vs
+    // the 50/50 corpus mix, so per slice
+    // JS = ½·ln(4/3) + ¼·ln(2/3) + ¼·ln 2 ≈ 0.215762, symmetric and
+    // bounded by ln 2
+    val disj = Seq(("a", "p p p p"), ("b", "q q q q"))
+    val want = 0.5 * math.log(4.0 / 3) + 0.25 * math.log(2.0 / 3) +
+      0.25 * math.log(2.0)
+    val got1 = Text.jsDivergenceBySlice(disj.toDF("source", "text"),
+        "source", "text", vocabK = 10)
+      .as[(String, Long, Double)].collect()
+    got1.foreach { case (_, _, js) =>
+      assert(math.abs(js - want) < 1e-5 && js <= math.log(2.0),
+        s"${got1.toSeq}")
+    }
+  }
+
+  test("jsDivergenceBySlice: OOV bucket keeps mass with a tiny vocab cap, partitioning-independent") {
+    val rnd = new scala.util.Random(17)
+    val docs = Seq.tabulate(60) { i =>
+      ("s" + (i % 3), Seq.fill(5 + rnd.nextInt(10))(s"t${rnd.nextInt(40)}")
+        .mkString(" "))
+    }
+    val df = docs.toDF("source", "text")
+    // capping vocab at 3 lumps most mass into OOV — the divergence is
+    // still finite, non-negative, and ≤ ln 2
+    val capped = Text.jsDivergenceBySlice(df, "source", "text", vocabK = 3)
+      .as[(String, Long, Double)].collect()
+    assert(capped.length == 3 &&
+      capped.forall { case (_, n, js) =>
+        n > 0 && js >= 0.0 && js <= math.log(2.0) })
+    val a = Text.jsDivergenceBySlice(df.repartition(3), "source", "text", 3)
+      .collect().toSeq
+    val b = Text.jsDivergenceBySlice(df.repartition(23), "source", "text", 3)
+      .collect().toSeq
+    assert(a == b)
+  }
 }
