@@ -257,8 +257,13 @@ object Quantile {
       .where(col("__v").isNotNull && !isnan(col("__v")) &&
         col("__v") > Double.NegativeInfinity &&
         col("__v") < Double.PositiveInfinity)
+    // localCheckpoint: the median window, the deviation re-aggregate,
+    // and the outlier count all read this distinct-value frame —
+    // without it each consumer re-runs the raw scan + (group, value)
+    // shuffle. Blocks are executor-local and distinct-value-sized.
     val counts = clean.groupBy(col("__g"), col("__v"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     def medianOf(frame: DataFrame, vCol: String, out: String) = {
       val wCum = Window.partitionBy(col("__g")).orderBy(col(vCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -460,9 +460,16 @@ object Text {
                           textCol: String, vocabK: Int = 400): DataFrame = {
     require(vocabK >= 1, s"vocabK must be >= 1: $vocabK")
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    // localCheckpoint: SIX consumers read this aggregate (vocab,
+    // totals, grid join, in-vocab counts, OOV remainder) — without it
+    // each re-runs the corpus scan + (slice, token) shuffle (the plan
+    // census measured 25 exchanges; checkpointed it is one corpus
+    // pass and everything downstream is vocab-bounded). Blocks are
+    // executor-local, O(slices × vocab), freed with the result.
     val base = df.select(col(sliceCol).as("source"),
         explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val glob = base.groupBy(col("t")).agg(sum(col("c")).as("cg"))
     val topv = glob.orderBy(col("cg").desc, col("t")).limit(vocabK)
     val tots = base.groupBy(col("source")).agg(sum(col("c")).as("tot_s"))
