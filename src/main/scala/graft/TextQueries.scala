@@ -41,6 +41,9 @@ object TextQueries {
     */
   private val VocabK = 10000
   private val OovNll = 20.0
+  // bigram model size: the pair space is quadratically larger than
+  // the unigram vocab, so the cap is 3× — still broadcast-trivial
+  private val BigramVocabK = 30000
   // JS-drift vocab cap: top tokens cover the bulk of any Zipfian
   // corpus; the OOV bucket keeps the remainder's mass in-distribution
   private val JsVocabK = 400
@@ -657,6 +660,62 @@ object TextQueries {
         |  CAST(round(CAST(sum(nlp::DECIMAL(18,8)) / count(*) AS DECIMAL(18,8)), 6)
         |    AS DOUBLE) AS mean_nll,
         |  count(*) AS n_tokens
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bigram conditional LM scoring — the next LM order up from
+    // text_unigram_logprob (published perplexity filters use ≥
+    // bigram context: word-salad that fools unigram frequency shows
+    // up immediately in P(b|a)). Model = top-BigramVocabK corpus
+    // bigrams with exact-count conditional −ln(c_ab/c_a); OOV
+    // bigrams pay the same fixed floor as the unigram filter. Same
+    // shape at 100 TB: the model is a TakeOrderedAndProject
+    // broadcast back over the corpus bigram stream, the only wide
+    // exchange is the per-doc rollup; docs under 2 tokens have no
+    // bigrams and drop out on both sides.
+    QueryDef("text_bigram_logprob",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val uni = d.select(explode(col("w")).as("a"))
+          .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+        val bg = d.select(col("doc_id"), explode(expr(
+            "transform(slice(w, 1, size(w) - 1), " +
+              "(x, i) -> struct(x AS a, w[i + 1] AS b))")).as("p"))
+          .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        val model = bg.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("cab"))
+          .orderBy(col("cab").desc, col("a"), col("b")).limit(BigramVocabK)
+          .join(uni, "a")
+          .select(col("a"), col("b"),
+            round(-log(col("cab").cast("double") / col("ca").cast("double")),
+              6).as("nlp"))
+        bg.join(broadcast(model), Seq("a", "b"), "left")
+          .withColumn("nlp", coalesce(col("nlp"), lit(OovNll)))
+          .groupBy(col("doc_id"))
+          .agg(round((sum(col("nlp").cast(DecimalType(18, 8))) /
+              count(lit(1))).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mean_nll"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT a, count(*) AS ca FROM (
+        |  SELECT unnest(w) AS a FROM d) GROUP BY 1),
+        |ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM d),
+        |bg AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b FROM ix),
+        |model AS (
+        |  SELECT t.a, t.b, round(-ln(t.cab::DOUBLE / u.ca::DOUBLE), 6) AS nlp
+        |  FROM (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2
+        |        ORDER BY cab DESC, a, b LIMIT $BigramVocabK) t
+        |  JOIN uni u ON u.a = t.a),
+        |sc AS (SELECT bg.doc_id, coalesce(m.nlp, $OovNll) AS nlp
+        |  FROM bg LEFT JOIN model m ON m.a = bg.a AND m.b = bg.b)
+        |SELECT doc_id,
+        |  CAST(round(CAST(sum(nlp::DECIMAL(18,8)) / count(*) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mean_nll,
+        |  count(*) AS n_bigrams
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Collocation mining (Text.pmiBigrams): top adjacent-pair PMI —
