@@ -17,6 +17,8 @@ object JudgeQueries {
 
   private val JudgeModels = Seq("judge-a", "judge-b")
   private val judges: Seq[LlmClient] = JudgeModels.map(MockJudgeClient(_))
+  // three-rater panel for the Fleiss generalization
+  private val FleissModels = Seq("judge-a", "judge-b", "judge-c")
 
   /** Judge-input frame derived deterministically from documents:
     * every 20th doc generates "N/A" (exercises the cleaned-CASE
@@ -202,6 +204,51 @@ object JudgeQueries {
         |SELECT n, ${r6(po)} AS po, ${r6(pe)} AS pe,
         |  CASE WHEN $pe < 1.0 THEN ${r6(s"(($po - $pe) / (1.0 - $pe))")} END AS kappa
         |FROM tot CROSS JOIN spe""".stripMargin
+      }),
+
+    // Fleiss' kappa over a THREE-judge panel — Cohen's kappa stops at
+    // two raters; adding a tie-breaker judge (the standard panel
+    // upgrade) needs the multi-rater statistic. Exact integer
+    // numerators on both engines (see Judge.fleissReport); one IEEE
+    // division each for P̄ and P̄e.
+    QueryDef("judge_fleiss_kappa",
+      (s, dir) => {
+        val in = judgeInput(s, dir)
+        val labeled = Judge.panelLabels(in, Template,
+          Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+          FleissModels.map(MockJudgeClient(_)),
+          Seq("label_a", "label_b", "label_c"))
+        Judge.fleissReport(labeled, "doc_id",
+          Seq("label_a", "label_b", "label_c"))
+      },
+      Some {
+        val ls = FleissModels.map(m => MockJudgeClient.labelSql(m, "prompt"))
+        val m = FleissModels.size
+        val pbar = s"((CAST(s2 AS DOUBLE) - CAST(n_items AS DOUBLE) * $m.0) / " +
+          s"(CAST(n_items AS DOUBLE) * $m.0 * ${m - 1}.0))"
+        val pe = s"(CAST(sck AS DOUBLE) / ((CAST(n_items AS DOUBLE) * $m.0) * " +
+          s"(CAST(n_items AS DOUBLE) * $m.0)))"
+        def r6(x: String) =
+          s"CAST(round(CAST($x AS DECIMAL(18,8)), 6) AS DOUBLE)"
+        s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, $promptSql AS prompt FROM j),
+        |l AS (SELECT doc_id, ${ls(0)} AS la, ${ls(1)} AS lb, ${ls(2)} AS lc
+        |  FROM p),
+        |r AS (SELECT doc_id, la AS lab FROM l
+        |  UNION ALL SELECT doc_id, lb FROM l
+        |  UNION ALL SELECT doc_id, lc FROM l),
+        |cells AS (SELECT doc_id, lab, count(*) AS c FROM r GROUP BY 1, 2),
+        |it AS (SELECT count(DISTINCT doc_id) AS n_items,
+        |  CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS s2 FROM cells),
+        |ckt AS (SELECT lab, CAST(sum(c) AS BIGINT) AS ck FROM cells GROUP BY 1),
+        |sck AS (SELECT CAST(coalesce(sum(CAST(ck AS DECIMAL(38,0)) *
+        |    CAST(ck AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS sck FROM ckt)
+        |SELECT n_items, $m AS n_raters,
+        |  ${r6(pbar)} AS pbar, ${r6(pe)} AS pe,
+        |  CASE WHEN $pe < 1.0 THEN ${r6(s"(($pbar - $pe) / (1.0 - $pe))")} END
+        |    AS kappa
+        |FROM it CROSS JOIN sck""".stripMargin
       })
   )
 }

@@ -26,6 +26,13 @@ object SimilarityQueries {
   private val PqM = 4
   private val PqSubLen = PqDim / PqM
 
+  // SemDeDup knobs: within-cluster near-dup threshold, plus the same
+  // hot-block guard discipline as DedupQueries' cosine path (blocks
+  // over SemDedupBlock rows sub-block by a 4-plane sign-LSH).
+  private val SemDedupMinCos = 0.35
+  private val SemDedupBlock = 50
+  private val SemDedupPlanes = 4
+
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
     * i-1 matches Spark's 0-based transform index). Shared with the
     * capped cosine-dedup oracle in DedupQueries.
@@ -487,6 +494,55 @@ object SimilarityQueries {
         |      FROM embeddings)
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023) — semantic dedup for pretraining
+    // corpora: cluster by nearest coarse centroid (the IVF assignment
+    // pass — broadcast codebook, scan-local argmax), then inside each
+    // cluster drop every vector with a kept lower-id neighbor above
+    // the cosine threshold. The within-cluster pairing goes through
+    // the same hot-block guard as dedup_embedding_cosine: clusters
+    // over SemDedupBlock rows sub-block by sign-LSH, so the cost
+    // contract is O((B/2^planes)²) per block, never cluster².
+    QueryDef("semdedup_embedding",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        Similarity.semDedup(e, "vec_id", "embedding", cents,
+            SemDedupMinCos, SemDedupBlock, SemDedupPlanes)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < $NumCells),
+        |asn AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+        |  FROM embeddings e CROSS JOIN c),
+        |cells0 AS (
+        |  SELECT vec_id, embedding, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM asn)
+        |  WHERE rn = 1),
+        |sized AS (
+        |  SELECT vec_id, embedding, cell,
+        |    count(*) OVER (PARTITION BY cell) AS n_cell
+        |  FROM cells0),
+        |cells AS (
+        |  SELECT vec_id, embedding, cell,
+        |    CASE WHEN n_cell <= $SemDedupBlock THEN -1
+        |      ELSE ${bucketSql("embedding", SemDedupPlanes)} END AS blk
+        |  FROM sized),
+        |rm AS (
+        |  SELECT DISTINCT b.vec_id AS rid
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.blk = b.blk AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        |    >= $SemDedupMinCos)
+        |SELECT c.vec_id, c.cell,
+        |  CASE WHEN rm.rid IS NULL THEN 0 ELSE 1 END AS removed
+        |FROM cells0 c LEFT JOIN rm ON rm.rid = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin)),
 
     // Hard-negative mining for contrastive training: each anchor's
     // most-similar candidate from a broadcast pool, EXCLUDING

@@ -48,6 +48,10 @@ object TextQueries {
   // corpus; the OOV bucket keeps the remainder's mass in-distribution
   private val JsVocabK = 400
 
+  /** Mixture temperature (mT5's α = 0.3) and curriculum shard count. */
+  private val MixAlpha = 0.3
+  private val CurriculumK = 8
+
   def defs: Seq[QueryDef] = Seq(
 
     // Keyword search scoring: BM25 top-20 over the documents table for
@@ -768,6 +772,66 @@ object TextQueries {
         |    (CAST(ns AS DOUBLE) * CAST(n_tokens AS DOUBLE))
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
+
+    // Temperature-scaled mixture (Text.temperatureReweight): q_i ∝
+    // p_i^α with α = 0.3 — the mT5/XLM-R α-sampling dial between the
+    // natural mixture (α=1) and uniform (α=0, = mix_reweight_sources).
+    // p^α rounds to 6dp before the decimal normalizer sum; the final
+    // ratios are fixed-shape IEEE divisions on both engines.
+    QueryDef("mix_temperature_sources",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.temperatureReweight(d, "source", "text", MixAlpha)
+      },
+      Some(s"""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+        |pa AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(round(CAST(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS actual_frac,
+        |    CAST(round(CAST(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),
+        |      $MixAlpha) AS DECIMAL(18,8)), 6) AS DOUBLE) AS pa6
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT CAST(sum(pa6::DECIMAL(18,8)) AS DECIMAL(18,8)) AS z
+        |  FROM pa)
+        |SELECT source, n_docs, n_tokens, actual_frac,
+        |  CAST(round(CAST(pa6 / CAST(z AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS temp_frac,
+        |  CAST(round(CAST((pa6 / CAST(z AS DOUBLE)) / actual_frac
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
+        |FROM pa CROSS JOIN z ORDER BY source""".stripMargin)),
+
+    // Token-balanced curriculum shards (Text.curriculumShards):
+    // difficulty-ordered corpus cut into CurriculumK equal-TOKEN
+    // shards with pure BIGINT arithmetic — no ntile (row-balanced +
+    // global sort) and no IEEE anywhere. The oracle's single global
+    // running sum over (diff, doc_id) equals the distributed
+    // bucket-offset + within-bucket prefix decomposition exactly.
+    QueryDef("curriculum_token_shards",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.curriculumShards(d, "doc_id", "text", "n_chars",
+          CurriculumK)
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    (n_chars * 100) // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      AS diff
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(nw) AS BIGINT) AS total FROM d),
+        |p AS (
+        |  SELECT diff, nw,
+        |    sum(nw) OVER (ORDER BY diff, doc_id ROWS UNBOUNDED PRECEDING) - nw
+        |      AS cumb
+        |  FROM d)
+        |SELECT CAST((cumb * $CurriculumK) // total AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
+        |  min(diff) AS min_cpt, max(diff) AS max_cpt
+        |FROM p CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Jensen-Shannon divergence of each source's token distribution
     // vs the whole corpus (Text.jsDivergenceBySlice): categorical

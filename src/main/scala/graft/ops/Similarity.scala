@@ -1177,4 +1177,41 @@ object Similarity {
           (col("a.__nrm") * col("b.__nrm")), 6).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    * assign every vector to its nearest centroid, then within each
+    * cluster drop any vector whose cosine to a KEPT (lower-id) vector
+    * exceeds `minCos`. The published recipe ranks within-cluster
+    * duplicates by distance-to-centroid; this variant breaks ties by
+    * id so both engines agree deterministically — the semantics
+    * ("one representative per within-cluster near-dup set") are
+    * identical.
+    *
+    * Scale shape: cluster assignment is the IVF coarse-quantizer pass
+    * (broadcast centroids, scan-local argmax — see assignCells);
+    * within-cluster pairing reuses cosineDedupBlocked with the cell
+    * as the blocking key, so a hot cluster degrades to sign-LSH
+    * sub-blocks instead of O(n²) — SemDeDup's clusters are small by
+    * construction (k ~ √n in the paper), the guard makes that an
+    * enforced contract rather than an assumption. Output is one row
+    * per vector: (id, cell, removed 0/1).
+    */
+  def semDedup(emb: DataFrame, idCol: String, embCol: String,
+               centroids: DataFrame, minCos: Double,
+               maxBlockSize: Int, subPlanes: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    // localCheckpoint: the assignment is read three times (both
+    // self-join legs + the final flag join) — without it the
+    // corpus × centroids argmax re-runs for each. Same discipline as
+    // the PPJoin postings; at deploy scale the assignment would be
+    // materialized to storage once for the same reason.
+    val cells = assignCells(e, centroids, idCol).localCheckpoint(true)
+    val removed = cosineDedupBlocked(cells, idCol, "cell", "__emb",
+        minCos, maxBlockSize, subPlanes)
+      .select(col("id_b").as("__rm")).distinct()
+    cells.join(removed, col(idCol) === col("__rm"), "left")
+      .select(col(idCol), col("cell"),
+        when(col("__rm").isNull, lit(0)).otherwise(lit(1)).as("removed"))
+  }
 }

@@ -426,6 +426,105 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled source mixture (the α-sampling rule behind
+    * multilingual pretraining mixtures, e.g. mT5/XLM-R): the sampling
+    * share of source i is q_i = p_i^α / Σ_j p_j^α where p_i is the
+    * observed token share. α = 1 keeps the natural mixture, α → 0
+    * flattens toward uniform; the per-source resampling weight is
+    * q_i / p_i. [[sourceReweight]] is the α = 0 (uniform-target)
+    * special case; this is the dial between them.
+    *
+    * Scale shape: one corpus aggregate to per-source token counts,
+    * then two broadcast-sized aggregates over the source table (p^α
+    * normalizer) — the corpus is scanned once. Each p_i^α rounds to
+    * 6dp before the decimal normalizer sum so the result is
+    * addition-order-independent and engine-portable (pow of identical
+    * doubles, one IEEE division per output).
+    */
+  def temperatureReweight(df: DataFrame, srcCol: String, textCol: String,
+                          alpha: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    def r6(c: Column) = round(c.cast(dec), 6).cast("double")
+    // localCheckpoint: three consumers (total, normalizer, final
+    // select) read this O(sources) aggregate — without it each re-runs
+    // the corpus scan. Blocks are executor-local and trivially small.
+    val per = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("n_tokens")).as("__total"))
+    val withP = per.crossJoin(broadcast(tot))
+      .withColumn("actual_frac",
+        r6(col("n_tokens").cast("double") / col("__total").cast("double")))
+      .withColumn("__pa",
+        r6(pow(col("n_tokens").cast("double") / col("__total").cast("double"),
+          lit(alpha))))
+    val z = withP.agg(sum(col("__pa").cast(dec)).as("__z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("actual_frac"),
+        r6(col("__pa") / col("__z").cast("double")).as("temp_frac"),
+        r6((col("__pa") / col("__z").cast("double")) / col("actual_frac"))
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Token-balanced curriculum shards: order documents by a
+    * deterministic difficulty key (centichars-per-token — integer
+    * mean word length × 100, the cheap surface proxy curricula start
+    * from; swap in any integer difficulty column) and cut the ordered
+    * corpus into `numShards` shards of EQUAL TOKEN MASS, not equal
+    * row count — epoch k of a curriculum schedule then trains on
+    * shards 0..k. ntile() would balance rows (and needs a global
+    * sort); token-balanced cuts need the running token sum, computed
+    * here without any global ordering:
+    *
+    *  - per-document within-bucket prefix sums run under a window
+    *    PARTITIONED by the integer difficulty value (parallel, no
+    *    single-partition stage);
+    *  - bucket-level offsets come from a window over the bucket
+    *    TOTALS frame — bounded by distinct difficulty values
+    *    (≤ 100 × max word length, a few thousand rows), the same
+    *    bounded-frame discipline as the score-histogram windows;
+    *  - shard id = floor(tokens_before × K / total) in pure BIGINT
+    *    arithmetic — exact on every engine, no IEEE anywhere.
+    *
+    * Output is the per-shard report (docs, tokens, difficulty range);
+    * the row-level shard assignment is the same frame before the
+    * final aggregate.
+    */
+  def curriculumShards(df: DataFrame, idCol: String, textCol: String,
+                       charsCol: String, numShards: Int): DataFrame = {
+    val d = df.select(col(idCol).as("__id"),
+        size(split(col(textCol), " ")).cast("long").as("__nw"),
+        col(charsCol).cast("long").as("__nc"))
+      .withColumn("__diff", expr("(__nc * 100) div __nw"))
+    val win = Window.partitionBy(col("__diff")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = d.withColumn("__cumin",
+      sum(col("__nw")).over(win) - col("__nw"))
+    // localCheckpoint: offsets AND the grand total both derive from
+    // the bucket-totals frame (bounded: one row per distinct integer
+    // difficulty), so the corpus scans twice (window pass + this
+    // aggregate), never three times.
+    val bt = d.groupBy(col("__diff")).agg(sum(col("__nw")).as("__bt"))
+      .localCheckpoint(true)
+    // bounded frame: one row per distinct integer difficulty value
+    val wb = Window.orderBy(col("__diff"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt.select(col("__diff"),
+      coalesce(sum(col("__bt")).over(wb), lit(0L)).as("__off"))
+    val tot = bt.agg(sum(col("__bt")).as("__total"))
+    inBucket.join(broadcast(off), "__diff").crossJoin(broadcast(tot))
+      .withColumn("__cumb", col("__off") + col("__cumin"))
+      .withColumn("shard",
+        expr(s"(__cumb * ${numShards.toLong}L) div __total"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("n_tokens"),
+        min(col("__diff")).as("min_cpt"), max(col("__diff")).as("max_cpt"))
+      .orderBy(col("shard"))
+  }
+
   /** Per-slice distribution drift vs the WHOLE corpus: the
     * Jensen-Shannon divergence between each slice's unigram token
     * distribution and the global one — the mixture-health telemetry

@@ -147,6 +147,54 @@ object Judge {
       .select(col("n"), r6(po).as("po"), r6(pe).as("pe"),
         when(pe < 1.0d, r6((po - pe) / (lit(1.0d) - pe))).as("kappa"))
   }
+
+  /** Fleiss' kappa for an m-rater panel (Cohen's kappa only handles
+    * two raters; a 3+ judge panel needs the multi-rater
+    * generalization): with n raters per item and n_ik the count of
+    * raters assigning item i to category k,
+    * P̄ = (Σ_i Σ_k n_ik² − N·n) / (N·n·(n−1)) and
+    * P̄_e = Σ_k (Σ_i n_ik)² / (N·n)², κ = (P̄ − P̄_e)/(1 − P̄_e).
+    *
+    * Scale shape: one shuffle builds the (item, category) rating
+    * counts — at most m rows per item — then three bounded
+    * aggregates. All numerators and denominators are EXACT integers
+    * (DECIMAL(38,0) for the squared sums — (N·n)² overflows BIGINT
+    * past ~3·10⁹ ratings); P̄, P̄_e, and κ are each one IEEE division
+    * in a fixed expression shape, so any engine reproduces them
+    * bit-for-bit. κ is NULL when P̄_e = 1 (all raters constant).
+    */
+  def fleissReport(df: DataFrame, idCol: String,
+                   labelCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val n = labelCols.size
+    val cells = df
+      .select(col(idCol).as("__i"),
+        explode(array(labelCols.map(col): _*)).as("__l"))
+      .groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__c")).persist()
+    val items = cells.agg(
+      countDistinct(col("__i")).as("n_items"),
+      sum((col("__c") * col("__c")).cast(dec38)).as("__s2"))
+    val ck = cells.groupBy(col("__l")).agg(sum(col("__c")).as("__ck"))
+      .agg(coalesce(sum(col("__ck").cast(dec38) * col("__ck").cast(dec38)),
+        lit(0).cast(dec38)).as("__sck"))
+    val nn = lit(n.toLong)
+    val pbar = (col("__s2").cast("double") -
+        col("n_items").cast("double") * nn.cast("double")) /
+      (col("n_items").cast("double") * nn.cast("double") *
+        lit((n - 1).toDouble))
+    val pe = col("__sck").cast("double") /
+      ((col("n_items").cast("double") * nn.cast("double")) *
+        (col("n_items").cast("double") * nn.cast("double")))
+    def r6(c: org.apache.spark.sql.Column) =
+      round(c.cast(dec), 6).cast("double")
+    items.crossJoin(broadcast(ck))
+      .select(col("n_items"), lit(n).as("n_raters"),
+        r6(pbar).as("pbar"), r6(pe).as("pe"),
+        when(pe < 1.0d, r6((pbar - pe) / (lit(1.0d) - pe))).as("kappa"))
+  }
 }
 
 /** Generalized panel scoring with a custom label→score mapping (the

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, Text}
+import graft.pipeline.Judge
+
+/** Round-8 curation operators: SemDeDup, temperature mixture,
+  * Fleiss' kappa, token-balanced curriculum shards.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- SemDeDup -----------------------------------------------------
+
+  private def semCorpus = Seq(
+    (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+    (2L, Array(0.99, 0.1)), (3L, Array(0.0, 0.9)),
+    (4L, Array(-1.0, 0.05))).toDF("vec_id", "embedding")
+
+  private def semCents = Seq(
+    (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cid", "cemb")
+
+  test("semDedup keeps the lowest id per within-cluster near-dup set") {
+    val out = Similarity.semDedup(semCorpus, "vec_id", "embedding",
+        semCents, minCos = 0.9, maxBlockSize = 100, subPlanes = 4)
+      .select(col("vec_id"), col("removed")).as[(Long, Int)]
+      .collect().toMap
+    assert(out == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("semDedup sub-blocked removals are a subset of exact removals") {
+    val exact = Similarity.semDedup(semCorpus, "vec_id", "embedding",
+        semCents, 0.9, 100, 4)
+      .where(col("removed") === 1).select("vec_id").as[Long].collect().toSet
+    val guarded = Similarity.semDedup(semCorpus, "vec_id", "embedding",
+        semCents, 0.9, 1, 2)
+      .where(col("removed") === 1).select("vec_id").as[Long].collect().toSet
+    assert(guarded.subsetOf(exact))
+  }
+
+  // --- temperature mixture ------------------------------------------
+
+  private def mixDocs = Seq(
+    ("a", "w1 w2 w3 w4 w5 w6 w7 w8"), ("a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+    ("b", "w1 w2 w3 w4"), ("c", "w1 w2 w3 w4")).toDF("source", "text")
+
+  test("temperatureReweight at alpha=0 flattens to the uniform mixture") {
+    val rows = Text.temperatureReweight(mixDocs, "source", "text", 0.0)
+      .select("source", "temp_frac").as[(String, Double)].collect().toMap
+    rows.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 2e-6))
+  }
+
+  test("temperatureReweight at alpha=1 preserves the natural mixture") {
+    val rows = Text.temperatureReweight(mixDocs, "source", "text", 1.0)
+      .select("source", "actual_frac", "temp_frac", "weight")
+      .as[(String, Double, Double, Double)].collect()
+    rows.foreach { case (_, p, q, w) =>
+      assert(math.abs(p - q) < 2e-6 && math.abs(w - 1.0) < 1e-4)
+    }
+  }
+
+  test("temperatureReweight upweights the tail source monotonically in alpha") {
+    def weightOf(alpha: Double): Double =
+      Text.temperatureReweight(mixDocs, "source", "text", alpha)
+        .where(col("source") === "b")
+        .select("weight").as[Double].head()
+    // smaller alpha → flatter mixture → bigger boost for small sources
+    assert(weightOf(0.3) > weightOf(0.7) && weightOf(0.7) > 1.0)
+  }
+
+  // --- Fleiss' kappa ------------------------------------------------
+
+  test("fleissReport matches a hand-computed 3-rater example") {
+    val ratings = Seq(
+      (1L, "A", "A", "A"), (2L, "A", "A", "B"),
+      (3L, "B", "B", "B"), (4L, "A", "B", "C"))
+      .toDF("doc_id", "label_a", "label_b", "label_c")
+    val r = Judge.fleissReport(ratings, "doc_id",
+      Seq("label_a", "label_b", "label_c")).collect().head
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Int]("n_raters") == 3)
+    // pbar = 14/24, pe = 62/144, kappa = 22/82
+    assert(r.getAs[Double]("pbar") == 0.583333)
+    assert(r.getAs[Double]("pe") == 0.430556)
+    assert(r.getAs[Double]("kappa") == 0.268293)
+  }
+
+  test("fleissReport: perfect agreement gives kappa 1, constant raters NULL") {
+    val perfect = Seq((1L, "A", "A", "A"), (2L, "B", "B", "B"))
+      .toDF("doc_id", "label_a", "label_b", "label_c")
+    val p = Judge.fleissReport(perfect, "doc_id",
+      Seq("label_a", "label_b", "label_c")).collect().head
+    assert(p.getAs[Double]("kappa") == 1.0)
+    val const = Seq((1L, "A", "A", "A"), (2L, "A", "A", "A"))
+      .toDF("doc_id", "label_a", "label_b", "label_c")
+    val c = Judge.fleissReport(const, "doc_id",
+      Seq("label_a", "label_b", "label_c")).collect().head
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+  }
+
+  // --- curriculum shards --------------------------------------------
+
+  test("curriculumShards balances token mass and orders difficulty") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val shards = Text.curriculumShards(d, "doc_id", "text", "n_chars", 8)
+      .collect()
+    assert(shards.length == 8)
+    val total = d.select(sum(size(split(col("text"), " ")).cast("long")))
+      .as[Long].head()
+    val maxDoc = d.select(max(size(split(col("text"), " ")).cast("long")))
+      .as[Long].head()
+    val target = total.toDouble / 8
+    shards.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_tokens") - target) <= maxDoc,
+        s"shard ${r.getAs[Long]("shard")} off balance")
+    }
+    assert(shards.map(_.getAs[Long]("n_tokens")).sum == total)
+    // difficulty ranges are monotone: a shard never starts below the
+    // previous shard's end (equal at a bucket straddling the cut)
+    val sorted = shards.sortBy(_.getAs[Long]("shard"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_cpt") <= b.getAs[Long]("min_cpt"))
+      case _ =>
+    }
+  }
+}
