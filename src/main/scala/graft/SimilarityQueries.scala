@@ -33,6 +33,11 @@ object SimilarityQueries {
   private val SemDedupBlock = 50
   private val SemDedupPlanes = 4
 
+  // kNN label-noise screen: 5 neighbors per query, queries sampled at
+  // 1/20 by detHash (the cost dial — |corpus| × |sample|).
+  private val KnnNoiseK = 5
+  private val KnnSampleDiv = 20L
+
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
     * i-1 matches Spark's 0-based transform index). Shared with the
     * capped cosine-dedup oracle in DedupQueries.
@@ -543,6 +548,60 @@ object SimilarityQueries {
         |  CASE WHEN rm.rid IS NULL THEN 0 ELSE 1 END AS removed
         |FROM cells0 c LEFT JOIN rm ON rm.rid = c.vec_id
         |ORDER BY c.vec_id""".stripMargin)),
+
+    // kNN label-agreement screen (Similarity.knnLabelAgreement):
+    // per-label rate of sampled vectors whose 5-NN neighborhood votes
+    // AGAINST their label — the label-noise localizer run before
+    // training a classifier on weak labels. Query sample broadcast
+    // against one corpus scan; exact integer counts, one IEEE
+    // division per label.
+    QueryDef("label_knn_disagreement",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.load(s, dir, "embeddings")
+        val per = Similarity.knnLabelAgreement(e, "vec_id", "label",
+          "embedding", detHash(KnnSampleDiv, col("vec_id")) === 0,
+          KnnNoiseK)
+        per.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("n_same") * 2 < col("n_nbrs"), 1L).otherwise(0L))
+              .as("n_flagged"),
+            sum(col("n_same")).as("__ts"))
+          .select(col("label"), col("n_queries"), col("n_flagged"),
+            round((col("n_flagged").cast("double") /
+              col("n_queries").cast("double")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("flag_rate"),
+            round((col("__ts").cast("double") /
+              col("n_queries").cast("double")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mean_same"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlbl, emb AS qemb FROM e
+        |  WHERE ${detHashSql(KnnSampleDiv, Seq("vec_id"))} = 0),
+        |sc AS (SELECT q.query_id, q.qlbl, e.label AS nlbl, e.vec_id AS nid,
+        |    round(list_cosine_similarity(q.qemb, e.emb), 6) AS cos
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |top AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, nid) AS rn FROM sc)
+        |  WHERE rn <= $KnnNoiseK),
+        |per AS (SELECT query_id, qlbl AS label,
+        |    CAST(sum(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_same,
+        |    count(*) AS n_nbrs
+        |  FROM top GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN n_same * 2 < n_nbrs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(round(CAST(CAST(sum(CASE WHEN n_same * 2 < n_nbrs THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS flag_rate,
+        |  CAST(round(CAST(CAST(sum(n_same) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS mean_same
+        |FROM per GROUP BY label ORDER BY label""".stripMargin)),
 
     // Hard-negative mining for contrastive training: each anchor's
     // most-similar candidate from a broadcast pool, EXCLUDING

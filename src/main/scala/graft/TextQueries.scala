@@ -52,6 +52,12 @@ object TextQueries {
   private val MixAlpha = 0.3
   private val CurriculumK = 8
 
+  /** Source-overlap matrix: 3-gram unit, keep grams with
+    * hash % 4 == 0 (the θ-sample dial — see Text.sourceOverlapMatrix).
+    */
+  private val OverlapN = 3
+  private val OverlapSampleMod = 4L
+
   def defs: Seq[QueryDef] = Seq(
 
     // Keyword search scoring: BM25 top-20 over the documents table for
@@ -832,6 +838,37 @@ object TextQueries {
         |  count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
         |  min(diff) AS min_cpt, max(diff) AS max_cpt
         |FROM p CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Pairwise source n-gram overlap (Text.sourceOverlapMatrix):
+    // Jaccard over a deterministic hash-residue θ-sample of 3-grams —
+    // mirrored dumps / cross-listed crawls telemetry. The sample is
+    // replayed identically by the oracle, so the gate is exact.
+    QueryDef("source_overlap_matrix",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.sourceOverlapMatrix(d, "source", "text",
+          OverlapN, OverlapSampleMod)
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT source,
+        |    ('0x' || substring(md5(
+        |      array_to_string(w[i:i+${OverlapN - 1}], ' ')), 1, 15))::BIGINT AS h
+        |  FROM d, unnest(generate_series(1, len(w) - ${OverlapN - 1})) AS t(i)),
+        |sg AS (SELECT DISTINCT source, h FROM g
+        |       WHERE h % $OverlapSampleMod = 0),
+        |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  CAST(round(CAST(CAST(n_shared AS DOUBLE) /
+        |    CAST(za.n + zb.n - n_shared AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS jaccard
+        |FROM sh JOIN sz za ON za.source = sh.source_a
+        |        JOIN sz zb ON zb.source = sh.source_b
+        |ORDER BY source_a, source_b""".stripMargin)),
 
     // Jensen-Shannon divergence of each source's token distribution
     // vs the whole corpus (Text.jsDivergenceBySlice): categorical

@@ -1214,4 +1214,41 @@ object Similarity {
       .select(col(idCol), col("cell"),
         when(col("__rm").isNull, lit(0)).otherwise(lit(1)).as("removed"))
   }
+
+  /** kNN label-agreement screen ("confident learning lite"): for each
+    * sampled query vector, how many of its k nearest neighbors share
+    * its label. A labeled example whose neighborhood votes against it
+    * is the standard label-noise candidate; the aggregate per label
+    * localizes WHICH class is noisy.
+    *
+    * Scale shape: queries are a predicate-selected sample broadcast
+    * against one corpus scan (the ann_bruteforce contract — cost is
+    * |corpus| × |sample|, dialed by the sample rate, never corpus²);
+    * the per-query top-k is a (rounded-cos, id)-ordered window over
+    * k·|Q| candidate rows. Returns one row per query: (id, label,
+    * n_same, n_nbrs).
+    */
+  def knnLabelAgreement(emb: DataFrame, idCol: String, labelCol: String,
+                        embCol: String, queryPred: Column,
+                        k: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(labelCol).as("__lbl"),
+        col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    val q = e.where(queryPred)
+      .select(col(idCol).as("query_id"), col("__lbl").as("__qlbl"),
+        col("__emb").as("__qemb"), col("__nrm").as("__qnrm"))
+    val scored = e.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("__qlbl"), col("__lbl"),
+        col(idCol).as("__nid"),
+        round(dotProduct(col("__qemb"), col("__emb")) /
+          (col("__qnrm") * col("__nrm")), 6).as("__cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__cos"), col("__nid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(col("query_id"), col("__qlbl").as("label"))
+      .agg(sum(when(col("__lbl") === col("__qlbl"), 1L).otherwise(0L))
+        .as("n_same"),
+        count(lit(1)).as("n_nbrs"))
+  }
 }

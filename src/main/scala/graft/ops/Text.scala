@@ -396,6 +396,57 @@ object Text {
       .orderBy(desc("n_ngrams_hit"), col(idCol))
   }
 
+  /** Pairwise source-overlap matrix: n-gram Jaccard similarity
+    * between every pair of sources — the corpus-health view that
+    * catches mirrored dumps, cross-listed crawls, and source-label
+    * leakage BEFORE they skew a mixture (decontaminate is the
+    * train-vs-eval special case; this is all-pairs over mixture
+    * components).
+    *
+    * Exactness contract: grams are θ-SAMPLED by hash residue
+    * (h % sampleMod == 0) — a deterministic bottom-sample both
+    * engines replay identically, so the reported Jaccard is the exact
+    * Jaccard OF THE SAMPLE (an unbiased estimate of the true one,
+    * error ~ 1/√(sampled grams)). That keeps the distinct
+    * (source, gram) shuffle at corpus-grams/sampleMod rows — the dial
+    * that makes all-pairs overlap affordable at 100 TB.
+    *
+    * Scale shape: one scan → sampled distinct (source, gram); sizes
+    * are one bounded aggregate; the gram self-join fans out only on
+    * grams shared by ≥2 sources and the pair aggregate is bounded by
+    * sources². Pairs with zero shared sampled grams are omitted.
+    */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+                          n: Int, sampleMod: Long): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1: $sampleMod")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    def r6(c: Column) = round(c.cast(dec), 6).cast("double")
+    // localCheckpoint: three consumers (sizes + both self-join legs)
+    // read the sampled gram set — O(corpus grams / sampleMod) rows.
+    val sg = df.select(col(srcCol).as("source"),
+        explode(wordNgrams(col(textCol), n)).as("__ng"))
+      .select(col("source"), hash60(col("__ng")).as("__h"))
+      .where(col("__h") % sampleMod === 0)
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val shared = sg.as("a")
+      .join(sg.as("b"), col("a.__h") === col("b.__h") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("__n").as("__na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("__n").as("__nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        r6(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Source-mixture reweighting toward a UNIFORM token budget — the
     * first-order version of trained mixture weighting (DoReMi-style
     * pipelines start exactly here): per source, its observed token

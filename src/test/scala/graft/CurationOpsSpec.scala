@@ -98,6 +98,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("kappa")))
   }
 
+  // --- source overlap matrix ----------------------------------------
+
+  test("sourceOverlapMatrix computes exact Jaccard without sampling") {
+    val docs = Seq(
+      ("A", "w1 w2 w3 w4"), // grams: w1w2w3, w2w3w4
+      ("B", "w1 w2 w3 x"),  // grams: w1w2w3, w2w3x → shared 1 of 3
+      ("C", "a b c d e")).toDF("source", "text")
+    val rows = Text.sourceOverlapMatrix(docs, "source", "text", 3, 1L)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.toSeq == Seq(("A", "B", 1L, 0.333333)),
+      s"unexpected matrix: ${rows.toSeq}") // C overlaps nothing → absent
+  }
+
+  // --- kNN label agreement ------------------------------------------
+
+  test("knnLabelAgreement flags the mislabeled point in a clean geometry") {
+    val e = Seq(
+      (0L, 0, Array(1.0, 0.0)), (1L, 0, Array(0.99, 0.01)),
+      (2L, 0, Array(0.98, 0.02)),
+      (3L, 1, Array(0.0, 1.0)), (4L, 1, Array(0.01, 0.99)),
+      (5L, 0, Array(0.02, 0.98))) // geometrically in cluster 1, labeled 0
+      .toDF("vec_id", "label", "embedding")
+    val per = Similarity.knnLabelAgreement(e, "vec_id", "label",
+        "embedding", lit(true), k = 2)
+      .select(col("query_id"), col("n_same")).as[(Long, Long)]
+      .collect().toMap
+    assert(per(0L) == 2L && per(1L) == 2L && per(2L) == 2L)
+    assert(per(5L) == 0L, s"mislabeled point not isolated: $per")
+    // its presence also dents the true cluster-1 members' agreement
+    assert(per(3L) == 1L && per(4L) == 1L)
+  }
+
   // --- curriculum shards --------------------------------------------
 
   test("curriculumShards balances token mass and orders difficulty") {
