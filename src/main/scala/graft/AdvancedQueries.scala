@@ -237,6 +237,65 @@ object AdvancedQueries {
           |  COUNT(DISTINCT $cn) AS n_distinct FROM documents""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
 
+    // χ² test of independence between lang and source — "is the
+    // language mix uniform across sources, or does some source skew?"
+    // — the categorical sibling of the numeric drift reports. All
+    // observed/marginal counts are exact BIGINT from ONE corpus
+    // aggregate (bounded at langs × sources cells); the full grid
+    // (including zero cells, which contribute their expected count)
+    // is a bounded cross join; each cell term (O−E)²/E rounds to 6dp
+    // before the decimal statistic sum, so the χ² value is
+    // addition-order-independent and engine-portable.
+    QueryDef("crosstab_chi2_lang_source",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val cells = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o")).localCheckpoint(true)
+        val rl = cells.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
+        val cl = cells.groupBy(col("source")).agg(sum(col("o")).as("cl"))
+        val tot = cells.agg(sum(col("o")).as("n"),
+          countDistinct(col("lang")).as("n_lang"),
+          countDistinct(col("source")).as("n_source"))
+        val grid = rl.crossJoin(cl)
+          .join(cells, Seq("lang", "source"), "left")
+          .na.fill(0L, Seq("o"))
+          .crossJoin(broadcast(tot))
+        val e = col("rl").cast("double") * col("cl").cast("double") /
+          col("n").cast("double")
+        val term = round(((col("o").cast("double") - e) *
+          (col("o").cast("double") - e) / e).cast(dec), 6)
+        grid.agg(max(col("n")).as("n"), max(col("n_lang")).as("n_lang"),
+            max(col("n_source")).as("n_source"),
+            ((max(col("n_lang")) - 1) * (max(col("n_source")) - 1))
+              .as("dof"),
+            round(sum(term).cast(dec), 6).cast("double").as("chi2"))
+      },
+      Some("""WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
+        |cl AS (SELECT source, CAST(sum(o) AS BIGINT) AS cl FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  count(DISTINCT lang) AS n_lang,
+        |  count(DISTINCT source) AS n_source FROM cells),
+        |grid AS (
+        |  SELECT rl.lang, cl.source, rl.rl, cl.cl,
+        |    coalesce(c.o, 0)::BIGINT AS o
+        |  FROM rl CROSS JOIN cl
+        |  LEFT JOIN cells c ON c.lang = rl.lang AND c.source = cl.source),
+        |terms AS (
+        |  SELECT round(CAST(
+        |    (CAST(o AS DOUBLE) - CAST(rl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (CAST(o AS DOUBLE) - CAST(rl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(rl AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS term
+        |  FROM grid CROSS JOIN tot)
+        |SELECT max(n) AS n, max(n_lang) AS n_lang, max(n_source) AS n_source,
+        |  (max(n_lang) - 1) * (max(n_source) - 1) AS dof,
+        |  CAST(round(CAST(sum(term) AS DECIMAL(18,8)), 6) AS DOUBLE) AS chi2
+        |FROM terms CROSS JOIN tot""".stripMargin)),
+
     // Data-contract gate (ops/Contract): the whole rule set costs ONE
     // scan — each rule is a conditional sum in a single aggregate,
     // unpivoted to a report row; the uniqueness rule is a count −

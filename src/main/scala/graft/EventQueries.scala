@@ -310,6 +310,58 @@ object EventQueries {
         |  END AS intercept
         |FROM m ORDER BY event_type""".stripMargin)),
 
+    // Lag-1 autocorrelation of daily event volume — the "is this
+    // stream periodic/sticky or white noise" screen that decides
+    // whether yesterday predicts today (feeds anomaly thresholds and
+    // forecast sanity checks). Same exact-moments recipe as
+    // events_corr_value_hour, applied to consecutive-day pairs: the
+    // lead() runs over the DAILY aggregate (bounded: one row per
+    // day), all six moments are exact decimal sums, the final Pearson
+    // shape is one fixed IEEE expression on both engines.
+    QueryDef("events_autocorr_daily",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        // unpartitioned window is bounded: one row per distinct day
+        val w = Window.orderBy(col("day"))
+        val pairs = daily.withColumn("y", lead(col("x"), 1).over(w))
+          .where(col("y").isNotNull)
+        // counts are exact BIGINT; squares/products go through
+        // DECIMAL(38,0) — daily volumes square past int64 at scale
+        val m = pairs.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x").cast(dec38) * col("x").cast(dec38))
+            .cast("double").as("sxx"),
+          sum(col("y").cast(dec38) * col("y").cast(dec38))
+            .cast("double").as("syy"),
+          sum(col("x").cast(dec38) * col("y").cast(dec38))
+            .cast("double").as("sxy"))
+        m.select(col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("autocorr_lag1"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT x, lead(x) OVER (ORDER BY day) AS y FROM daily),
+        |m AS (SELECT COUNT(*)::DOUBLE AS n,
+        |    SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))::DOUBLE AS sxx,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))::DOUBLE AS syy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))::DOUBLE AS sxy
+        |  FROM p WHERE y IS NOT NULL)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |    AS autocorr_lag1
+        |FROM m""".stripMargin)),
+
     // Incremental rollup maintenance: the stored historical aggregate
     // plus the new partition's partial aggregate, COMBINED, must equal
     // a full recompute — which is exactly what the oracle asserts

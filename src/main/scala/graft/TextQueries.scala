@@ -58,6 +58,24 @@ object TextQueries {
   private val OverlapN = 3
   private val OverlapSampleMod = 4L
 
+  /** Per-(bucket, bin) packing frame shared by pack_sequences and
+    * pack_efficiency_report (see the pack_sequences QueryDef comment
+    * for the streaming-packing semantics).
+    */
+  private def packBins(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), wordCount(col("text")).as("nw"))
+      .withColumn("bucket", detHash(8L, col("doc_id")))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(detHash(DetHashPrime, col("doc_id")), col("doc_id"))
+    val packed = d.withColumn("cum", sum(col("nw")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("nw")) / lit(512.0)).cast("long"))
+    packed.groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("bin_words"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Keyword search scoring: BM25 top-20 over the documents table for
@@ -134,20 +152,7 @@ object TextQueries {
     // with overflow, the deterministic distributed analogue of
     // first-fit). Output is the per-bin occupancy report.
     QueryDef("pack_sequences",
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), wordCount(col("text")).as("nw"))
-          .withColumn("bucket", detHash(8L, col("doc_id")))
-        val w = Window.partitionBy(col("bucket"))
-          .orderBy(detHash(DetHashPrime, col("doc_id")), col("doc_id"))
-        val packed = d.withColumn("cum",
-            sum(col("nw")).over(w))
-          .withColumn("bin",
-            floor((col("cum") - col("nw")) / lit(512.0)).cast("long"))
-        packed.groupBy(col("bucket"), col("bin"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("bin_words"))
-          .orderBy(col("bucket"), col("bin"))
-      },
+      (s, dir) => packBins(s, dir).orderBy(col("bucket"), col("bin")),
       Some(s"""WITH d AS (
         |  SELECT doc_id, len(string_split(text, ' '))::INT AS nw,
         |    ${detHashSql(8L, Seq("doc_id"))} AS bucket
@@ -161,6 +166,52 @@ object TextQueries {
         |SELECT bucket, floor((cum - nw) / 512.0)::BIGINT AS bin,
         |  COUNT(*) AS n_docs, SUM(nw)::BIGINT AS bin_words
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Packing-efficiency telemetry over the pack_sequences bins: the
+    // number a batch scheduler actually tunes bin size against. Fill
+    // ratio per bucket = words / (bins × 512); a straddling doc
+    // counts in its STARTING bin (streaming packing with overflow),
+    // so max_bin_words can exceed 512 — that overflow magnitude is
+    // exactly what the report surfaces. One bounded aggregate on top
+    // of the shared packing frame.
+    QueryDef("pack_efficiency_report",
+      (s, dir) => {
+        packBins(s, dir)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("bin_words")).as("total_words"),
+            sum(col("n_docs")).as("n_docs"),
+            max(col("bin_words")).as("max_bin_words"),
+            min(col("bin_words")).as("min_bin_words"))
+          .select(col("bucket"), col("n_bins"), col("n_docs"),
+            col("total_words"), col("max_bin_words"), col("min_bin_words"),
+            round((col("total_words").cast("double") /
+              (col("n_bins").cast("double") * lit(512.0)))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("mean_fill"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::INT AS nw,
+        |    ${detHashSql(8L, Seq("doc_id"))} AS bucket
+        |  FROM documents),
+        |p AS (
+        |  SELECT bucket, nw,
+        |    SUM(nw) OVER (PARTITION BY bucket
+        |      ORDER BY ${detHashSql(1000003L, Seq("doc_id"))}, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |b AS (
+        |  SELECT bucket, floor((cum - nw) / 512.0)::BIGINT AS bin,
+        |    COUNT(*) AS n_docs, SUM(nw)::BIGINT AS bin_words
+        |  FROM p GROUP BY 1, 2)
+        |SELECT bucket, count(*) AS n_bins,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bin_words) AS BIGINT) AS total_words,
+        |  max(bin_words) AS max_bin_words, min(bin_words) AS min_bin_words,
+        |  CAST(round(CAST(CAST(sum(bin_words) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 512.0) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mean_fill
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // F12 + A7/L14 — word + BPE-ish token counts per document
     // (reference: etl_slimpajama_dc_proc.py:142; cost_estimator_inf.py:35-78).
