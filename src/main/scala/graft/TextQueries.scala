@@ -58,6 +58,51 @@ object TextQueries {
   private val OverlapN = 3
   private val OverlapSampleMod = 4L
 
+  /** BPE induction: merge rounds and the trainer's word-vocab cap. */
+  private val BpeMergeRounds = 3
+  private val BpeMergeTopWords = 2000
+
+  /** Unrolled DuckDB mirror of Text.bpeMergeRounds: one
+    * (pairs → argmax → replace → inventory) CTE block per round over
+    * the same pipe-wrapped symbol representation.
+    */
+  private def bpeOracle(rounds: Int, topW: Int): String = {
+    val head = s"""WITH w0 AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')
+      |  GROUP BY w ORDER BY cnt DESC, w LIMIT $topW),
+      |v0 AS (
+      |  SELECT '|' || array_to_string(list_transform(
+      |      generate_series(1, length(w)), i -> substring(w, i, 1)), '||')
+      |    || '|' AS s, cnt
+      |  FROM w0)""".stripMargin
+    val per = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+      |  SELECT arr[i] AS a, arr[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+      |  FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||') AS arr,
+      |          cnt FROM v$p),
+      |    unnest(generate_series(1, len(arr) - 1)) AS t(i)
+      |  GROUP BY 1, 2),
+      |t$r AS (SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+      |v$r AS (
+      |  SELECT replace(s,
+      |      '|' || (SELECT a FROM t$r) || '||' || (SELECT b FROM t$r) || '|',
+      |      '|' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || '|') AS s, cnt
+      |  FROM v$p),
+      |s$r AS (SELECT count(DISTINCT sym) AS ns FROM (
+      |  SELECT unnest(string_split(substring(s, 2, length(s) - 2), '||')) AS sym
+      |  FROM v$r))""".stripMargin
+    }
+    val sel = (1 to rounds).map { r =>
+      s"SELECT $r AS round, (SELECT a FROM t$r) AS pair_a, " +
+        s"(SELECT b FROM t$r) AS pair_b, (SELECT pc FROM t$r) AS pair_count, " +
+        s"(SELECT ns FROM s$r) AS n_symbols"
+    }.mkString("\nUNION ALL\n")
+    (head +: per).mkString(",\n") + "\n" + sel + "\nORDER BY round"
+  }
+
   /** Per-(bucket, bin) packing frame shared by pack_sequences and
     * pack_efficiency_report (see the pack_sequences QueryDef comment
     * for the streaming-packing semantics).
@@ -889,6 +934,19 @@ object TextQueries {
         |  count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens,
         |  min(diff) AS min_cpt, max(diff) AS max_cpt
         |FROM p CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BPE merge induction (Text.bpeMergeRounds): the first 3 merge
+    // steps of tokenizer-vocab training over the capped word vocab —
+    // merged pair + weighted count + symbol-inventory size per round.
+    // The oracle unrolls the identical argmax/replace rounds over the
+    // same pipe-wrapped symbol strings.
+    QueryDef("bpe_merge_rounds",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.bpeMergeRounds(d, "text", BpeMergeRounds,
+          BpeMergeTopWords)
+      },
+      Some(bpeOracle(BpeMergeRounds, BpeMergeTopWords))),
 
     // Pairwise source n-gram overlap (Text.sourceOverlapMatrix):
     // Jaccard over a deterministic hash-residue θ-sample of 3-grams —

@@ -396,6 +396,77 @@ object Text {
       .orderBy(desc("n_ngrams_hit"), col(idCol))
   }
 
+  /** BPE merge induction — the first `rounds` merge steps of
+    * byte-pair-encoding vocabulary training (Sennrich et al. 2016)
+    * over the corpus word vocabulary: count adjacent symbol pairs
+    * weighted by word frequency, merge the most frequent pair
+    * (ties broken lexicographically so every engine picks the same
+    * pair), repeat. Returns one row per round: the merged pair, its
+    * weighted count, and the symbol-inventory size after the merge —
+    * the trajectory a tokenizer trainer logs.
+    *
+    * Representation: a word's symbol sequence is a string with every
+    * symbol wrapped in pipes ("ab" → "|a||b|"), so a merge is a plain
+    * leftmost-non-overlapping `replace("|a||b|" → "|ab|")` — adjacent
+    * occurrences share no boundary characters, which makes replace()
+    * exactly BPE's leftmost-first merge on BOTH engines. Words are
+    * restricted to `[A-Za-z0-9]+` so the delimiter cannot collide.
+    *
+    * Scale shape: ONE corpus scan builds the word-count vocabulary,
+    * capped at `topWords` rows (count-desc, word-asc — the standard
+    * trainer cap) and checkpointed; every round thereafter runs on
+    * that bounded frame. The per-round driver state is the single
+    * argmax pair row (the same bounded-collect contract as the
+    * quantile bracketer); merges apply as scan-time expressions.
+    */
+  def bpeMergeRounds(df: DataFrame, textCol: String, rounds: Int,
+                     topWords: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = df.sparkSession
+    val vocab0 = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w").rlike("^[A-Za-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topWords)
+      .select(concat(lit("|"),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          "||"), lit("|")).as("s"), col("cnt"))
+      .localCheckpoint(true)
+    val symsOf = "split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')"
+    var cur = vocab0
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur.select(col("cnt"), expr(symsOf).as("arr"))
+        .where(size(col("arr")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), i -> struct(arr[i - 1] AS a, arr[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
+        .collect() // bounded: exactly one row
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        cur = cur
+          .withColumn("s", expr(s"replace(s, '|$a||$b|', '|$a$b|')"))
+          .localCheckpoint(true)
+        val nSyms = cur.select(explode(expr(symsOf)).as("sym"))
+          .distinct().count()
+        out += ((r, a, b, pc, nSyms))
+      }
+      r += 1
+    }
+    import spark.implicits._
+    out.toSeq
+      .toDF("round", "pair_a", "pair_b", "pair_count", "n_symbols")
+      .orderBy(col("round"))
+  }
+
   /** Pairwise source-overlap matrix: n-gram Jaccard similarity
     * between every pair of sources — the corpus-health view that
     * catches mirrored dumps, cross-listed crawls, and source-label

@@ -130,6 +130,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(per(3L) == 1L && per(4L) == 1L)
   }
 
+  // --- BPE merge induction ------------------------------------------
+
+  test("bpeMergeRounds replays hand-computed merges and stops when dry") {
+    val docs = Seq("ab ab ab cd").toDF("text")
+    val rows = Text.bpeMergeRounds(docs, "text", rounds = 3, topWords = 100)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    // round 1: (a,b) x3 wins; inventory {ab, c, d}
+    // round 2: only (c,d) x1 remains; inventory {ab, cd}
+    // round 3: no adjacent pairs left -> loop exhausts at 2 rows
+    assert(rows == Seq((1, "a", "b", 3L, 3L), (2, "c", "d", 1L, 2L)))
+  }
+
+  test("bpeMergeRounds merges adjacent repeats leftmost-first") {
+    // "aaa": pairs (a,a) x2; after merging |a||a| leftmost-first the
+    // word is |aa||a| — NOT |a||aa| — so round 2 must see (aa, a)
+    val docs = Seq("aaa aaa").toDF("text")
+    val rows = Text.bpeMergeRounds(docs, "text", rounds = 2, topWords = 10)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(rows == Seq((1, "a", "a", 4L, 2L), (2, "aa", "a", 2L, 1L)))
+  }
+
   // --- curriculum shards --------------------------------------------
 
   test("curriculumShards balances token mass and orders difficulty") {
