@@ -26,6 +26,9 @@ object DedupQueries {
     */
   private val MaxShingleDf = 1000
   private val MaxBucketSize = 1000
+
+  /** cv_folds_leakage_safe: fold count (K in group-aware K-fold). */
+  private val CvFolds = 5L
   // band-curve denominator threshold: 5-shingle Jaccard ≥ 0.5 keeps
   // the exact-recall PPJoin cheap while spanning the analytic knee
   private val LshCurveThreshold = 0.5
@@ -918,6 +921,113 @@ object DedupQueries {
         |  CAST(SUM(${md5LongSql("text")} % 1000003) AS BIGINT) AS content_sig
         |FROM final
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin))
+        |ORDER BY lang""".stripMargin)),
+
+    // Per-source dedup impact: what the MinHash-LSH first-seen-wins
+    // pass removes from each source — doc and token counts, removal
+    // rate, and how much of the removal is CROSS-source (this
+    // source's docs dropped in favor of a canonical that lives
+    // elsewhere — the "source B is a mirror of source A" signal that
+    // per-corpus dup rates can't see). Canonical attribution is
+    // Similarity.lshCanonicalIds (min id over the doc's band
+    // buckets); the canonical's source arrives by one id-keyed join —
+    // the corpus never self-joins pairwise. Plan: signature pipeline
+    // + (band,bv) window + two id shuffles + per-source rollup.
+    QueryDef("dedup_impact_by_source",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text", NumPerms, ShingleN)
+        val canon = Similarity.lshCanonicalIds(sig, "doc_id", Bands, Rows)
+        val src = d.select(col("doc_id"), col("source"),
+          wordCount(col("text")).cast("long").as("nw"))
+        val lab = src.join(canon, "doc_id")
+          .join(src.select(col("doc_id").as("canon_id"),
+            col("source").as("canon_source")), Seq("canon_id"))
+          .withColumn("removed", col("canon_id") < col("doc_id"))
+        lab.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("removed") && col("canon_source") =!= col("source"),
+              1L).otherwise(0L)).as("n_cross_source"),
+            sum(when(col("removed"), col("nw")).otherwise(0L)).as("words_removed"),
+            round(sum(when(col("removed"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("removal_rate"))
+          .orderBy(col("source"))
+      },
+      Some(s"""$lshBandsSql,
+        |mn AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY band, bv) AS mn
+        |  FROM bands),
+        |canon AS (SELECT doc_id, min(mn) AS canon_id FROM mn GROUP BY doc_id),
+        |src AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS nw
+        |  FROM documents)
+        |SELECT s.source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN c.canon_id < s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  SUM(CASE WHEN c.canon_id < s.doc_id AND cs.source <> s.source
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_cross_source,
+        |  SUM(CASE WHEN c.canon_id < s.doc_id THEN s.nw ELSE 0 END)::BIGINT
+        |    AS words_removed,
+        |  round(SUM(CASE WHEN c.canon_id < s.doc_id THEN 1 ELSE 0 END)
+        |    / COUNT(*)::DOUBLE, 6) AS removal_rate
+        |FROM src s
+        |JOIN canon c USING (doc_id)
+        |JOIN src cs ON cs.doc_id = c.canon_id
+        |GROUP BY s.source ORDER BY s.source""".stripMargin)),
+
+    // Leakage-safe cross-validation folds: every member of a near-dup
+    // cluster (connected component over the LSH candidate graph —
+    // the same graph as dedup_clusters) hashes to the SAME fold,
+    // because the fold is detHash of the CLUSTER label, not the doc
+    // id. Plain per-doc fold hashing leaks near-duplicates across the
+    // train/held-out boundary and inflates eval; this is the
+    // group-aware K-fold that prevents it. Singleton docs are their
+    // own cluster (left join + coalesce). Output is the per-fold
+    // census a split designer checks for balance. Scale: CC is the
+    // audited pointer-jumped fixed point; everything after is one
+    // left join + one 5-row rollup.
+    QueryDef("cv_folds_leakage_safe",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text", NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands, Rows, MaxBucketSize)
+        val cc = Similarity.connectedComponents(pairs)
+        val lab = d.select(col("doc_id"),
+            wordCount(col("text")).cast("long").as("nw"))
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("fold", detHash(CvFolds, col("cluster")))
+        val total = d.count().toDouble
+        lab.groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            sum(col("nw")).as("n_words"),
+            round(count(lit(1)).cast("double") / lit(total), 6).as("share"))
+          .orderBy(col("fold"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |    len(string_split(d.text, ' '))::BIGINT AS nw,
+        |    COALESCE(cc.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cc USING (doc_id))
+        |SELECT ${detHashSql(CvFolds, Seq("cluster"))} AS fold,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT cluster) AS n_clusters,
+        |  SUM(nw)::BIGINT AS n_words,
+        |  round(COUNT(*) / (SELECT COUNT(*) FROM documents)::DOUBLE, 6) AS share
+        |FROM lab GROUP BY fold ORDER BY fold""".stripMargin))
   )
 }

@@ -62,6 +62,16 @@ object TextQueries {
   private val BpeMergeRounds = 3
   private val BpeMergeTopWords = 2000
 
+  /** Zipf fit: vocabulary head size the regression runs over. */
+  private val ZipfTopK = 1000
+
+  /** RRF fusion: per-leg candidate-pool size, the standard k = 60
+    * rank-discount constant, and the fixed dense-query vector id.
+    */
+  private val RrfPool = 50
+  private val RrfK = 60
+  private val RrfQueryVec = 0
+
   /** Unrolled DuckDB mirror of Text.bpeMergeRounds: one
     * (pairs → argmax → replace → inventory) CTE block per round over
     * the same pipe-wrapped symbol representation.
@@ -121,71 +131,85 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("bin_words"))
   }
 
+  /** Per-doc BM25 score frame (doc_id, bm25) for the fixed Bm25Terms,
+    * shared by text_bm25_topk and retrieval_rrf_hybrid. Plan shape at
+    * 100 TB: tf is one scan + groupBy(doc, term) on query terms only
+    * (the isin filter prunes before the shuffle); df and the corpus
+    * stats are tiny aggregates broadcast back; the final per-doc sum
+    * shuffles once on doc_id. Per-term scores round to 6dp and sum as
+    * DECIMAL so the total is addition-order-independent across engines
+    * and partitionings.
+    */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dl", size(col("w")))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
+      .where(col("t").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = d.agg(count(lit(1)).as("ndocs"), avg(col("dl")).as("avgdl"))
+    // df derives from tf in the SAME pipeline — (doc, term) is
+    // unique there, so a count window over the term partition IS
+    // the document frequency. One consumer of tf, so nothing is
+    // recomputed (Spark has no DAG-level subtree reuse) and no
+    // cache is needed; the corpus is scanned exactly twice (tf +
+    // the column-pruned stats aggregate).
+    val term = tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("t"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("ndocs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s",
+        // decimal-guard before the round (see events_percentiles)
+        round((col("idf") * col("tf") * lit(Bm25K1 + 1) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .cast(DecimalType(18, 8)), 6)
+          .cast("decimal(18,6)"))
+    term.groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).cast("double").as("bm25"))
+  }
+
+  /** Oracle CTE chain ending at `scored(doc_id, bm25)` — the DuckDB
+    * mirror of bm25Scored, shared by the same two queries.
+    */
+  private val bm25ScoredSql: String = s"""WITH d AS (
+    |  SELECT doc_id, string_split(text, ' ') AS w,
+    |    len(string_split(text, ' ')) AS dl
+    |  FROM documents),
+    |stats AS (SELECT count(*) AS ndocs, avg(dl) AS avgdl FROM d),
+    |tf AS (
+    |  SELECT doc_id, dl, t, count(*) AS tf
+    |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
+    |  WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+    |  GROUP BY 1, 2, 3),
+    |tfd AS (
+    |  SELECT doc_id, dl, tf,
+    |    COUNT(*) OVER (PARTITION BY t) AS df
+    |  FROM tf),
+    |term AS (
+    |  SELECT doc_id,
+    |    round(CAST(ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${Bm25K1 + 1} /
+    |      (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)) AS DECIMAL(18,8)), 6)::DECIMAL(18,6) AS s
+    |  FROM tfd CROSS JOIN stats),
+    |scored AS (
+    |  SELECT doc_id,
+    |    CAST(round(CAST(sum(s) AS DECIMAL(18,6)), 4) AS DOUBLE) AS bm25
+    |  FROM term GROUP BY doc_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Keyword search scoring: BM25 top-20 over the documents table for
-    // a fixed term set. Plan shape at 100 TB: tf is one scan +
-    // groupBy(doc, term) on query terms only (the isin filter prunes
-    // before the shuffle); df and the corpus stats are tiny aggregates
-    // broadcast back; the final per-doc sum shuffles once on doc_id.
-    // Per-term scores round to 6dp and sum as DECIMAL so the total is
-    // addition-order-independent across engines and partitionings.
+    // a fixed term set (scoring pipeline + scale notes: bm25Scored).
     QueryDef("text_bm25_topk",
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .withColumn("dl", size(col("w")))
-        val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("t"))
-          .where(col("t").isin(Bm25Terms: _*))
-          .groupBy(col("doc_id"), col("dl"), col("t"))
-          .agg(count(lit(1)).as("tf"))
-        val stats = d.agg(count(lit(1)).as("ndocs"), avg(col("dl")).as("avgdl"))
-        // df derives from tf in the SAME pipeline — (doc, term) is
-        // unique there, so a count window over the term partition IS
-        // the document frequency. One consumer of tf, so nothing is
-        // recomputed (Spark has no DAG-level subtree reuse) and no
-        // cache is needed; the corpus is scanned exactly twice (tf +
-        // the column-pruned stats aggregate).
-        val term = tf
-          .withColumn("df",
-            count(lit(1)).over(Window.partitionBy(col("t"))))
-          .crossJoin(broadcast(stats))
-          .withColumn("idf",
-            log((col("ndocs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-          .withColumn("s",
-            // decimal-guard before the round (see events_percentiles)
-            round((col("idf") * col("tf") * lit(Bm25K1 + 1) /
-              (col("tf") + lit(Bm25K1) *
-                (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-              .cast(DecimalType(18, 8)), 6)
-              .cast("decimal(18,6)"))
-        term.groupBy(col("doc_id"))
-          .agg(round(sum(col("s")), 4).cast("double").as("bm25"))
-          .orderBy(desc("bm25"), col("doc_id"))
-          .limit(20)
-      },
-      Some(s"""WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w,
-        |    len(string_split(text, ' ')) AS dl
-        |  FROM documents),
-        |stats AS (SELECT count(*) AS ndocs, avg(dl) AS avgdl FROM d),
-        |tf AS (
-        |  SELECT doc_id, dl, t, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
-        |  WHERE t IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-        |  GROUP BY 1, 2, 3),
-        |tfd AS (
-        |  SELECT doc_id, dl, tf,
-        |    COUNT(*) OVER (PARTITION BY t) AS df
-        |  FROM tf),
-        |term AS (
-        |  SELECT doc_id,
-        |    round(CAST(ln((ndocs - df + 0.5) / (df + 0.5) + 1.0) * tf * ${Bm25K1 + 1} /
-        |      (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)) AS DECIMAL(18,8)), 6)::DECIMAL(18,6) AS s
-        |  FROM tfd CROSS JOIN stats)
-        |SELECT doc_id,
-        |  CAST(round(CAST(sum(s) AS DECIMAL(18,6)), 4) AS DOUBLE) AS bm25
-        |FROM term GROUP BY doc_id
+      (s, dir) => bm25Scored(s, dir)
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20),
+      Some(s"""$bm25ScoredSql
+        |SELECT doc_id, bm25 FROM scored
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
     // Training-batch sequence packing: documents are dealt into
@@ -1261,6 +1285,223 @@ object TextQueries {
         |SELECT g.doc_id, count(DISTINCT g.h) AS n_ngrams_hit,
         |  count(DISTINCT ev.eval_id) AS n_eval_docs
         |FROM g JOIN ev ON g.h = ev.h WHERE g.doc_id % $DecontamEvalMod <> 0
-        |GROUP BY 1 ORDER BY n_ngrams_hit DESC, doc_id""".stripMargin))
+        |GROUP BY 1 ORDER BY n_ngrams_hit DESC, doc_id""".stripMargin)),
+
+    // Source-concentration diagnostic: per-source Gini coefficient of
+    // document token counts — "is this source a few giant documents or
+    // an even spread" (feeds sampling-weight and shard-packing
+    // decisions). Exact rank formula G = Σ(2i−n−1)·x_i / (n·Σx) over
+    // x sorted ascending: the numerator is an exact integer sum
+    // (DECIMAL(38,0) against 100 TB-scale overflow), so the only IEEE
+    // step is one final division — order-independent across engines
+    // and partitionings. Tie order within equal x is irrelevant: a run
+    // of tied values occupies a fixed SET of ranks, and the weight sum
+    // over that set doesn't depend on the order within the run. Plan
+    // shape: one scan + one per-source window sort + one groupBy —
+    // the window partitions by source, so no global sort.
+    QueryDef("source_gini_tokens",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            wordCount(col("text")).cast("long").as("nw"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("nw"), col("doc_id"))
+        val r = d
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("source"))))
+        r.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("total_words"),
+            round(
+              sum(((lit(2L) * col("i") - col("n") - lit(1L))
+                  .cast(DecimalType(38, 0)) * col("nw")).cast(DecimalType(38, 0)))
+                .cast("double") /
+                (count(lit(1)).cast("double") * sum(col("nw")).cast("double")),
+              6).as("gini"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS nw
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, nw,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY nw, doc_id) AS i,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs, SUM(nw)::BIGINT AS total_words,
+        |  round(SUM(((2 * i - n - 1)::DECIMAL(38,0) * nw)::DECIMAL(38,0))::DOUBLE
+        |    / (COUNT(*)::DOUBLE * SUM(nw)::DOUBLE), 6) AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // N-gram diversity (type-token ratio) per source for n = 1, 2, 3 —
+    // the standard lexical-diversity screen for template-generated or
+    // self-repetitive sources (low TTR ⇒ boilerplate-heavy). Exact
+    // distinct counts here; at 100 TB the per-group distinct becomes
+    // the KMV sketch (expressions.KmvDistinct) with the same report
+    // shape. Plan: one scan fans out to the three gram lengths (the
+    // union shares the scan per branch), one shuffle per groupBy with
+    // distinct handled by Spark's expand, nothing driver-side.
+    QueryDef("ngram_diversity_report",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("source"), split(col("text"), " ").as("w"))
+        def grams(n: Int) = d.select(col("source"), lit(n).as("n"),
+          explode(when(size(col("w")) >= n,
+            transform(sequence(lit(1), size(col("w")) - lit(n - 1)),
+              i => concat_ws(" ", slice(col("w"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        grams(1).union(grams(2)).union(grams(3))
+          .groupBy(col("source"), col("n"))
+          .agg(count(lit(1)).as("total_grams"),
+            countDistinct(col("g")).as("distinct_grams"),
+            round(countDistinct(col("g")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("ttr"))
+          .orderBy(col("source"), col("n"))
+      },
+      Some("""WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(w) AS g FROM w
+        |  UNION ALL
+        |  SELECT source, 2 AS n,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM w
+        |  UNION ALL
+        |  SELECT source, 3 AS n,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS g
+        |  FROM w)
+        |SELECT source, n, COUNT(*) AS total_grams,
+        |  COUNT(DISTINCT g) AS distinct_grams,
+        |  round(COUNT(DISTINCT g) / COUNT(*)::DOUBLE, 6) AS ttr
+        |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin)),
+
+    // Zipf-law fit over the top-1000 vocabulary: OLS of ln(freq) on
+    // ln(rank) — slope ≈ −1 for natural text; a flat or broken slope
+    // flags synthetic/templated corpora (the "does this source look
+    // like language" screen next to text_lang_id's n-gram vote). The
+    // vocab count is one token shuffle; the top-1000 cut is a sorted
+    // limit (never a global window); the fit runs over ≤1000 rows with
+    // each ln() rounded to 6dp DECIMAL before the moment sums, so the
+    // sums are exact and order-independent (events_trend_ols recipe)
+    // and the final slope/intercept/r² are fixed IEEE shapes.
+    QueryDef("vocab_zipf_fit",
+      (s, dir) => {
+        val top = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("t")).limit(ZipfTopK)
+        // window over the limited frame: ≤ ZipfTopK rows, bounded
+        val r = top.withColumn("i",
+            row_number().over(Window.orderBy(desc("c"), col("t"))))
+          .select(
+            round(log(col("i")), 6).cast(DecimalType(18, 6)).as("x"),
+            round(log(col("c")), 6).cast(DecimalType(18, 6)).as("y"))
+        val m = r.agg(
+          count(lit(1)).as("n_terms"),
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 12))).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 12))).cast("double").as("sxy"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 12))).cast("double").as("syy"))
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+        m.select(col("n_terms"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) *
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (den * (col("n") * col("syy") - col("sy") * col("sy"))),
+            6).as("r2"))
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT $ZipfTopK),
+        |r AS (
+        |  SELECT
+        |    round(ln(ROW_NUMBER() OVER (ORDER BY c DESC, t)), 6)::DECIMAL(18,6) AS x,
+        |    round(ln(c), 6)::DECIMAL(18,6) AS y
+        |  FROM top),
+        |m AS (
+        |  SELECT COUNT(*) AS n_terms, COUNT(*)::DOUBLE AS n,
+        |    SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+        |    SUM((x * x)::DECIMAL(38,12))::DOUBLE AS sxx,
+        |    SUM((x * y)::DECIMAL(38,12))::DOUBLE AS sxy,
+        |    SUM((y * y)::DECIMAL(38,12))::DOUBLE AS syy
+        |  FROM r)
+        |SELECT n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+        |    6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin)),
+
+    // Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    // ranking and an embedding-cosine dense ranking (query = vec 0),
+    // the standard fusion for RAG-corpus retrieval: rrf =
+    // Σ 1/(60+rank) over the lists containing the doc. Each leg is
+    // ranked by its own deterministic (score desc, id) order and cut
+    // to a 50-doc pool BEFORE any window runs, so the fusion windows
+    // and the full-outer join touch ≤50 rows per leg regardless of
+    // corpus size; the legs themselves are the already-scale-audited
+    // BM25 pipeline and one broadcast-query cosine scan.
+    QueryDef("retrieval_rrf_hybrid",
+      (s, dir) => {
+        val lexPool = bm25Scored(s, dir)
+          .orderBy(desc("bm25"), col("doc_id")).limit(RrfPool)
+        val lex = lexPool.withColumn("lex_rank",
+          row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+          .select(col("doc_id"), col("lex_rank"))
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val q = e.where(col("vec_id") === RrfQueryVec)
+          .select(col("emb").as("qemb"), col("nrm").as("qnrm"))
+        val denPool = e.where(col("vec_id") =!= RrfQueryVec)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
+          .orderBy(desc("cos"), col("vec_id")).limit(RrfPool)
+        val den = denPool.withColumn("vec_rank",
+          row_number().over(Window.orderBy(desc("cos"), col("vec_id"))))
+          .select(col("vec_id"), col("vec_rank"))
+        lex.join(den, col("doc_id") === col("vec_id"), "full_outer")
+          .select(
+            coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            col("lex_rank"), col("vec_rank"),
+            round(
+              coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
+              6).as("rrf"))
+          .orderBy(desc("rrf"), col("doc_id")).limit(20)
+      },
+      Some(s"""$bm25ScoredSql,
+        |lex AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank
+        |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT $RrfPool),
+        |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        |       WHERE vec_id = $RrfQueryVec),
+        |dn AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(qe, embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> $RrfQueryVec),
+        |den AS (
+        |  SELECT vec_id,
+        |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)::INT AS vec_rank
+        |  FROM dn ORDER BY cos DESC, vec_id LIMIT $RrfPool)
+        |SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+        |  l.lex_rank, d.vec_rank,
+        |  round(COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
+        |    + COALESCE(1.0 / ($RrfK + d.vec_rank), 0), 6) AS rrf
+        |FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.vec_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

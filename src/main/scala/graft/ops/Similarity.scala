@@ -232,6 +232,22 @@ object Similarity {
       .where(col(idCol) > col("__mn"))
       .select(col(idCol)).distinct()
 
+  /** First-seen-wins canonical attribution for the LSH dedup pass:
+    * (id, canon_id) where canon_id = the minimum id over every band
+    * bucket the doc lands in (= itself for survivors). canon_id < id
+    * iff lshDroppedIds would drop the doc, and it names the doc the
+    * drop is attributed to — the input for per-source impact
+    * accounting. Bucket-level attribution, not transitive closure
+    * (use connectedComponents for cluster identity). Cost is linear
+    * in bucket size: one (band, bv) window + one id-keyed groupBy.
+    */
+  def lshCanonicalIds(sig: DataFrame, idCol: String,
+                      bands: Int, rows: Int): DataFrame =
+    bandBuckets(sig, idCol, bands, rows)
+      .withColumn("__mn", min(col(idCol)).over(Window.partitionBy("band", "bv")))
+      .groupBy(col(idCol))
+      .agg(min(col("__mn")).as("canon_id"))
+
   /** Candidate near-duplicate pairs via LSH banding: docs sharing any
     * band bucket. Returns distinct (id_a, id_b) with id_a < id_b.
     * bands × rows must equal numPerms of the signature frame.

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Specs for the round-8 corpus-report operators: per-source Gini
+  * concentration, n-gram diversity, Zipf fit, RRF hybrid retrieval,
+  * LSH canonical attribution / per-source dedup impact, and
+  * leakage-safe CV folds.
+  */
+class CorpusReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Writes (doc_id, text, lang, source, n_chars) rows as a temp
+    * documents.parquet dir consumable by Tables.load.
+    */
+  private def tmpCorpus(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("lshCanonicalIds agrees with lshDroppedIds and maps survivors to themselves") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val sig = Similarity.minhashSignatures(d, "doc_id", "text", 64, 5)
+    val canon = Similarity.lshCanonicalIds(sig, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toMap
+    val dropped = Similarity.lshDroppedIds(sig, "doc_id", 16, 4)
+      .as[Long].collect().toSet
+    assert(canon.nonEmpty)
+    canon.foreach { case (id, c) =>
+      assert(c <= id, s"canonical $c above doc $id")
+      assert((c < id) == dropped.contains(id),
+        s"doc $id: canon=$c vs dropped=${dropped.contains(id)}")
+    }
+  }
+
+  test("source_gini_tokens is exact on a hand-computed corpus") {
+    // source a: four equal-length docs -> gini 0
+    // source b: lengths 1 and 3 -> G = ((2*1-3)*1 + (2*2-3)*3) / (2*4) = 0.25
+    val dir = tmpCorpus(Seq(
+      (0L, "x y z", "a"), (1L, "p q r", "a"),
+      (2L, "u v w", "a"), (3L, "m n o", "a"),
+      (4L, "solo", "b"), (5L, "one two three", "b")))
+    val out = SparkEntry.queries("source_gini_tokens")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 4L, 12L, 0.0), ("b", 2L, 4L, 0.25)))
+  }
+
+  test("ngram_diversity_report is exact on a hand-computed corpus") {
+    val dir = tmpCorpus(Seq((0L, "a b a b", "s")))
+    val out = SparkEntry.queries("ngram_diversity_report")(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, 4L, 2L, 0.5),      // a b a b
+      (2, 3L, 2L, 0.666667), // "a b" "b a" "a b"
+      (3, 2L, 2L, 1.0)))     // "a b a" "b a b"
+  }
+
+  test("vocab_zipf_fit recovers slope ~ -1 on an exact power-law vocabulary") {
+    // token w_i appears floor(2000 / i) times: ln(freq) ~ ln(2000) - ln(rank)
+    val words = (1 to 60).flatMap(i => Seq.fill(2000 / i)(f"w$i%03d"))
+    val dir = tmpCorpus(words.grouped(200).zipWithIndex.map {
+      case (g, i) => (i.toLong, g.mkString(" "), "s")
+    }.toSeq)
+    val r = SparkEntry.queries("vocab_zipf_fit")(spark, dir).collect().head
+    val (n, slope, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    assert(n == 60L)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+    assert(r2 > 0.999, s"r2 $r2")
+  }
+
+  test("retrieval_rrf_hybrid scores decompose into the two rank legs") {
+    val out = SparkEntry.queries("retrieval_rrf_hybrid")(spark, sfDir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val lex = Option(r.get(1)).map(_.asInstanceOf[Int])
+      val vec = Option(r.get(2)).map(_.asInstanceOf[Int])
+      assert(lex.isDefined || vec.isDefined)
+      val expect = lex.map(l => 1.0 / (60 + l)).getOrElse(0.0) +
+        vec.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+    }
+    // descending by fused score
+    val rrfs = out.map(_.getDouble(3)).toSeq
+    assert(rrfs == rrfs.sorted.reverse)
+  }
+
+  test("dedup_impact_by_source accounting ties out against lshDroppedIds") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val sig = Similarity.minhashSignatures(d, "doc_id", "text", 64, 5)
+    val nDropped = Similarity.lshDroppedIds(sig, "doc_id", 16, 4).count()
+    val rows = SparkEntry.queries("dedup_impact_by_source")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == d.count())
+    assert(rows.map(_.getLong(2)).sum == nDropped)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "cross-source exceeds removed")
+      val rate = r.getDouble(5)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("cv folds never split an LSH candidate pair (leakage property)") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val sig = Similarity.minhashSignatures(d, "doc_id", "text", 64, 5)
+    val pairs = Similarity.lshCandidatePairs(sig, "doc_id", 16, 4, 1000)
+    val cc = Similarity.connectedComponents(pairs)
+    import graft.functions.GraftFunctions.detHash
+    val fold = d.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), detHash(5L, col("cluster")).as("fold"))
+    val crossFold = pairs
+      .join(fold.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("fold", "fa"), Seq("id_a"))
+      .join(fold.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("fold", "fb"), Seq("id_b"))
+      .where(col("fa") =!= col("fb")).count()
+    assert(pairs.count() > 0, "no candidate pairs — property vacuous")
+    assert(crossFold == 0, s"$crossFold near-dup pairs split across folds")
+    // census covers the corpus exactly once
+    val census = SparkEntry.queries("cv_folds_leakage_safe")(spark, sfDir).collect()
+    assert(census.map(_.getLong(1)).sum == d.count())
+    assert(math.abs(census.map(_.getDouble(4)).sum - 1.0) < 0.001)
+  }
+}
