@@ -13,6 +13,9 @@ import graft.functions.GraftFunctions._
   */
 object EventQueries {
 
+  /** quantile_sample_error: hash-sample modulus (1/16 sample). */
+  private val QSampleDiv = 16L
+
   private val SessionGapUs = 1800L * 1000000L // 30 min in microseconds
   // modified-z cutoff 3.5 × normal consistency 1.4826, pre-folded to
   // one decimal literal both engines parse to the same double (a
@@ -656,6 +659,67 @@ object EventQueries {
         |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
         |      THEN value END) AS p99
         |FROM s""".stripMargin)),
+
+    // Sampled-quantile error report: the same p50/p90/p99 computed
+    // exactly over the full column AND over a deterministic 1/16
+    // hash-sample, with the absolute error per quantile — the scale
+    // dial made measurable. At 100 TB the exact two-pass bracketing
+    // still works (it moves only bucket counts), but a hash-sample
+    // estimate costs one 1/16th scan; this report is the evidence for
+    // when that trade is safe (error ≪ the decision threshold) and
+    // the canary for when it isn't (heavy tails inflate p99 error).
+    // detHash sampling is partitioning-independent, so the estimate —
+    // and therefore the whole report — is deterministic on both
+    // engines, unlike rand()-sampled quantiles.
+    QueryDef("quantile_sample_error",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+        val qs = Seq(0.5, 0.9, 0.99)
+        val (nFull, exact) = graft.ops.Quantile.exactQuantiles(e, "value", qs)
+        val samp = e.where(detHash(QSampleDiv, col("event_id")) === 0L)
+        val (nSamp, est) = graft.ops.Quantile.exactQuantiles(samp, "value", qs)
+        qs.indices.map(i => (qs(i), nFull, nSamp, exact(i), est(i)))
+          .toDF("q", "n_full", "n_sample", "exact", "estimate")
+          .withColumn("abs_error",
+            round(abs(col("estimate") - col("exact")), 6))
+          .orderBy(col("q"))
+      },
+      Some(s"""WITH f AS (
+        |  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |sm AS (
+        |  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ${detHashSql(QSampleDiv, Seq("event_id"))} = 0),
+        |fx AS (
+        |  SELECT max(n) AS n_full,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |        THEN value END) AS e50,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |        THEN value END) AS e90,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+        |        THEN value END) AS e99
+        |  FROM f),
+        |sx AS (
+        |  SELECT max(n) AS n_sample,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |        THEN value END) AS s50,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |        THEN value END) AS s90,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+        |        THEN value END) AS s99
+        |  FROM sm)
+        |SELECT q, n_full, n_sample, exact, estimate,
+        |  round(abs(estimate - exact), 6) AS abs_error
+        |FROM (
+        |  SELECT 0.50::DOUBLE AS q, n_full, n_sample,
+        |    e50 AS exact, s50 AS estimate FROM fx, sx
+        |  UNION ALL SELECT 0.90::DOUBLE, n_full, n_sample, e90, s90 FROM fx, sx
+        |  UNION ALL SELECT 0.99::DOUBLE, n_full, n_sample, e99, s99 FROM fx, sx)
+        |ORDER BY q""".stripMargin)),
 
     // Multi-q tail report over a BIGGER, duplicate-heavy column
     // (lineitem.l_extendedprice — ~30× the events row count at any

@@ -549,6 +549,102 @@ object SimilarityQueries {
         |FROM cells0 c LEFT JOIN rm ON rm.rid = c.vec_id
         |ORDER BY c.vec_id""".stripMargin)),
 
+    // SemDeDup, paper-exact representative rule
+    // (Similarity.semDedupCentroidRank): within a cluster the member
+    // of a ≥-threshold pair that sits FARTHER from the centroid is
+    // the removed one (ties id-broken) — the published ranking,
+    // where semdedup_embedding above keeps lowest-id. Same
+    // assignment + hot-block guard; the extra ccos column in the
+    // output is the rank key itself, so the gate pins both the
+    // decision and the evidence.
+    QueryDef("semdedup_centroid_rank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        Similarity.semDedupCentroidRank(e, "vec_id", "embedding", cents,
+            SemDedupMinCos, SemDedupBlock, SemDedupPlanes)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < $NumCells),
+        |asn AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+        |  FROM embeddings e CROSS JOIN c),
+        |cells0 AS (
+        |  SELECT vec_id, embedding, cid AS cell, ccos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM asn)
+        |  WHERE rn = 1),
+        |sized AS (
+        |  SELECT vec_id, embedding, cell, ccos,
+        |    count(*) OVER (PARTITION BY cell) AS n_cell
+        |  FROM cells0),
+        |cells AS (
+        |  SELECT vec_id, embedding, cell, ccos,
+        |    CASE WHEN n_cell <= $SemDedupBlock THEN -1
+        |      ELSE ${bucketSql("embedding", SemDedupPlanes)} END AS blk
+        |  FROM sized),
+        |rm AS (
+        |  SELECT DISTINCT CASE WHEN a.ccos >= b.ccos THEN b.vec_id
+        |    ELSE a.vec_id END AS rid
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.blk = b.blk AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        |    >= $SemDedupMinCos)
+        |SELECT c.vec_id, c.cell, c.ccos,
+        |  CASE WHEN rm.rid IS NULL THEN 0 ELSE 1 END AS removed
+        |FROM cells0 c LEFT JOIN rm ON rm.rid = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin)),
+
+    // Embedding-health census per label: exact vector count, mean /
+    // min / max / std of the L2 norm — the "did the encoder collapse,
+    // is one class systematically low-magnitude" screen run before
+    // any cosine-based op trusts these vectors (an unnormalized or
+    // zero-collapsed slice silently corrupts every cosine above).
+    // Norms round to 6dp then sum as DECIMAL (order-independent);
+    // mean/std are fixed IEEE shapes from exact moments. One scan,
+    // one per-label aggregate — nothing driver-side.
+    QueryDef("embedding_norm_report",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("label"),
+            round(vectorNorm(col("embedding").cast("array<double>")), 6)
+              .cast(DecimalType(18, 6)).as("nrm"))
+        val m = e.groupBy(col("label")).agg(
+          count(lit(1)).as("n_vecs"),
+          count(lit(1)).cast("double").as("n"),
+          sum(col("nrm")).cast("double").as("s1"),
+          sum((col("nrm") * col("nrm")).cast(DecimalType(38, 12)))
+            .cast("double").as("s2"),
+          min(col("nrm")).cast("double").as("min_norm"),
+          max(col("nrm")).cast("double").as("max_norm"))
+        m.select(col("label"), col("n_vecs"),
+            round(col("s1") / col("n"), 6).as("mean_norm"),
+            col("min_norm"), col("max_norm"),
+            round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")),
+              6).as("std_norm"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+        |  SELECT label,
+        |    round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])),
+        |      6)::DECIMAL(18,6) AS nrm
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, COUNT(*) AS n_vecs, COUNT(*)::DOUBLE AS n,
+        |    SUM(nrm)::DOUBLE AS s1,
+        |    SUM((nrm * nrm)::DECIMAL(38,12))::DOUBLE AS s2,
+        |    MIN(nrm)::DOUBLE AS min_norm, MAX(nrm)::DOUBLE AS max_norm
+        |  FROM e GROUP BY label)
+        |SELECT label, n_vecs,
+        |  round(s1 / n, 6) AS mean_norm, min_norm, max_norm,
+        |  round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_norm
+        |FROM m ORDER BY label""".stripMargin)),
+
     // kNN label-agreement screen (Similarity.knnLabelAgreement):
     // per-label rate of sampled vectors whose 5-NN neighborhood votes
     // AGAINST their label — the label-noise localizer run before

@@ -821,7 +821,11 @@ object Similarity {
           col("cid").as("cid")).as("__c"))
       .groupBy(col(idCol))
       .agg(first(col("__emb")).as("__emb"), first(col("__nrm")).as("__nrm"),
-        min(col("__c")).getField("cid").as("cell"))
+        min(col("__c")).getField("cid").as("cell"),
+        // cosine to the WINNING centroid (the argmax the struct-min
+        // just picked): the within-cluster quality rank SemDeDup's
+        // published representative rule orders by
+        (-min(col("__c")).getField("negcos")).as("__ccos"))
   }
 
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
@@ -1228,6 +1232,51 @@ object Similarity {
       .select(col("id_b").as("__rm")).distinct()
     cells.join(removed, col(idCol) === col("__rm"), "left")
       .select(col(idCol), col("cell"),
+        when(col("__rm").isNull, lit(0)).otherwise(lit(1)).as("removed"))
+  }
+
+  /** SemDeDup with the paper's exact representative rule (Abbas et
+    * al. 2023 §3: within a cluster, keep the duplicate pair member
+    * CLOSER to the centroid): a vector is removed iff some
+    * same-cluster vector with cosine ≥ minCos outranks it by
+    * (cosine-to-centroid desc, id asc). semDedup (above) is the
+    * id-ranked variant of the same rule class — both are one
+    * dominance pass over the within-cluster pair stream, not the
+    * paper's sequential greedy (which is order-dependent and
+    * unexpressible as a join); ties are id-broken so both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape identical to semDedup: broadcast-centroid
+    * assignment, hot clusters degrade to sign-LSH sub-blocks, the
+    * pair join never leaves the (cell, block) key. Output: one row
+    * per vector (id, cell, ccos, removed 0/1).
+    */
+  def semDedupCentroidRank(emb: DataFrame, idCol: String, embCol: String,
+                           centroids: DataFrame, minCos: Double,
+                           maxBlockSize: Int, subPlanes: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    // read three times (both pair legs + final flag join) — same
+    // localCheckpoint discipline as semDedup
+    val cells = assignCells(e, centroids, idCol).localCheckpoint(true)
+    val blocked = cells.withColumn("__blk",
+      when(count(lit(1)).over(Window.partitionBy(col("cell")))
+          <= maxBlockSize, lit(-1L))
+        .otherwise(signLshBucket(col("__emb"), subPlanes)))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    // one pair per unordered {a,b}; the loser (removed side) is the
+    // member the centroid rank places second
+    val removed = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.__blk") === col("b.__blk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .where(round(dotProduct(col("a.__emb"), col("b.__emb")) /
+        (col("a.__nrm") * col("b.__nrm")), 6) >= minCos)
+      .select(when(col("a.__ccos") >= col("b.__ccos"), col(s"b.$idCol"))
+        .otherwise(col(s"a.$idCol")).as("__rm"))
+      .distinct()
+    cells.join(removed, col(idCol) === col("__rm"), "left")
+      .select(col(idCol), col("cell"), col("__ccos").as("ccos"),
         when(col("__rm").isNull, lit(0)).otherwise(lit(1)).as("removed"))
   }
 

@@ -125,4 +125,58 @@ class CorpusReportsSpec extends SparkSpec {
     assert(census.map(_.getLong(1)).sum == d.count())
     assert(math.abs(census.map(_.getDouble(4)).sum - 1.0) < 0.001)
   }
+
+  test("semDedupCentroidRank keeps the member closest to the centroid, not the lowest id") {
+    // centroid c0 = (1, 0). Three near-dup vectors in its cell; the
+    // HIGHEST id is the closest to the centroid, so the id-ranked
+    // rule and the centroid-ranked rule disagree on purpose.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid seed
+      (10L, Array(0.90f, 0.44f)), // cos to c0 ~ .898
+      (11L, Array(0.92f, 0.40f)), // cos to c0 ~ .917
+      (12L, Array(0.95f, 0.32f))  // cos to c0 ~ .948  <- best rank
+    ).toDF("vec_id", "embedding")
+    val cents = emb.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val out = Similarity.semDedupCentroidRank(emb, "vec_id", "embedding",
+        cents, minCos = 0.99, maxBlockSize = 50, subPlanes = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(12L) == 0, "best-ranked member must survive")
+    assert(out(10L) == 1 && out(11L) == 1, "dominated members removed")
+    // the id-ranked variant keeps 10 instead — the rules must differ here
+    val byId = Similarity.semDedup(emb, "vec_id", "embedding",
+        cents, minCos = 0.99, maxBlockSize = 50, subPlanes = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(byId(10L) == 0 && byId(12L) == 1)
+  }
+
+  test("embedding_norm_report is exact on known vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Seq((0L, Array(3.0f, 4.0f), 0), (1L, Array(6.0f, 8.0f), 0),
+        (2L, Array(0.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("embedding_norm_report")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // label 0: norms 5 and 10 -> mean 7.5, std 2.5; label 1: norm 2
+    assert(rows.toSeq == Seq((0, 2L, 7.5, 5.0, 10.0, 2.5),
+      (1, 1L, 2.0, 2.0, 2.0, 0.0)))
+  }
+
+  test("quantile_sample_error: sample estimates bracket the exact values sanely") {
+    val rows = SparkEntry.queries("quantile_sample_error")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val e = Tables.load(spark, sfDir, "events")
+    val (nFull, exact) = graft.ops.Quantile.exactQuantiles(e, "value",
+      Seq(0.5, 0.9, 0.99))
+    rows.zip(exact).foreach { case (r, ex) =>
+      assert(r.getLong(1) == nFull)
+      assert(r.getLong(2) < nFull, "sample must be a strict subset")
+      assert(r.getDouble(3) == ex, "exact column must match exactQuantiles")
+      assert(r.getDouble(5) >= 0.0)
+      assert(math.abs(r.getDouble(4) - r.getDouble(3)) <=
+        r.getDouble(5) + 1e-6, "abs_error consistent with its operands")
+    }
+  }
 }
