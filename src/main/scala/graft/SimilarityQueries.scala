@@ -645,6 +645,76 @@ object SimilarityQueries {
         |  round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_norm
         |FROM m ORDER BY label""".stripMargin)),
 
+    // Embedding centroid drift between two corpus halves (stand-in:
+    // vec_id parity; a real pipeline feeds two snapshots): per label,
+    // the cosine between half-A and half-B centroids and the centroid
+    // norm ratio — the "did the encoder (or the corpus) move under
+    // this class" check run before trusting cross-snapshot cosine
+    // thresholds. Per-dim sums are DECIMAL-exact (10dp-quantized
+    // components, partition-order-independent); means are one IEEE
+    // division per dim; the 64-term cosine reduction rounds each
+    // product to 12dp DECIMAL before summing, so the whole report is
+    // bit-stable at any parallelism. One posexplode scan + two
+    // bounded (label, dim)-keyed aggregates.
+    QueryDef("embedding_centroid_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val x = Tables.load(s, dir, "embeddings")
+          .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "v")))
+        val m = x.groupBy(col("label"), col("half"), col("dim"))
+          .agg(sum(col("v").cast(DecimalType(28, 10))).as("sx"),
+            count(lit(1)).as("n"))
+        val a = m.where(col("half") === 0)
+          .select(col("label"), col("dim"),
+            (col("sx").cast("double") / col("n")).as("ma"), col("n").as("na"))
+        val b = m.where(col("half") === 1)
+          .select(col("label").as("lb"), col("dim").as("db"),
+            (col("sx").cast("double") / col("n")).as("mb"), col("n").as("nb"))
+        val ab = a.join(b, col("label") === col("lb") && col("dim") === col("db"))
+        def term(c: org.apache.spark.sql.Column) =
+          round(c.cast(DecimalType(38, 14)), 12)
+        val g = ab.groupBy(col("label")).agg(
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(term(col("ma") * col("mb"))).as("dot"),
+          sum(term(col("ma") * col("ma"))).as("qa"),
+          sum(term(col("mb") * col("mb"))).as("qb"))
+        g.select(col("label"), col("n_a"), col("n_b"),
+            round(col("dot").cast("double") /
+              (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))),
+              6).as("centroid_cos"),
+            round(sqrt(col("qb").cast("double")) /
+              sqrt(col("qa").cast("double")), 6).as("norm_ratio"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH x AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, half, dim,
+        |    SUM(CAST(v AS DECIMAL(28,10))) AS sx, COUNT(*) AS n
+        |  FROM x GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT a.label, a.dim,
+        |    a.sx::DOUBLE / a.n AS ma, b.sx::DOUBLE / b.n AS mb,
+        |    a.n AS na, b.n AS nb
+        |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+        |  WHERE a.half = 0 AND b.half = 1),
+        |g AS (
+        |  SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |    SUM(round(CAST(ma * mb AS DECIMAL(38,14)), 12)) AS dot,
+        |    SUM(round(CAST(ma * ma AS DECIMAL(38,14)), 12)) AS qa,
+        |    SUM(round(CAST(mb * mb AS DECIMAL(38,14)), 12)) AS qb
+        |  FROM ab GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  round(dot::DOUBLE / (sqrt(qa::DOUBLE) * sqrt(qb::DOUBLE)), 6)
+        |    AS centroid_cos,
+        |  round(sqrt(qb::DOUBLE) / sqrt(qa::DOUBLE), 6) AS norm_ratio
+        |FROM g ORDER BY label""".stripMargin)),
+
     // kNN label-agreement screen (Similarity.knnLabelAgreement):
     // per-label rate of sampled vectors whose 5-NN neighborhood votes
     // AGAINST their label — the label-noise localizer run before

@@ -72,11 +72,18 @@ object TextQueries {
   private val RrfK = 60
   private val RrfQueryVec = 0
 
+  /** RBO persistence parameter (Webber et al.'s standard 0.9). */
+  private val RboP = 0.9
+
   /** Unrolled DuckDB mirror of Text.bpeMergeRounds: one
     * (pairs → argmax → replace → inventory) CTE block per round over
     * the same pipe-wrapped symbol representation.
     */
-  private def bpeOracle(rounds: Int, topW: Int): String = {
+  /** The WITH chain (w0/v0, p_r/t_r/v_r/s_r per round) shared by the
+    * trainer oracle and the encode-apply oracle; t_r holds round r's
+    * winning (a, b) pair.
+    */
+  private def bpeCtes(rounds: Int, topW: Int): String = {
     val head = s"""WITH w0 AS (
       |  SELECT w, count(*) AS cnt FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -105,12 +112,52 @@ object TextQueries {
       |  SELECT unnest(string_split(substring(s, 2, length(s) - 2), '||')) AS sym
       |  FROM v$r))""".stripMargin
     }
+    (head +: per).mkString(",\n")
+  }
+
+  private def bpeOracle(rounds: Int, topW: Int): String = {
     val sel = (1 to rounds).map { r =>
       s"SELECT $r AS round, (SELECT a FROM t$r) AS pair_a, " +
         s"(SELECT b FROM t$r) AS pair_b, (SELECT pc FROM t$r) AS pair_count, " +
         s"(SELECT ns FROM s$r) AS n_symbols"
     }.mkString("\nUNION ALL\n")
-    (head +: per).mkString(",\n") + "\n" + sel + "\nORDER BY round"
+    bpeCtes(rounds, topW) + "\n" + sel + "\nORDER BY round"
+  }
+
+  /** Encode-apply oracle: replay the trained merges over every corpus
+    * word (same piped representation) and roll up per source.
+    */
+  private def bpeEncodeOracle(rounds: Int, topW: Int): String = {
+    val enc = (1 to rounds).map { r =>
+      s"""enc$r AS (
+      |  SELECT source, n_chars, replace(s,
+      |      '|' || (SELECT a FROM t$r) || '||' || (SELECT b FROM t$r) || '|',
+      |      '|' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || '|') AS s
+      |  FROM enc${r - 1})""".stripMargin
+    }.mkString(",\n")
+    // NOTE: concatenated, not an outer stripMargin — stripMargin
+    // would re-process the interpolated CTE text and truncate its
+    // "|| '|'" concat lines at the pipe (the exact r8 bug this
+    // comment prevents recurring)
+    val tail = s"""dw AS (
+    |  SELECT source, w FROM (
+    |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+    |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')),
+    |enc0 AS (
+    |  SELECT source, length(w) AS n_chars,
+    |    '|' || array_to_string(list_transform(
+    |      generate_series(1, length(w)), i -> substring(w, i, 1)), '||')
+    |    || '|' AS s
+    |  FROM dw)""".stripMargin
+    val sel = s"""SELECT source, COUNT(*) AS n_words,
+    |  SUM(n_chars)::BIGINT AS n_chars,
+    |  SUM(len(string_split(substring(s, 2, length(s) - 2), '||')))::BIGINT
+    |    AS n_tokens,
+    |  round(SUM(n_chars)::DOUBLE /
+    |    SUM(len(string_split(substring(s, 2, length(s) - 2), '||')))::DOUBLE,
+    |    6) AS chars_per_token
+    |FROM enc$rounds GROUP BY source ORDER BY source""".stripMargin
+    Seq(bpeCtes(rounds, topW), tail, enc).mkString(",\n") + "\n" + sel
   }
 
   /** Per-(bucket, bin) packing frame shared by pack_sequences and
@@ -199,6 +246,58 @@ object TextQueries {
     |  SELECT doc_id,
     |    CAST(round(CAST(sum(s) AS DECIMAL(18,6)), 4) AS DOUBLE) AS bm25
     |  FROM term GROUP BY doc_id)""".stripMargin
+
+  /** The two retrieval candidate pools shared by retrieval_rrf_hybrid
+    * and retrieval_rbo_overlap: the BM25 lexical top-RrfPool as
+    * (doc_id, lex_rank) and the embedding-cosine dense top-RrfPool
+    * (query = vec RrfQueryVec) as (vec_id, vec_rank). Each leg is cut
+    * to its pool by a deterministic (score desc, id) sorted limit
+    * BEFORE the rank window runs, so the windows see ≤RrfPool rows
+    * regardless of corpus size.
+    */
+  private[graft] def retrievalPools(s: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val lexPool = bm25Scored(s, dir)
+      .orderBy(desc("bm25"), col("doc_id")).limit(RrfPool)
+    val lex = lexPool.withColumn("lex_rank",
+      row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", vectorNorm(col("emb")))
+    val q = e.where(col("vec_id") === RrfQueryVec)
+      .select(col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val denPool = e.where(col("vec_id") =!= RrfQueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotProduct(col("qemb"), col("emb")) /
+          (col("qnrm") * col("nrm")), 6).as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(RrfPool)
+    val den = denPool.withColumn("vec_rank",
+      row_number().over(Window.orderBy(desc("cos"), col("vec_id"))))
+      .select(col("vec_id"), col("vec_rank"))
+    (lex, den)
+  }
+
+  /** Oracle CTE chain ending at `lex(doc_id, lex_rank)` and
+    * `den(vec_id, vec_rank)` — the DuckDB mirror of retrievalPools.
+    */
+  private val retrievalPoolsSql: String = s"""$bm25ScoredSql,
+    |lex AS (
+    |  SELECT doc_id,
+    |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank
+    |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT $RrfPool),
+    |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+    |       WHERE vec_id = $RrfQueryVec),
+    |dn AS (
+    |  SELECT vec_id,
+    |    round(list_cosine_similarity(qe, embedding::DOUBLE[]), 6) AS cos
+    |  FROM embeddings CROSS JOIN qv WHERE vec_id <> $RrfQueryVec),
+    |den AS (
+    |  SELECT vec_id,
+    |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)::INT AS vec_rank
+    |  FROM dn ORDER BY cos DESC, vec_id LIMIT $RrfPool)""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -972,6 +1071,46 @@ object TextQueries {
       },
       Some(bpeOracle(BpeMergeRounds, BpeMergeTopWords))),
 
+    // Tokenizer encode-apply: run the corpus through the merges
+    // bpe_merge_rounds just learned and report per-source token
+    // economics (words, chars, tokens, chars/token) — the number a
+    // mixture designer multiplies by price-per-token. The 3 winning
+    // pairs are bounded driver state (one row per round, same
+    // contract as exactQuantiles' bracketing) applied as literal
+    // replaces over the piped word representation, so the encode is
+    // one scan + one per-source rollup; symbols are alnum by
+    // construction, so splicing them into the replace pattern is
+    // injection-safe. The oracle replays the FULL train+apply chain
+    // from scratch — any drift in either stage breaks the gate.
+    QueryDef("bpe_encode_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val merges = graft.ops.Text.bpeMergeRounds(d, "text",
+            BpeMergeRounds, BpeMergeTopWords)
+          .orderBy(col("round")).collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        val piped = d
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .where(col("w").rlike("^[A-Za-z0-9]+$"))
+          .withColumn("s", concat(lit("|"),
+            array_join(expr(
+              "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+              "||"), lit("|")))
+        val applied = merges.foldLeft(piped) { case (df, (a, b)) =>
+          df.withColumn("s", expr(s"replace(s, '|$a||$b|', '|$a$b|')"))
+        }
+        val tok = size(split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|"))
+        applied.withColumn("n_tok", tok)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w"))).as("n_chars"),
+            sum(col("n_tok")).as("n_tokens"),
+            round(sum(length(col("w"))).cast("double") /
+              sum(col("n_tok")).cast("double"), 6).as("chars_per_token"))
+          .orderBy(col("source"))
+      },
+      Some(bpeEncodeOracle(BpeMergeRounds, BpeMergeTopWords))),
+
     // Pairwise source n-gram overlap (Text.sourceOverlapMatrix):
     // Jaccard over a deterministic hash-residue θ-sample of 3-grams —
     // mirrored dumps / cross-listed crawls telemetry. The sample is
@@ -1453,25 +1592,7 @@ object TextQueries {
     // BM25 pipeline and one broadcast-query cosine scan.
     QueryDef("retrieval_rrf_hybrid",
       (s, dir) => {
-        val lexPool = bm25Scored(s, dir)
-          .orderBy(desc("bm25"), col("doc_id")).limit(RrfPool)
-        val lex = lexPool.withColumn("lex_rank",
-          row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
-          .select(col("doc_id"), col("lex_rank"))
-        val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-          .withColumn("nrm", vectorNorm(col("emb")))
-        val q = e.where(col("vec_id") === RrfQueryVec)
-          .select(col("emb").as("qemb"), col("nrm").as("qnrm"))
-        val denPool = e.where(col("vec_id") =!= RrfQueryVec)
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
-          .orderBy(desc("cos"), col("vec_id")).limit(RrfPool)
-        val den = denPool.withColumn("vec_rank",
-          row_number().over(Window.orderBy(desc("cos"), col("vec_id"))))
-          .select(col("vec_id"), col("vec_rank"))
+        val (lex, den) = retrievalPools(s, dir)
         lex.join(den, col("doc_id") === col("vec_id"), "full_outer")
           .select(
             coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
@@ -1482,26 +1603,58 @@ object TextQueries {
               6).as("rrf"))
           .orderBy(desc("rrf"), col("doc_id")).limit(20)
       },
-      Some(s"""$bm25ScoredSql,
-        |lex AS (
-        |  SELECT doc_id,
-        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank
-        |  FROM scored ORDER BY bm25 DESC, doc_id LIMIT $RrfPool),
-        |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
-        |       WHERE vec_id = $RrfQueryVec),
-        |dn AS (
-        |  SELECT vec_id,
-        |    round(list_cosine_similarity(qe, embedding::DOUBLE[]), 6) AS cos
-        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> $RrfQueryVec),
-        |den AS (
-        |  SELECT vec_id,
-        |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)::INT AS vec_rank
-        |  FROM dn ORDER BY cos DESC, vec_id LIMIT $RrfPool)
+      Some(s"""$retrievalPoolsSql
         |SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
         |  l.lex_rank, d.vec_rank,
         |  round(COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
         |    + COALESCE(1.0 / ($RrfK + d.vec_rank), 0), 6) AS rrf
         |FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.vec_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Retrieval-leg agreement: truncated rank-biased overlap (Webber
+    // et al. 2010) between the BM25 and dense pools, plus the raw
+    // top-10 set overlap — the "are my two retrieval legs redundant
+    // or complementary" dial that decides whether RRF fusion buys
+    // anything (RBO→1 ⇒ the legs agree and fusion is a no-op;
+    // RBO→0 ⇒ fusion genuinely widens recall). A doc in both pools
+    // first counts at depth m = max(lex_rank, vec_rank), so
+    // RBO = Σ_docs Σ_{d=m..k} (1−p)·p^(d−1)/d; each term is rounded
+    // to 12dp DECIMAL before the sum (order-independent), and the
+    // whole computation runs over ≤ pool² bounded rows.
+    QueryDef("retrieval_rbo_overlap",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val (lex, den) = retrievalPools(s, dir)
+        val both = lex.join(den, col("doc_id") === col("vec_id"))
+          .select(greatest(col("lex_rank"), col("vec_rank")).as("m"))
+          .localCheckpoint(true) // ≤ RrfPool rows, read twice
+        val counts = both.agg(
+          count(lit(1)).as("n_both"),
+          coalesce(sum(when(col("m") <= 10, 1L).otherwise(0L)), lit(0L))
+            .as("overlap_at_10"))
+        val rbo = both
+          .select(col("m"), explode(sequence(lit(1), lit(RrfPool))).as("d"))
+          .where(col("d") >= col("m"))
+          .select(round((lit(1 - RboP) * pow(lit(RboP), col("d") - 1) /
+            col("d")).cast(DecimalType(18, 14)), 12).as("t"))
+          .agg(coalesce(round(sum(col("t")).cast("double"), 6), lit(0.0))
+            .as("rbo"))
+        counts.crossJoin(rbo)
+      },
+      Some(s"""$retrievalPoolsSql,
+        |pools AS (
+        |  SELECT greatest(l.lex_rank, d.vec_rank) AS m
+        |  FROM lex l JOIN den d ON l.doc_id = d.vec_id),
+        |terms AS (
+        |  SELECT round(CAST(${1 - RboP} * pow($RboP, i - 1) / i
+        |      AS DECIMAL(18,14)), 12) AS t
+        |  FROM pools, unnest(generate_series(1, $RrfPool)) AS s(i)
+        |  WHERE i >= m)
+        |SELECT
+        |  (SELECT COUNT(*) FROM pools) AS n_both,
+        |  (SELECT COALESCE(SUM(CASE WHEN m <= 10 THEN 1 ELSE 0 END), 0)::BIGINT
+        |     FROM pools) AS overlap_at_10,
+        |  COALESCE(round(SUM(t)::DOUBLE, 6), 0.0) AS rbo
+        |FROM terms""".stripMargin))
   )
 }

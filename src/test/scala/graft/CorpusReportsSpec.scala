@@ -164,6 +164,55 @@ class CorpusReportsSpec extends SparkSpec {
       (1, 1L, 2.0, 2.0, 2.0, 0.0)))
   }
 
+  test("bpe_encode_stats tokenizes a hand-computed corpus exactly") {
+    // vocab: abc x5, ab x3, bc x2. Merges: (a,b) count 8, then
+    // (ab,c) count 5, then (b,c) count 2 — after 3 rounds every
+    // corpus word encodes to ONE token: 25 chars / 10 tokens = 2.5.
+    val dir = tmpCorpus(Seq(
+      (0L, "abc abc abc abc abc", "s"),
+      (1L, "ab ab ab", "s"),
+      (2L, "bc bc", "s")))
+    val rows = SparkEntry.queries("bpe_encode_stats")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(("s", 10L, 25L, 10L, 2.5)))
+  }
+
+  test("retrieval_rbo_overlap matches a plain-Scala RBO over the same pools") {
+    val (lexDf, denDf) = TextQueries.retrievalPools(spark, sfDir)
+    val lex = lexDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val den = denDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ms = lex.keySet.intersect(den.keySet).toSeq
+      .map(id => math.max(lex(id), den(id)))
+    val expectRbo = ms.flatMap(m => (m to 50).map(d =>
+      BigDecimal(0.1 * math.pow(0.9, d - 1) / d)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))).sum
+    val r = SparkEntry.queries("retrieval_rbo_overlap")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == ms.size)
+    assert(r.getLong(1) == ms.count(_ <= 10))
+    assert(math.abs(r.getDouble(2) -
+      expectRbo.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("embedding_centroid_drift is exact on hand-placed centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    // label 0: both halves centered at (1,0) -> cos 1, ratio 1
+    // label 1: half A at (0,1), half B at (0,2) -> cos 1, ratio 2
+    // label 2: half A at (1,0), half B at (0,1) -> cos 0, ratio 1
+    Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+        (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 2.0f), 1),
+        (4L, Array(1.0f, 0.0f), 2), (5L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("embedding_centroid_drift")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((0, 1L, 1L, 1.0, 1.0),
+      (1, 1L, 1L, 1.0, 2.0), (2, 1L, 1L, 0.0, 1.0)))
+  }
+
   test("quantile_sample_error: sample estimates bracket the exact values sanely") {
     val rows = SparkEntry.queries("quantile_sample_error")(spark, sfDir).collect()
     assert(rows.length == 3)
