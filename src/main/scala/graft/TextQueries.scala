@@ -75,6 +75,9 @@ object TextQueries {
   /** RBO persistence parameter (Webber et al.'s standard 0.9). */
   private val RboP = 0.9
 
+  /** shard_skew_forecast: writer shard count. */
+  private val ShardK = 32L
+
   /** Unrolled DuckDB mirror of Text.bpeMergeRounds: one
     * (pairs → argmax → replace → inventory) CTE block per round over
     * the same pipe-wrapped symbol representation.
@@ -1655,6 +1658,128 @@ object TextQueries {
         |  (SELECT COALESCE(SUM(CASE WHEN m <= 10 THEN 1 ELSE 0 END), 0)::BIGINT
         |     FROM pools) AS overlap_at_10,
         |  COALESCE(round(SUM(t)::DOUBLE, 6), 0.0) AS rbo
-        |FROM terms""".stripMargin))
+        |FROM terms""".stripMargin)),
+
+    // Mixture × quality allocation matrix: for every (source, quality
+    // bin) cell, the fraction of the FINAL α-tempered mixture drawn
+    // from it — alloc_frac = temp_frac(source) × share-of-source — the
+    // table a mixture designer reads to see whether temperature
+    // up-weighting of a small source is quietly pulling in its
+    // low-quality tail. Composes the mix_temperature_sources weights
+    // with the quality_bins_documents binning; per-source and total
+    // aggregates are bounded frames broadcast back, the only
+    // corpus-sized work is the one scan + (source, bin) rollup.
+    QueryDef("mix_quality_matrix",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        def r6(c: org.apache.spark.sql.Column) =
+          round(c.cast(dec), 6).cast("double")
+        val d = Tables.load(s, dir, "documents")
+        val q = round(Text.qualityScore(col("text")), 6)
+        val cell = d.select(col("source"),
+            least(floor(q * 10).cast("long"), lit(9L)).as("bin"),
+            wordCount(col("text")).cast("long").as("nw"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+          .localCheckpoint(true) // bounded: sources × 10 rows, read twice
+        val per = cell.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("src_tokens"))
+        val tot = per.agg(sum(col("src_tokens")).as("total"))
+        val pa = per.crossJoin(broadcast(tot))
+          .withColumn("pa6", r6(pow(
+            col("src_tokens").cast("double") / col("total").cast("double"),
+            MixAlpha)))
+        val z = pa.agg(sum(col("pa6").cast(dec)).cast(dec).as("z"))
+        val w = pa.crossJoin(broadcast(z))
+          .select(col("source"), col("src_tokens"),
+            r6(col("pa6") / col("z").cast("double")).as("temp_frac"))
+        cell.join(broadcast(w), Seq("source"))
+          .withColumn("src_frac",
+            r6(col("n_tokens").cast("double") / col("src_tokens").cast("double")))
+          .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
+            col("src_frac"), col("temp_frac"),
+            r6(col("temp_frac") * col("src_frac")).as("alloc_frac"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT source,
+        |    len(string_split(text, ' '))::BIGINT AS nwl,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS len,
+        |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, nwl, round(
+        |    (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM q),
+        |cell AS (
+        |  SELECT source, least(floor(quality * 10)::BIGINT, 9) AS bin,
+        |    count(*) AS n_docs, CAST(sum(nwl) AS BIGINT) AS n_tokens
+        |  FROM sc GROUP BY 1, 2),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM per),
+        |pa AS (
+        |  SELECT source, src_tokens,
+        |    CAST(round(CAST(pow(src_tokens::DOUBLE / total::DOUBLE, $MixAlpha)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS pa6
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT CAST(sum(pa6::DECIMAL(18,8)) AS DECIMAL(18,8)) AS z
+        |  FROM pa),
+        |w AS (
+        |  SELECT source, src_tokens,
+        |    CAST(round(CAST(pa6 / CAST(z AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |      AS DOUBLE) AS temp_frac
+        |  FROM pa CROSS JOIN z),
+        |cf AS (
+        |  SELECT c.source, c.bin, c.n_docs, c.n_tokens,
+        |    CAST(round(CAST(c.n_tokens::DOUBLE / w.src_tokens::DOUBLE
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS src_frac,
+        |    w.temp_frac
+        |  FROM cell c JOIN w USING (source))
+        |SELECT source, bin, n_docs, n_tokens, src_frac, temp_frac,
+        |  CAST(round(CAST(temp_frac * src_frac AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS alloc_frac
+        |FROM cf ORDER BY source, bin""".stripMargin)),
+
+    // Output-shard skew forecast: token balance of the K hash shards a
+    // writer would emit — the "will shard 17 finish an hour after the
+    // rest" answer BEFORE the write happens. detHash sharding is the
+    // production assignment itself, so the forecast is exact, not a
+    // model; one scan + one K-row aggregate. max/mean is the
+    // straggler multiplier a scheduler cares about (1.0 = perfectly
+    // balanced; the write stage's critical path scales with it).
+    QueryDef("shard_skew_forecast",
+      (s, dir) => {
+        val per = Tables.load(s, dir, "documents")
+          .select(detHash(ShardK, col("doc_id")).as("shard"),
+            wordCount(col("text")).cast("long").as("nw"))
+          .groupBy(col("shard"))
+          .agg(sum(col("nw")).as("tokens"))
+        per.agg(count(lit(1)).as("n_shards"),
+            min(col("tokens")).as("min_tokens"),
+            max(col("tokens")).as("max_tokens"),
+            sum(col("tokens")).as("total_tokens"))
+          .select(col("n_shards"), col("min_tokens"), col("max_tokens"),
+            round(col("total_tokens").cast("double") /
+              col("n_shards").cast("double"), 2).as("mean_tokens"),
+            round(col("max_tokens").cast("double") /
+              (col("total_tokens").cast("double") / col("n_shards").cast("double")),
+              6).as("max_over_mean"))
+      },
+      Some(s"""WITH per AS (
+        |  SELECT ${detHashSql(ShardK, Seq("doc_id"))} AS shard,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT COUNT(*) AS n_shards,
+        |  MIN(tokens) AS min_tokens, MAX(tokens) AS max_tokens,
+        |  round(SUM(tokens)::DOUBLE / COUNT(*)::DOUBLE, 2) AS mean_tokens,
+        |  round(MAX(tokens)::DOUBLE
+        |    / (SUM(tokens)::DOUBLE / COUNT(*)::DOUBLE), 6) AS max_over_mean
+        |FROM per""".stripMargin))
   )
 }

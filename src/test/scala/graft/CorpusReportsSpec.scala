@@ -213,6 +213,44 @@ class CorpusReportsSpec extends SparkSpec {
       (1, 1L, 1L, 1.0, 2.0), (2, 1L, 1L, 0.0, 1.0)))
   }
 
+  test("mix_quality_matrix rows are a consistent allocation (fractions tie out)") {
+    val rows = SparkEntry.queries("mix_quality_matrix")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    // per-source: src_frac sums to 1, temp_frac is constant,
+    // alloc_frac ~= temp_frac * src_frac per cell
+    rows.groupBy(_._1).foreach { case (src, cells) =>
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-4, s"src_frac sum $src")
+      assert(cells.map(_._6).distinct.length == 1, s"temp_frac varies in $src")
+      cells.foreach(c =>
+        assert(math.abs(c._7 - c._6 * c._5) < 1e-6, s"alloc cell $c"))
+    }
+    // whole-mixture: alloc fractions sum to ~1 across all cells
+    assert(math.abs(rows.map(_._7).sum - 1.0) < 1e-3)
+    // token accounting ties to the corpus
+    val totalWords = Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.GraftFunctions.wordCount(col("text")).cast("long"))
+      .as[Long].collect().sum
+    assert(rows.map(_._4).sum == totalWords)
+  }
+
+  test("shard_skew_forecast ties out against a direct per-shard aggregate") {
+    import graft.functions.GraftFunctions.{detHash, wordCount}
+    val per = Tables.load(spark, sfDir, "documents")
+      .select(detHash(32L, col("doc_id")).as("shard"),
+        wordCount(col("text")).cast("long").as("nw"))
+      .groupBy("shard").agg(sum(col("nw")).as("t"))
+      .select(col("t")).as[Long].collect()
+    val r = SparkEntry.queries("shard_skew_forecast")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == per.length)
+    assert(r.getLong(1) == per.min && r.getLong(2) == per.max)
+    assert(r.getDouble(4) >= 1.0, "max/mean below 1 is impossible")
+    val mean = per.sum.toDouble / per.length
+    assert(math.abs(r.getDouble(4) - per.max / mean) < 1e-6)
+  }
+
   test("quantile_sample_error: sample estimates bracket the exact values sanely") {
     val rows = SparkEntry.queries("quantile_sample_error")(spark, sfDir).collect()
     assert(rows.length == 3)
