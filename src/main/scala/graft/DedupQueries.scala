@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 import graft.ops.Similarity
 
@@ -29,6 +30,11 @@ object DedupQueries {
 
   /** cv_folds_leakage_safe: fold count (K in group-aware K-fold). */
   private val CvFolds = 5L
+
+  /** dedup_substr_spans: min duplicated-run length in tokens (the
+    * ExactSubstr k knob — runs shorter than this are not flagged).
+    */
+  private val DupSpanK = 8
   // band-curve denominator threshold: 5-shingle Jaccard ≥ 0.5 keeps
   // the exact-recall PPJoin cheap while spanning the analytic knee
   private val LshCurveThreshold = 0.5
@@ -1028,6 +1034,77 @@ object DedupQueries {
         |  COUNT(DISTINCT cluster) AS n_clusters,
         |  SUM(nw)::BIGINT AS n_words,
         |  round(COUNT(*) / (SELECT COUNT(*) FROM documents)::DOUBLE, 6) AS share
-        |FROM lab GROUP BY fold ORDER BY fold""".stripMargin))
+        |FROM lab GROUP BY fold ORDER BY fold""".stripMargin)),
+
+    // Exact duplicated-substring spans (ExactSubstr-style, cross-doc,
+    // k=8 token min-match): per-source census of maximal duplicated
+    // spans — the sub-document complement to every document-level
+    // dedup above. dup_frac is the fraction of each source's tokens
+    // sitting inside a span that also appears verbatim in another
+    // document: the number a span-cutting pass would remove.
+    QueryDef("dedup_substr_spans",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val spans = graft.ops.Text.duplicatedSpans(d, "doc_id", "text", DupSpanK)
+        val perDoc = spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_end") - col("span_start") + 1).as("dup_tokens"),
+            max(col("span_end") - col("span_start") + 1).as("max_span"))
+        d.select(col("doc_id"), col("source"),
+            wordCount(col("text")).cast("long").as("nw"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_spans")).as("n_docs_flagged"),
+            coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"),
+            coalesce(sum(col("dup_tokens")), lit(0L)).as("dup_tokens"),
+            coalesce(max(col("max_span")), lit(0L)).as("max_span"),
+            sum(col("nw")).as("total_tokens"))
+          .select(col("source"), col("n_docs"), col("n_docs_flagged"),
+            col("n_spans"), col("dup_tokens"), col("max_span"),
+            round((col("dup_tokens").cast("double") /
+              col("total_tokens").cast("double")).cast(dec), 6)
+              .cast("double").as("dup_frac"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substring(md5(array_to_string(w[i:i+${DupSpanK - 1}], ' ')), 1, 15))::BIGINT AS h
+        |  FROM w, LATERAL unnest(range(1, len(w) - ${DupSpanK - 2})) AS t(i)
+        |  WHERE len(w) >= $DupSpanK),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (h)),
+        |pe AS (
+        |  SELECT doc_id, i,
+        |    max(i + ${DupSpanK - 1}) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM pe),
+        |spans AS (
+        |  SELECT doc_id, island, min(i) AS s, max(i) + ${DupSpanK - 1} AS e
+        |  FROM isl GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |    CAST(max(e - s + 1) AS BIGINT) AS max_span
+        |  FROM spans GROUP BY 1)
+        |SELECT w.source, count(*) AS n_docs,
+        |  count(p.doc_id) AS n_docs_flagged,
+        |  COALESCE(CAST(sum(p.n_spans) AS BIGINT), 0) AS n_spans,
+        |  COALESCE(CAST(sum(p.dup_tokens) AS BIGINT), 0) AS dup_tokens,
+        |  COALESCE(CAST(max(p.max_span) AS BIGINT), 0) AS max_span,
+        |  CAST(round(CAST(COALESCE(sum(p.dup_tokens), 0)::DOUBLE
+        |    / sum(len(w.w))::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_frac
+        |FROM w LEFT JOIN perdoc p USING (doc_id)
+        |GROUP BY w.source
+        |ORDER BY source""".stripMargin))
   )
 }

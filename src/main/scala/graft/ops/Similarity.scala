@@ -317,6 +317,18 @@ object Similarity {
       distinct = true, xx = hashModeIsXx))
   }
 
+  /** Positional (non-distinct) shingle hashes: one 60-bit hash per
+    * n-token window in document order — array index = 0-based window
+    * start. The featurizer under positional operators
+    * (Text.duplicatedSpans); same kernel, so bit-identical to the
+    * distinct variant's hashes.
+    */
+  def gramHashesAll(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.WordShingleHashes(expression(text), n,
+      distinct = false, xx = hashModeIsXx))
+  }
+
   /** Shared inverted-index pair-support pipeline for the exact
     * set-overlap metrics: distinct shingle-hash sets per doc, df-capped
     * group-then-pair, support counts joined to per-doc set sizes.

@@ -297,6 +297,63 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Cross-document duplicated-span detection — the ExactSubstr family
+    * of training-data dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"; reference's corpus flow
+    * etl_slimpajama_dc_proc.py:119-166 stops at document granularity).
+    * The paper builds a corpus suffix array — inherently single-machine
+    * — this is the standard distributed re-formulation: hash every
+    * k-token window, a window hash seen in ≥2 DISTINCT documents marks
+    * its k positions duplicated, and overlapping/adjacent duplicated
+    * windows merge into maximal spans (gaps-and-islands). Any
+    * cross-document duplicated run of ≥ k tokens is recovered exactly
+    * (a run of length L ≥ k is covered by its L−k+1 windows, all
+    * shared); runs < k are invisible — k is the paper's min-match
+    * length knob, not an approximation dial.
+    *
+    * Returns one row per maximal span: (idCol, span_start, span_end),
+    * 0-based token positions, inclusive.
+    *
+    * Scale shape: the gram stream is one scan-side posexplode (rows =
+    * corpus token count; md5 per window under oracle hash mode,
+    * xxhash64 at deployment — see [[graft.functions.GraftFunctions.hash60]]);
+    * cross-doc detection is one shuffle on the window hash with
+    * min≠max(id) standing in for COUNT(DISTINCT) ≥ 2 (no distinct
+    * expansion, map-side combined to one row per hash per partition);
+    * the island merge is one shuffle on doc id with a window whose
+    * frame is bounded by the document's own length. The gram lineage
+    * is evaluated twice (duplicate-hash set + hit positions) — a
+    * deliberate recompute: materializing a corpus-token-sized frame
+    * costs more than re-running a codegen'd scan projection.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    // Native one-pass window-hash kernel (no lambda expressions — they
+    // are interpreted and excluded from codegen CSE; the kernel cut
+    // this query 5.7 s → ~2 s at sf0.1). Short docs → empty array →
+    // no gram rows, mirroring the oracle's WHERE len(w) >= k.
+    val grams = docs
+      .select(col(idCol),
+        posexplode(Similarity.gramHashesAll(col(textCol), k))
+          .as(Seq("pos", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(win.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(win))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .drop("island")
+  }
+
   /** Per-document entropy/repetition signals complementing the
     * dup-word / top-bigram pair in text_repetition — the remaining
     * published pretraining heuristics for machine-generated or

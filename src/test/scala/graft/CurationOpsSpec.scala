@@ -177,4 +177,44 @@ class CurationOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  // --- duplicatedSpans (ExactSubstr-style) --------------------------
+
+  private def spanCorpus = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "x y a b c d e q"),
+    (3L, "p q r p q r p q r"),
+    (4L, "a b c z z z c d e"),
+    (5L, "a b"), // shorter than k — no windows
+    (6L, "m n o p"),
+    (7L, "m n o p")).toDF("doc_id", "text")
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame) =
+    Text.duplicatedSpans(df, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect().toSet
+
+  test("duplicatedSpans merges overlapping shared windows into maximal spans") {
+    val spans = spansOf(spanCorpus)
+    // doc1/doc2 share the 5-token run "a b c d e"; doc4 shares two
+    // disjoint 3-token runs with doc1 (island separation); doc7=doc6
+    // whole-doc duplicate covers the full doc.
+    assert(spans == Set(
+      (1L, 0, 4), (2L, 2, 6),
+      (4L, 0, 2), (4L, 6, 8),
+      (6L, 0, 3), (7L, 0, 3)))
+  }
+
+  test("duplicatedSpans ignores within-document-only repeats") {
+    val spans = spansOf(spanCorpus)
+    assert(!spans.exists(_._1 == 3L), "doc3 repeats only within itself")
+    assert(!spans.exists(_._1 == 5L), "doc5 is shorter than k")
+  }
+
+  test("duplicatedSpans recovers a long run exactly (window cover, no over-extension)") {
+    val df = Seq(
+      (1L, "u v w a a a a a a a x y z"),
+      (2L, "k a a a a a a a m")).toDF("doc_id", "text")
+    // the shared run is the 7 'a's: doc1 positions 3..9, doc2 1..7
+    assert(spansOf(df) == Set((1L, 3, 9), (2L, 1, 7)))
+  }
 }
