@@ -97,9 +97,32 @@ object Bench {
     // Canonical full record on disk: the driver's stdout capture keeps
     // only the final 2000 chars, which a 69+-query map overflows
     // (BENCH_r02/r03 both arrived truncated and unparseable).
-    for (out <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-        "BENCH_LOCAL.json")) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    // A BENCH_ONLY subset run MERGES into the standing BENCH_LOCAL
+    // record instead of replacing it — single-query A/Bs kept
+    // clobbering the full-suite archive.
+    val localRecord =
+      if (only.isEmpty) full
+      else {
+        val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        val prior = try {
+          val txt = java.nio.file.Files.readString(path)
+          val m = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+          m.findAllMatchIn(txt.substring(txt.indexOf("queries")))
+            .map(x => x.group(1) -> x.group(2).toDouble)
+            .filterNot { case (k, _) => k == "runs" || k == "omitted" }
+            .toSeq
+        } catch { case _: Throwable => Seq.empty[(String, Double)] }
+        val merged = (prior.filterNot(p => results.contains(p._1)) ++ all)
+          .sortBy(_._1)
+        val qs = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        val tot = merged.map(_._2).sum
+        s"""{"metric":"total","value":${fmt(tot)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"merged":true}"""
+      }
+    for ((out, txt) <- Seq(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json") -> full,
+        "BENCH_LOCAL.json" -> localRecord)) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), txt + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     }
     // Printed record: same totals, but the per-query map keeps only the

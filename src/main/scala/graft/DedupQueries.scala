@@ -35,6 +35,36 @@ object DedupQueries {
     * ExactSubstr k knob — runs shorter than this are not flagged).
     */
   private val DupSpanK = 8
+
+  /** dedup_survival_curve: swept thresholds, in tenths of Jaccard. */
+  private val SurvivalTenths = Seq(5, 6, 7, 8, 9)
+
+  /** Shared tuning-curve corpus (lsh_band_curve, dedup_survival_curve):
+    * documents ∪ prefix-truncated copies of the first 200 docs at
+    * CurveFracs twentieths. The synthetic corpus's organic near-dups
+    * all sit at J ≥ 0.8; the truncated variants are shingle-prefix
+    * subsets whose true Jaccard lands ≈ 0.5–0.85, populating the
+    * middle of any threshold sweep. Pure integer arithmetic
+    * ((len·k) div 20), so both engines build the same corpus.
+    */
+  private def curveAugmented(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val variants = CurveFracs.map(k =>
+      d.where(col("doc_id") < 200L).selectExpr(
+        s"doc_id + ${100000L * k} AS doc_id",
+        s"array_join(slice(split(text, ' '), 1, " +
+          s"CAST((size(split(text, ' ')) * $k) div 20 AS INT)), ' ') AS text"))
+    variants.foldLeft(d.select(col("doc_id"), col("text")))(_ union _)
+  }
+
+  /** DuckDB mirror of [[curveAugmented]] as a parenthesized source. */
+  private def curveAugSrcSql(alias: String): String =
+    "(SELECT doc_id, text FROM documents" +
+    "\n  UNION ALL" +
+    "\n  SELECT d.doc_id + 100000 * f.k AS doc_id," +
+    "\n    array_to_string((string_split(d.text, ' '))" +
+    "[1:(len(string_split(d.text, ' ')) * f.k) // 20], ' ') AS text" +
+    s"\n  FROM documents d, (SELECT unnest([${CurveFracs.mkString(", ")}]) AS k) f" +
+    s"\n  WHERE d.doc_id < 200) $alias"
   // band-curve denominator threshold: 5-shingle Jaccard ≥ 0.5 keeps
   // the exact-recall PPJoin cheap while spanning the analytic knee
   private val LshCurveThreshold = 0.5
@@ -571,26 +601,13 @@ object DedupQueries {
         // Jaccard lands ≈ 0.5-0.85, populating the bins where the
         // analytic knee actually lives. Pure integer arithmetic
         // ((len·k) div 20), so both engines build the same corpus.
-        val variants = CurveFracs.map(k =>
-          d.where(col("doc_id") < 200L).selectExpr(
-            s"doc_id + ${100000L * k} AS doc_id",
-            s"array_join(slice(split(text, ' '), 1, " +
-              s"CAST((size(split(text, ' ')) * $k) div 20 AS INT)), ' ') AS text"))
-        val aug = variants.foldLeft(d)(_ union _)
-        Similarity.lshBandCurveReport(aug, "doc_id", "text",
+        Similarity.lshBandCurveReport(curveAugmented(d), "doc_id", "text",
           LshCurveThreshold, NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
       },
       Some {
         val jChain = Seq.fill(Rows)("j").mkString(" * ")
         val tChain = Seq.fill(Bands)("t").mkString(" * ")
-        val augSrc = "(SELECT doc_id, text FROM documents" +
-          "\n  UNION ALL" +
-          "\n  SELECT d.doc_id + 100000 * f.k AS doc_id," +
-          "\n    array_to_string((string_split(d.text, ' '))" +
-          "[1:(len(string_split(d.text, ' ')) * f.k) // 20], ' ') AS text" +
-          s"\n  FROM documents d, (SELECT unnest([${CurveFracs.mkString(", ")}]) AS k) f" +
-          "\n  WHERE d.doc_id < 200) aug"
-        s"""${lshPairsSqlFrom(augSrc)},
+        s"""${lshPairsSqlFrom(curveAugSrcSql("aug"))},
         |ss AS (SELECT doc_id,
         |  list_distinct(list_transform($shinglesSql,
         |    s -> ${md5LongSql("s")})) AS ss FROM w),
@@ -1105,6 +1122,54 @@ object DedupQueries {
         |    / sum(len(w.w))::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_frac
         |FROM w LEFT JOIN perdoc p USING (doc_id)
         |GROUP BY w.source
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // Threshold-sweep survival curve: at each candidate threshold, how
+    // many LSH candidate pairs verify (by signature-slot agreement),
+    // how many docs the smaller-id-wins rule removes, and what
+    // fraction of the token mass survives — the "which threshold do I
+    // ship" table, over the same augmented corpus as lsh_band_curve
+    // so the sweep has pairs in every band of the range.
+    QueryDef("dedup_survival_curve",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.dedupSurvivalCurve(curveAugmented(d), "doc_id", "text",
+          SurvivalTenths, NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
+      },
+      Some {
+        val estTerms = (0 until NumPerms)
+          .map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+        s"""${lshPairsSqlFrom(curveAugSrcSql("aug"))},
+        |e AS (
+        |  SELECT p.id_b, ($estTerms)::BIGINT AS neq
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.id_a
+        |  JOIN sig sb ON sb.doc_id = p.id_b),
+        |th AS (SELECT unnest([${SurvivalTenths.mkString(", ")}]) AS t),
+        |hits AS (
+        |  SELECT th.t, e.id_b FROM e, th
+        |  WHERE e.neq * 10 >= th.t * $NumPerms),
+        |pc AS (SELECT t, count(*) AS n_pairs FROM hits GROUP BY t),
+        |wc AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS nw
+        |  FROM ${curveAugSrcSql("aug2")}),
+        |rem AS (
+        |  SELECT t, count(*) AS n_docs_removed,
+        |    CAST(sum(nw) AS BIGINT) AS tokens_removed
+        |  FROM (SELECT DISTINCT t, id_b FROM hits) h
+        |  JOIN wc ON wc.doc_id = h.id_b GROUP BY t),
+        |tot AS (SELECT count(*) AS nd, CAST(sum(nw) AS BIGINT) AS tt FROM wc)
+        |SELECT th.t::BIGINT AS threshold_tenths,
+        |  COALESCE(pc.n_pairs, 0) AS n_pairs,
+        |  COALESCE(rem.n_docs_removed, 0) AS n_docs_removed,
+        |  COALESCE(rem.tokens_removed, 0) AS tokens_removed,
+        |  tot.nd - COALESCE(rem.n_docs_removed, 0) AS n_docs_left,
+        |  tot.tt - COALESCE(rem.tokens_removed, 0) AS tokens_left,
+        |  CAST(round(CAST((tot.tt - COALESCE(rem.tokens_removed, 0))::DOUBLE
+        |    / tot.tt::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS token_survive_frac
+        |FROM th LEFT JOIN pc USING (t) LEFT JOIN rem USING (t)
+        |CROSS JOIN tot
+        |ORDER BY threshold_tenths""".stripMargin
+      })
   )
 }

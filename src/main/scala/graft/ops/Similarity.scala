@@ -574,6 +574,69 @@ object Similarity {
         round(abs(est - tru), 6).as("abs_err"))
   }
 
+  /** Threshold-sweep dedup survival curve over the production LSH
+    * path: for each candidate threshold t (in tenths), the candidate
+    * pairs whose ESTIMATED Jaccard (signature-slot agreement, the
+    * cheap verification every datasketch-style pipeline uses) clears
+    * t, the documents removed under the one-pass smaller-id-wins
+    * rule, and the tokens that go with them — "which threshold do I
+    * ship, and how much corpus survives it" read off the same
+    * signatures and buckets production would use, in one pass.
+    *
+    * est ≥ t is compared in integers (nEq·10 ≥ t·numPerms): no float
+    * threshold edges for engines to disagree on. Scale shape: the
+    * sweep touches only LSH candidates (bucket-capped, never corpus²);
+    * the explode multiplies the candidate stream by |thresholds| (≤5
+    * here); per-threshold aggregates are ≤|thresholds| rows; corpus
+    * totals ride along as a broadcast 1-row frame.
+    */
+  def dedupSurvivalCurve(df: DataFrame, idCol: String, textCol: String,
+                         thresholdTenths: Seq[Int] = Seq(5, 6, 7, 8, 9),
+                         numPerms: Int = 64, shingleN: Int = 5,
+                         bands: Int = 16, rows: Int = 4,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec8 = DecimalType(18, 8)
+    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val cand = lshCandidatePairs(sig, idCol, bands, rows, maxBucketSize)
+    val sigArr = sig.select(col(idCol),
+      array((0 until numPerms).map(i => col(s"m$i")): _*).as("__sig"))
+    val nEq = size(filter(zip_with(col("sa.__sig"), col("sb.__sig"),
+      (x, y) => x === y), b => b)).cast("long")
+    val est = cand
+      .join(sigArr.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sigArr.as("sb"), col("id_b") === col(s"sb.$idCol"))
+      .select(col("id_b"), nEq.as("__neq"))
+    val hits = est
+      .select(col("id_b"),
+        explode(array(thresholdTenths.map(lit(_)): _*)).as("t"), col("__neq"))
+      .where(col("__neq") * 10 >= col("t") * numPerms)
+    val pc = hits.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+    val wc = df.select(col(idCol).as("__id"),
+      size(split(col(textCol), " ")).cast("long").as("__nw"))
+    val remagg = hits.select(col("t"), col("id_b")).distinct()
+      .join(wc, col("id_b") === col("__id"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_docs_removed"),
+        sum(col("__nw")).as("tokens_removed"))
+    val tot = wc.agg(count(lit(1)).as("__nd"), sum(col("__nw")).as("__tt"))
+    val ss = df.sparkSession
+    import ss.implicits._
+    val th = thresholdTenths.toDF("t")
+    th.join(pc, Seq("t"), "left").join(remagg, Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("t").cast("long").as("threshold_tenths"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        (col("__nd") - coalesce(col("n_docs_removed"), lit(0L))).as("n_docs_left"),
+        (col("__tt") - coalesce(col("tokens_removed"), lit(0L))).as("tokens_left"),
+        round(((col("__tt") - coalesce(col("tokens_removed"), lit(0L)))
+          .cast("double") / col("__tt").cast("double")).cast(dec8), 6)
+          .cast("double").as("token_survive_frac"))
+      .orderBy(col("threshold_tenths"))
+  }
+
   /** LSH band-probability tuning curve — the "is my threshold right"
     * telemetry that turns [[minhashEstimateReport]] into a decision
     * tool: per true-similarity bin, the OBSERVED candidate rate (what

@@ -483,4 +483,30 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0L) == b(1L))
     assert(b.values.forall(v => v >= 0 && v < 64))
   }
+
+  test("dedupSurvivalCurve: monotone sweep, exact duplicate removed at every threshold") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base.trim),
+      (2L, base.trim), // exact duplicate of 1 → est = 1.0
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "completely different words nothing shared here at all okay fine sure yes")
+    ).toDF("doc_id", "text")
+    val rows = Similarity.dedupSurvivalCurve(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Seq(5L, 6L, 7L, 8L, 9L))
+    // the exact duplicate (doc 2) is removed at every threshold
+    assert(rows.forall(_._3 >= 1), s"dup not removed everywhere: ${rows.toSeq}")
+    // counts are non-increasing as the threshold rises
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3 && lo._4 >= hi._4)
+      case _ =>
+    }
+    // accounting ties out against the corpus
+    rows.foreach { r =>
+      assert(r._3 + r._5 == 4L, "docs removed + left = corpus")
+      assert(r._7 >= 0.0 && r._7 <= 1.0)
+    }
+  }
 }
