@@ -1780,6 +1780,95 @@ object TextQueries {
         |  round(SUM(tokens)::DOUBLE / COUNT(*)::DOUBLE, 2) AS mean_tokens,
         |  round(MAX(tokens)::DOUBLE
         |    / (SUM(tokens)::DOUBLE / COUNT(*)::DOUBLE), 6) AS max_over_mean
-        |FROM per""".stripMargin))
+        |FROM per""".stripMargin)),
+
+    // Curation funnel: cumulative survival through the standard
+    // sequential filter chain (language known → length band → quality
+    // → lexical diversity → exact-unique) — the reference's ETL shape
+    // (etl_slimpajama_dc_proc.py applies filters in sequence), read as
+    // "where does my corpus actually go". ONE scan computes every
+    // per-doc flag (the dedup flag is the only shuffle: first-per-md5
+    // window); the cumulative AND-chain aggregates to a single row of
+    // 12 counters; stack() unpivots the row to 6 stage rows. Nothing
+    // corpus-sized survives the aggregate at any scale. Diversity is
+    // an integer compare (10·distinct ≥ 3·total) — no float edge.
+    QueryDef("curation_funnel",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val lw = split(lower(col("text")), " ")
+        val dupWin = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val flags = d.select(
+          wordCount(col("text")).cast("long").as("nw"),
+          (Text.langId(col("text")) =!= "und").as("b1"),
+          (wordCount(col("text")) >= 20 && wordCount(col("text")) <= 100000).as("b2"),
+          (round(Text.qualityScore(col("text")), 6) >= 0.5).as("b3"),
+          (size(array_distinct(lw)) * 10 >= size(lw) * 3).as("b4"),
+          (row_number().over(dupWin) === 1).as("b5"))
+        val stages = Seq(
+          lit(true), col("b1"), col("b1") && col("b2"),
+          col("b1") && col("b2") && col("b3"),
+          col("b1") && col("b2") && col("b3") && col("b4"),
+          col("b1") && col("b2") && col("b3") && col("b4") && col("b5"))
+        val aggExprs = (0 to 5).flatMap(i => Seq(
+          sum(when(stages(i), 1L).otherwise(0L)).as(s"n$i"),
+          sum(when(stages(i), col("nw")).otherwise(0L)).as(s"t$i")))
+        val one = flags.agg(aggExprs.head, aggExprs.tail: _*)
+        val withF = one.select(col("*") +:
+          (0 to 5).map(i => round((col(s"t$i").cast("double") /
+            col("t0").cast("double")).cast(dec), 6).cast("double").as(s"f$i")): _*)
+        val names = Seq("all", "lang_known", "length_ok", "quality_ok",
+          "diverse", "exact_unique")
+        val stackArgs = (0 to 5).map(i =>
+          s"CAST($i AS BIGINT), '${names(i)}', n$i, t$i, f$i").mkString(", ")
+        withF.selectExpr(s"stack(6, $stackArgs) AS " +
+            "(stage_id, stage, n_docs, n_tokens, token_frac)")
+          .orderBy(col("stage_id"))
+      },
+      Some {
+        val stageNames = Seq("all", "lang_known", "length_ok", "quality_ok",
+          "diverse", "exact_unique")
+        val stageRows = (0 to 5).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS stage_id, '${stageNames(i)}' AS stage, " +
+          s"n$i AS n_docs, t$i AS n_tokens, " +
+          s"CAST(round(CAST(t$i::DOUBLE / t0::DOUBLE AS DECIMAL(18,8)), 6) " +
+          s"AS DOUBLE) AS token_frac FROM a").mkString("\n|UNION ALL ")
+        val sums = (1 to 5).map { i =>
+          val cond = (1 to i).map(j => s"b$j").mkString(" AND ")
+          s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n$i,\n" +
+          s"|  CAST(sum(CASE WHEN $cond THEN nw ELSE 0 END) AS BIGINT) AS t$i"
+        }.mkString(",\n|  ")
+        s"""WITH q AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' '))::BIGINT AS nwl,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS len,
+        |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(0)}))) AS h_en,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(1)}))) AS h_es,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(2)}))) AS h_de,
+        |    len(list_distinct(string_split(lower(text), ' ')))::BIGINT AS ndw,
+        |    len(string_split(lower(text), ' '))::BIGINT AS nlw
+        |  FROM documents),
+        |f AS (
+        |  SELECT nwl AS nw,
+        |    (h_en + h_es + h_de) > 0 AS b1,
+        |    nwl >= 20 AND nwl <= 100000 AS b2,
+        |    round(
+        |      (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |      + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |      + least(sw / nw * 5.0, 1.0) * 0.3, 6) >= 0.5 AS b3,
+        |    ndw * 10 >= nlw * 3 AS b4,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS b5
+        |  FROM q),
+        |a AS (
+        |  SELECT count(*) AS n0, CAST(sum(nw) AS BIGINT) AS t0,
+        |  $sums
+        |  FROM f)
+        |$stageRows
+        |ORDER BY stage_id""".stripMargin
+      })
   )
 }

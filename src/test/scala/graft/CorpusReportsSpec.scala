@@ -251,6 +251,27 @@ class CorpusReportsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - per.max / mean) < 1e-6)
   }
 
+  test("curation_funnel: stages are monotone non-increasing and anchored at the corpus") {
+    val rows = SparkEntry.queries("curation_funnel")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0L to 5L))
+    val (nDocs, nTokens) = {
+      val d = Tables.load(spark, sfDir, "documents")
+        .select(graft.functions.GraftFunctions.wordCount(col("text")).cast("long"))
+        .as[Long].collect()
+      (d.length.toLong, d.sum)
+    }
+    assert(rows.head._3 == nDocs && rows.head._4 == nTokens)
+    assert(rows.head._5 == 1.0)
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(lo._3 <= hi._3 && lo._4 <= hi._4 && lo._5 <= hi._5,
+          s"funnel not monotone: $hi -> $lo")
+      case _ =>
+    }
+  }
+
   test("quantile_sample_error: sample estimates bracket the exact values sanely") {
     val rows = SparkEntry.queries("quantile_sample_error")(spark, sfDir).collect()
     assert(rows.length == 3)
