@@ -38,6 +38,11 @@ object SimilarityQueries {
   private val KnnNoiseK = 5
   private val KnnSampleDiv = 20L
 
+  // Mutual-kNN graph clustering: 3 neighbors, 3 sign-LSH planes
+  // (8 blocks — size so n/2^planes stays ~10³ at the target scale).
+  private val KnnGraphK = 3
+  private val KnnGraphPlanes = 3
+
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
     * i-1 matches Spark's 0-based transform index). Shared with the
     * capped cosine-dedup oracle in DedupQueries.
@@ -830,6 +835,71 @@ object SimilarityQueries {
         |                       ORDER BY cos DESC, neg_id) AS rn
         |  FROM sc WHERE cos <= 0.95)
         |SELECT vec_id, neg_id, cos FROM r WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin)),
+
+    // Mutual-kNN graph cluster census: cluster-size histogram of the
+    // components of the mutual top-KnnGraphK cosine graph, blocked by
+    // KnnGraphPlanes sign-LSH planes — the density-based grouping
+    // report next to embedding_centroids' convex cells. Singletons
+    // (vectors with no mutual edge) are folded in as size-1 clusters
+    // so the histogram accounts for every vector.
+    QueryDef("embedding_knn_clusters",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cc = Similarity.knnGraphClusters(e, "vec_id", "embedding",
+          KnnGraphK, KnnGraphPlanes)
+        val hist = cc.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+        val tot = e.agg(count(lit(1)).as("__t"))
+        val inCc = cc.agg(count(lit(1)).as("__c"))
+        val sing = tot.crossJoin(broadcast(inCc))
+          .select(lit(1L).as("cluster_size"),
+            (col("__t") - col("__c")).as("n_clusters"))
+          .where(col("n_clusters") > 0)
+        hist.union(sing).orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |    ${bucketSql("embedding", KnnGraphPlanes)} AS blk
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS cos
+        |  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id <> b.vec_id),
+        |d AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS r
+        |    FROM p) rr
+        |  WHERE r <= $KnnGraphK),
+        |m AS (
+        |  SELECT x.src AS id_a, x.dst AS id_b
+        |  FROM d x JOIN d y ON x.src = y.dst AND x.dst = y.src
+        |  WHERE x.src < x.dst),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM m
+        |  UNION SELECT id_b, id_a FROM m),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS vec_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters FROM (
+        |    SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster) sz
+        |  GROUP BY cluster_size),
+        |sing AS (
+        |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |    (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM cc)
+        |      AS n_clusters)
+        |SELECT cluster_size, n_clusters FROM (
+        |  SELECT * FROM hist
+        |  UNION ALL SELECT * FROM sing WHERE n_clusters > 0) u
+        |ORDER BY cluster_size""".stripMargin))
   )
 }

@@ -1291,6 +1291,46 @@ object Similarity {
     * enforced contract rather than an assumption. Output is one row
     * per vector: (id, cell, removed 0/1).
     */
+  /** Mutual-kNN graph clustering over an embedding column: within
+    * sign-LSH blocks, each vector's top-k cosine neighbors (rounded-6
+    * score, id tie-break — rank is engine-stable); an edge survives
+    * only if BOTH endpoints rank each other (the mutual-kNN rule that
+    * keeps hub vectors from chaining unrelated regions together);
+    * components via the pointer-jumped min-label CC. Returns
+    * (idCol, cluster) for every vector in a mutual pair — the
+    * density-based complement to centroid assignment (kmeans-style
+    * cells split convex regions; mutual-kNN follows the manifold).
+    *
+    * Scale: the block self-join is the only quadratic term — size
+    * subPlanes so n/2^subPlanes stays ~10³ (the standard blocked-kNN
+    * approximation; recall loss is pairs straddling a hyperplane,
+    * the same contract as [[semDedup]]'s sub-blocking). Directed kNN
+    * is a per-block window with a WindowGroupLimit prune to k rows
+    * per vector; the mutual join carries id pairs only.
+    */
+  def knnGraphClusters(emb: DataFrame, idCol: String, embCol: String,
+                       k: Int, subPlanes: Int,
+                       maxIter: Int = 25): DataFrame = {
+    val e = emb.select(col(idCol).as("__id"),
+        col(embCol).cast("array<double>").as("__e"))
+      .withColumn("__n", vectorNorm(col("__e")))
+      .withColumn("__blk", signLshBucket(col("__e"), subPlanes))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("src"), col("b.__id").as("dst"),
+        round(dotProduct(col("a.__e"), col("b.__e")) /
+          (col("a.__n") * col("b.__n")), 6).as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
+    val directed = pairs.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k).select(col("src"), col("dst"))
+    val mutual = directed.as("x").join(directed.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .where(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"))
+    connectedComponents(mutual, maxIter)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   def semDedup(emb: DataFrame, idCol: String, embCol: String,
                centroids: DataFrame, minCos: Double,
                maxBlockSize: Int, subPlanes: Int): DataFrame = {

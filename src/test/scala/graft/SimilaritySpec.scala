@@ -484,6 +484,21 @@ class SimilaritySpec extends SparkSpec {
     assert(b.values.forall(v => v >= 0 && v < 64))
   }
 
+  test("knnGraphClusters: identical triads cluster; mutual rule excludes hangers-on") {
+    // two triads of identical vectors (cos 1.0 to mates, so with k=2
+    // each member's slots fill with its mates) plus a bridge vector
+    // whose edges can never be mutual
+    val vecs = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(1.0, 0.0)), (12L, Array(1.0, 0.0)),
+      (20L, Array(0.0, 1.0)), (21L, Array(0.0, 1.0)), (22L, Array(0.0, 1.0)),
+      (30L, Array(0.7, 0.7))).toDF("vec_id", "embedding")
+    val cc = Similarity.knnGraphClusters(vecs, "vec_id", "embedding",
+        k = 2, subPlanes = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $cc")
+  }
+
   test("dedupSurvivalCurve: monotone sweep, exact duplicate removed at every threshold") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val docs = Seq(
