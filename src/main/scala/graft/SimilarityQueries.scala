@@ -43,6 +43,9 @@ object SimilarityQueries {
   private val KnnGraphK = 3
   private val KnnGraphPlanes = 3
 
+  // Truncation-recall sweep: prefix dims evaluated against full width.
+  private val TruncDims = Seq(8, 16, 32, 64)
+
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
     * i-1 matches Spark's 0-based transform index). Shared with the
     * capped cosine-dedup oracle in DedupQueries.
@@ -836,6 +839,79 @@ object SimilarityQueries {
         |  FROM sc WHERE cos <= 0.95)
         |SELECT vec_id, neg_id, cos FROM r WHERE rn = 1
         |ORDER BY vec_id""".stripMargin)),
+
+    // Embedding-truncation (matryoshka-style) retrieval eval: top-k
+    // recall at prefix dims 8/16/32 against the full 64-dim ranking —
+    // the "how many dims do I actually have to store/ship" dial. At
+    // 100 TB of vectors, halving dims halves the ANN index, the
+    // shuffle payload, and the scan; this report prices that cut in
+    // recall before anyone re-embeds. The d=64 row is the sanity
+    // anchor (recall 1.0 by construction). Cost: |queries| × corpus ×
+    // |dims| scored pairs — queries and the dim list ride broadcast.
+    QueryDef("embedding_truncation_recall",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val ss = s
+        import ss.implicits._
+        val dd = TruncDims.toDF("d")
+        val ed = e.crossJoin(broadcast(dd))
+          .select(col("vec_id"), col("d"),
+            slice(col("emb"), lit(1), col("d")).as("embd"))
+          .withColumn("nrm", vectorNorm(col("embd")))
+        val qd = ed.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("qid"), col("d"),
+            col("embd").as("qemb"), col("nrm").as("qnrm"))
+        val top = ed.join(broadcast(qd), Seq("d"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("d"), col("qid"), col("vec_id"),
+            round(dotProduct(col("embd"), col("qemb")) /
+              (col("nrm") * col("qnrm")), 6).as("cos"))
+          .withColumn("r", row_number().over(Window.partitionBy(col("d"),
+            col("qid")).orderBy(desc("cos"), col("vec_id"))))
+          .where(col("r") <= TopK)
+          .select(col("d"), col("qid"), col("vec_id"))
+        val full = top.where(col("d") === TruncDims.max)
+          .select(col("qid"), col("vec_id"))
+        val overlap = top.join(full, Seq("qid", "vec_id"))
+          .groupBy(col("d")).agg(count(lit(1)).as("n_hit"))
+        val denom = full.agg(count(lit(1)).as("__nt"))
+        dd.join(overlap, Seq("d"), "left")
+          .crossJoin(broadcast(denom))
+          .select(col("d").cast("long").as("dims"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round((coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("__nt").cast("double")).cast(dec), 6).cast("double")
+              .as("recall_at_k"))
+          .orderBy(col("dims"))
+      },
+      Some(s"""WITH dd AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS d),
+        |ed AS (
+        |  SELECT vec_id, d, (embedding::DOUBLE[])[1:d] AS embd
+        |  FROM embeddings, dd),
+        |q AS (SELECT vec_id AS qid, d, embd AS qemb FROM ed
+        |  WHERE vec_id < $NumQueryVecs),
+        |sc AS (
+        |  SELECT ed.d, q.qid, ed.vec_id,
+        |    round(list_cosine_similarity(ed.embd, q.qemb), 6) AS cos
+        |  FROM ed JOIN q ON ed.d = q.d AND ed.vec_id <> q.qid),
+        |top AS (
+        |  SELECT d, qid, vec_id FROM (
+        |    SELECT d, qid, vec_id,
+        |      row_number() OVER (PARTITION BY d, qid ORDER BY cos DESC, vec_id) AS r
+        |    FROM sc) t
+        |  WHERE r <= $TopK),
+        |fl AS (SELECT qid, vec_id FROM top WHERE d = ${TruncDims.max}),
+        |ov AS (
+        |  SELECT t.d, count(*) AS n_hit FROM top t
+        |  JOIN fl f ON t.qid = f.qid AND t.vec_id = f.vec_id GROUP BY t.d),
+        |dn AS (SELECT count(*) AS nt FROM fl)
+        |SELECT dd.d::BIGINT AS dims, COALESCE(ov.n_hit, 0) AS n_hit,
+        |  CAST(round(CAST(COALESCE(ov.n_hit, 0)::DOUBLE / dn.nt::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS recall_at_k
+        |FROM dd LEFT JOIN ov USING (d) CROSS JOIN dn
+        |ORDER BY dims""".stripMargin)),
 
     // Mutual-kNN graph cluster census: cluster-size histogram of the
     // components of the mutual top-KnnGraphK cosine graph, blocked by

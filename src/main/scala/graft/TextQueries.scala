@@ -1782,6 +1782,46 @@ object TextQueries {
         |    / (SUM(tokens)::DOUBLE / COUNT(*)::DOUBLE), 6) AS max_over_mean
         |FROM per""".stripMargin)),
 
+    // Language-ID confusion matrix: heuristic prediction vs the
+    // ground-truth lang column — the eval that says where the
+    // lang_known funnel stage actually loses documents (zh/fr have no
+    // profile, so their rows are the heuristic's honest blind spots).
+    // One scan + a (lang, pred) rollup; row fractions join back from a
+    // bounded per-lang total.
+    QueryDef("text_langid_confusion",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val m = d.select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        val tot = m.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+        m.join(broadcast(tot), Seq("lang"))
+          .select(col("lang"), col("lang_pred"), col("n"),
+            round((col("n").cast("double") / col("__t").cast("double"))
+              .cast(dec), 6).cast("double").as("frac"))
+          .orderBy(col("lang"), col("lang_pred"))
+      },
+      Some(s"""WITH h AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(0)}))) AS h_en,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(1)}))) AS h_es,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(2)}))) AS h_de
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, CASE
+        |    WHEN h_en + h_es + h_de = 0 THEN 'und'
+        |    WHEN h_en >= h_es AND h_en >= h_de THEN 'en'
+        |    WHEN h_es >= h_de THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM h),
+        |m AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tt FROM m GROUP BY 1)
+        |SELECT m.lang, m.lang_pred, m.n,
+        |  CAST(round(CAST(m.n::DOUBLE / t.tt::DOUBLE AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS frac
+        |FROM m JOIN t USING (lang)
+        |ORDER BY lang, lang_pred""".stripMargin)),
+
     // Curation funnel: cumulative survival through the standard
     // sequential filter chain (language known → length band → quality
     // → lexical diversity → exact-unique) — the reference's ETL shape

@@ -251,6 +251,25 @@ class CorpusReportsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - per.max / mean) < 1e-6)
   }
 
+  test("text_langid_confusion: row fractions sum to 1 per true language") {
+    val rows = SparkEntry.queries("text_langid_confusion")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._3).sum - 1.0) < 1e-4, s"fracs for $lang")
+    }
+    val total = rows.map(_._2).sum
+    assert(total == Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("embedding_truncation_recall: full width anchors at 1.0, all recalls in range") {
+    val rows = SparkEntry.queries("embedding_truncation_recall")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    assert(rows.last._2 == 1.0, "full-dim recall must be exactly 1")
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
   test("curation_funnel: stages are monotone non-increasing and anchored at the corpus") {
     val rows = SparkEntry.queries("curation_funnel")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
