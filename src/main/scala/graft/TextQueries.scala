@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
-import graft.ops.Text
+import graft.ops.{Similarity, Text}
 
 /** Text-analysis query registry (pretraining-corpus signals over the
   * `documents` table): token counting, quality scoring, language-ID,
@@ -77,6 +77,11 @@ object TextQueries {
 
   /** shard_skew_forecast: writer shard count. */
   private val ShardK = 32L
+
+  /** vocab_heaps_fit: type n-gram width (trigrams — see the QueryDef
+    * comment for why unigrams are degenerate on this corpus).
+    */
+  private val HeapsGramN = 3
 
   /** Unrolled DuckDB mirror of Text.bpeMergeRounds: one
     * (pairs → argmax → replace → inventory) CTE block per round over
@@ -1580,6 +1585,100 @@ object TextQueries {
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
         |    6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin)),
+
+    // Heaps'-law type-growth fit (V = K·N^β, the standard companion
+    // to the Zipf rank-frequency fit): distinct TRIGRAM types V at
+    // ten doc-id-decile checkpoints against cumulative token count N,
+    // fitted in log-log by the same DECIMAL-exact OLS as
+    // vocab_zipf_fit. β says how fast new text keeps paying novel
+    // content — the corpus-growth planning number. Types are trigrams
+    // over the shared 60-bit gram hash (text_repetition/decontam
+    // convention): the synthetic corpus has a 31-word vocabulary, so
+    // unigram V flattens in the first decile (zero variance — the fit
+    // divides by zero); trigram types grow through the whole corpus,
+    // and at real-corpus scale the hash also keeps the type shuffle
+    // at 8 bytes/occurrence instead of strings. Scale shape:
+    // per-type min(doc_id) is ONE shuffle; checkpoint assignment is
+    // integer (id·10 div n) against a broadcast max; the cumulative
+    // window runs over exactly 10 rows.
+    QueryDef("vocab_heaps_fit",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val mx = d.agg(max(col("doc_id")).as("__m"))
+        val fv = d.select(col("doc_id"),
+            explode(Similarity.gramHashesAll(col("text"), HeapsGramN)).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(mx))
+          .select(expr("(fd * 10) div (__m + 1)").as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+        val tb = d.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div (__m + 1)").as("b"),
+            wordCount(col("text")).cast("long").as("nw"))
+          .groupBy(col("b")).agg(sum(col("nw")).as("nt"))
+        val cum = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val r = tb.join(fv, Seq("b"), "left")
+          .withColumn("V", sum(coalesce(col("nv"), lit(0L))).over(cum))
+          .withColumn("N", sum(col("nt")).over(cum))
+          .select(
+            round(log(col("N")), 6).cast(DecimalType(18, 6)).as("x"),
+            round(log(col("V")), 6).cast(DecimalType(18, 6)).as("y"))
+        val m = r.agg(
+          count(lit(1)).as("n_checkpoints"),
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 12))).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 12))).cast("double").as("sxy"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 12))).cast("double").as("syy"))
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+        m.select(col("n_checkpoints"),
+          round(slope, 6).as("beta"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("log_k"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) *
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (den * (col("n") * col("syy") - col("sy") * col("sy"))),
+            6).as("r2"))
+      },
+      Some(s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(array_to_string(ws[i:i+${HeapsGramN - 1}], ' ')), 1, 15))::BIGINT AS h
+        |  FROM ws, LATERAL unnest(range(1, len(ws) - ${HeapsGramN - 2})) AS x(i)
+        |  WHERE len(ws) >= $HeapsGramN),
+        |fv AS (
+        |  SELECT (fd * 10) // (m + 1) AS b, count(*) AS nv
+        |  FROM (SELECT h, min(doc_id) AS fd FROM g GROUP BY h) f, mx
+        |  GROUP BY 1),
+        |tb AS (
+        |  SELECT (doc_id * 10) // (m + 1) AS b,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS nt
+        |  FROM documents, mx GROUP BY 1),
+        |pts AS (
+        |  SELECT tb.b,
+        |    sum(COALESCE(fv.nv, 0)) OVER (ORDER BY tb.b) AS V,
+        |    sum(tb.nt) OVER (ORDER BY tb.b) AS N
+        |  FROM tb LEFT JOIN fv USING (b)),
+        |r AS (
+        |  SELECT round(ln(N), 6)::DECIMAL(18,6) AS x,
+        |    round(ln(V), 6)::DECIMAL(18,6) AS y
+        |  FROM pts),
+        |m AS (
+        |  SELECT COUNT(*) AS n_checkpoints, COUNT(*)::DOUBLE AS n,
+        |    SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+        |    SUM((x * x)::DECIMAL(38,12))::DOUBLE AS sxx,
+        |    SUM((x * y)::DECIMAL(38,12))::DOUBLE AS sxy,
+        |    SUM((y * y)::DECIMAL(38,12))::DOUBLE AS syy
+        |  FROM r)
+        |SELECT n_checkpoints,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+        |    6) AS log_k,
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM m""".stripMargin)),

@@ -251,6 +251,14 @@ class CorpusReportsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - per.max / mean) < 1e-6)
   }
 
+  test("vocab_heaps_fit: sublinear growth exponent with a tight log-log fit") {
+    val r = SparkEntry.queries("vocab_heaps_fit")(spark, sfDir).collect().head
+    assert(r.getLong(0) == 10L)
+    val beta = r.getDouble(1)
+    assert(beta > 0.0 && beta < 1.0, s"Heaps beta out of range: $beta")
+    assert(r.getDouble(3) > 0.9, "log-log fit should be tight on this corpus")
+  }
+
   test("text_langid_confusion: row fractions sum to 1 per true language") {
     val rows = SparkEntry.queries("text_langid_confusion")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
