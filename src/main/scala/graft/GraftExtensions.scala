@@ -118,5 +118,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_shingle_hashes(stringCol, shingleNLiteral[, distinctLiteral])")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    // Plan-level capability: opt-in COUNT(DISTINCT) → KMV-sketch
+    // rewrite (spark.graft.approxDistinct=true). An optimizer rule
+    // because approximation policy is a session decision about an
+    // unchanged query, not a new operator the caller writes.
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
   }
 }
