@@ -83,6 +83,13 @@ object TextQueries {
     */
   private val HeapsGramN = 3
 
+  /** sketch_freq_cms geometry and probe terms (BM25 terms + one
+    * absent token so the report shows a pure-collision estimate).
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 16
+  private val CmsProbes = Bm25Terms :+ "zzz_absent"
+
   /** Unrolled DuckDB mirror of Text.bpeMergeRounds: one
     * (pairs → argmax → replace → inventory) CTE block per round over
     * the same pipe-wrapped symbol representation.
@@ -1588,6 +1595,71 @@ object TextQueries {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM m""".stripMargin)),
+
+    // Count–Min point-frequency sketch vs exact counts: CMS over the
+    // corpus token stream (depth 4 × width 16 — deliberately narrow so
+    // the 31-word vocabulary collides and the report shows real
+    // overcounts), probed at the BM25 query terms plus one absent
+    // token. overcount = est − exact is the CMS one-sided error, ≥ 0
+    // by construction; the absent probe shows what a pure-collision
+    // estimate looks like. The oracle never simulates the sketch: a
+    // CMS bucket IS Σ counts of the tokens landing in it, which SQL
+    // computes directly from the per-token counts — same integers,
+    // same minima.
+    QueryDef("sketch_freq_cms",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+        val sk = tok.agg(countMin(col("t"), CmsDepth, CmsWidth).as("sk"))
+        val ss = s
+        import ss.implicits._
+        val probes = CmsProbes.toDF("term")
+        val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_count"))
+        probes.crossJoin(broadcast(sk))
+          .withColumn("est_count",
+            countMinEstimate(col("sk"), hash60(col("term")), CmsDepth, CmsWidth))
+          .join(exact, col("term") === col("t"), "left")
+          .select(col("term"),
+            coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+            col("est_count"),
+            (col("est_count") - coalesce(col("exact_count"), lit(0L)))
+              .as("overcount"))
+          .orderBy(col("term"))
+      },
+      Some {
+        def bucketSql(hExpr: String, j: Int): String =
+          s"((($hExpr % 1073741824) * ${2 * j + 1} + ${7919 * j + 12345}) " +
+          s"% 2147483647) % $CmsWidth"
+        val tokBuckets = (0 until CmsDepth)
+          .map(j => s"${bucketSql("h", j)} AS b$j").mkString(",\n|    ")
+        val probeBuckets = (0 until CmsDepth)
+          .map(j => s"${bucketSql("h", j)} AS p$j").mkString(",\n|    ")
+        val estTerms = (0 until CmsDepth).map(j =>
+          s"(SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) FROM bk WHERE bk.b$j = pb.p$j)")
+          .mkString(",\n|    ")
+        s"""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |bk AS (
+        |  SELECT t, c,
+        |    $tokBuckets
+        |  FROM (SELECT t, c,
+        |    ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM cnt) z),
+        |pr AS (SELECT unnest([${CmsProbes.map(p => s"'$p'").mkString(", ")}]) AS term),
+        |pb AS (
+        |  SELECT term,
+        |    $probeBuckets
+        |  FROM (SELECT term,
+        |    ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM pr) z),
+        |est AS (
+        |  SELECT pb.term, least(
+        |    $estTerms) AS est_count
+        |  FROM pb)
+        |SELECT e.term, COALESCE(cnt.c, 0) AS exact_count, e.est_count,
+        |  e.est_count - COALESCE(cnt.c, 0) AS overcount
+        |FROM est e LEFT JOIN cnt ON cnt.t = e.term
+        |ORDER BY term""".stripMargin
+      }),
 
     // Heaps'-law type-growth fit (V = K·N^β, the standard companion
     // to the Zipf rank-frequency fit): distinct TRIGRAM types V at

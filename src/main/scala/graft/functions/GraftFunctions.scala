@@ -99,6 +99,36 @@ object GraftFunctions {
         .toAggregateExpression())
   }
 
+  /** Count–Min sketch aggregate (expressions.CountMinAgg): fixed
+    * depth×width counter state per group, mergeable by element-wise
+    * add — the point-frequency sketch next to kmvDistinct (distinct
+    * count) and Misra–Gries (top items). Value hashed with the
+    * mode-selected 60-bit hash, so probes must hash the same way
+    * (use [[countMinEstimate]] with hash60).
+    */
+  def countMin(c: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.CountMinAgg(
+        GraftColumnBridge.expression(hash60(c.cast("string"))), depth, width)
+        .toAggregateExpression())
+  }
+
+  /** Point-frequency estimate from a [[countMin]] result array:
+    * min over rows of the item's counter. `itemHash` must be the same
+    * 60-bit hash the sketch was built with (hash60 of the item). The
+    * bucket arithmetic mirrors CountMinAgg.bucket integer-for-integer
+    * (and is therefore also expressible in the SQL oracle).
+    */
+  def countMinEstimate(sketch: Column, itemHash: Column,
+                       depth: Int, width: Int): Column =
+    (0 until depth).map { j =>
+      val bkt = pmod(
+        pmod(itemHash, lit(1073741824L)) * lit(2L * j + 1) +
+          lit(7919L * j + 12345L), lit(2147483647L)) % lit(width.toLong)
+      element_at(sketch, (lit(j.toLong * width) + bkt + 1).cast("int"))
+    }.reduce(least(_, _))
+
   /** Size-capped collect_set over long ids
     * (expressions.CollectSetCapped): ascending-sorted distinct array,
     * or NULL for groups exceeding `cap` distinct ids — with O(cap)

@@ -136,4 +136,40 @@ class SketchSpec extends SparkSpec {
     val nulls = Seq[Option[Int]](None, None).toDF("v")
     assert(nulls.agg(GraftFunctions.kmvDistinct(col("v"), 64)).as[Long].head() == 0L)
   }
+
+  // --- Count–Min sketch ---------------------------------------------
+
+  private def cmsEst(df: org.apache.spark.sql.DataFrame, term: String,
+                     depth: Int, width: Int): Long = {
+    val sk = df.agg(GraftFunctions.countMin(col("t"), depth, width).as("sk"))
+    sk.select(GraftFunctions.countMinEstimate(col("sk"),
+        GraftFunctions.hash60(lit(term)), depth, width))
+      .as[Long].head()
+  }
+
+  test("count_min estimates are one-sided and exact with a wide sketch") {
+    val items = (1 to 500).map(i => s"tok${i % 7}") // 7 tokens, skewed
+    val df = items.toDF("t").repartition(4)
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // wide: 7 tokens into 4×1024 counters — collisions essentially nil
+    exact.foreach { case (term, c) =>
+      assert(cmsEst(df, term, 4, 1024) == c, s"wide sketch not exact for $term")
+    }
+    // narrow: 7 tokens into 4×2 counters — must still never undercount
+    exact.foreach { case (term, c) =>
+      assert(cmsEst(df, term, 4, 2) >= c, s"narrow sketch undercounts $term")
+    }
+  }
+
+  test("count_min row sums equal the item count (merge across partitions)") {
+    val df = (1 to 1000).map(i => s"w$i").toDF("t").repartition(8)
+    val depth = 4; val width = 16
+    val arr = df.agg(GraftFunctions.countMin(col("t"), depth, width).as("sk"))
+      .as[Seq[Long]].head()
+    assert(arr.length == depth * width)
+    (0 until depth).foreach { j =>
+      assert(arr.slice(j * width, (j + 1) * width).sum == 1000L,
+        s"row $j mass mismatch")
+    }
+  }
 }
