@@ -119,6 +119,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingle_hashes(stringCol, shingleNLiteral[, distinctLiteral])")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
+    ext.injectFunction((
+      new FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[graft.expressions.CountMinAgg].getName,
+        "count_min"),
+      (children: Seq[Expression]) => children match {
+        // pre-hashed long column (hash60), like kmv_distinct
+        case Seq(c, Literal(d: Int, _), Literal(w: Int, _)) =>
+          graft.expressions.CountMinAgg(c, d, w)
+        case _ => throw new IllegalArgumentException(
+          "count_min(longHashCol, depthLiteral, widthLiteral)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
     // Plan-level capability: opt-in COUNT(DISTINCT) → KMV-sketch
     // rewrite (spark.graft.approxDistinct=true). An optimizer rule
     // because approximation policy is a session decision about an

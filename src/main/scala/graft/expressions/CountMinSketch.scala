@@ -35,6 +35,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * probing is a plain element_at projection over the one-row result
   * (see SketchQueries' sketch_freq_cms).
   */
+object CountMinAgg {
+  private val P = 2147483647L  // Similarity.MersennePrime31
+  private val B = 1073741824L  // Similarity.Base30Mod
+
+  /** Row-j bucket of a 60-bit hash — the single definition shared by
+    * the batch aggregate, countMinEstimate's Column mirror, the SQL
+    * oracle generator, and the streaming form (CmsStream).
+    */
+  @inline def bucket(h: Long, j: Int, width: Int): Int = {
+    val base = java.lang.Math.floorMod(h, B)
+    (java.lang.Math.floorMod(base * (2L * j + 1) + (7919L * j + 12345L), P)
+      % width).toInt
+  }
+}
+
 case class CountMinAgg(
     child: Expression,
     depth: Int,
@@ -45,9 +60,6 @@ case class CountMinAgg(
 
   require(depth >= 1 && depth <= 16, s"count_min depth in [1,16], got $depth")
   require(width >= 2, s"count_min width >= 2, got $width")
-
-  private val P = 2147483647L  // Similarity.MersennePrime31
-  private val B = 1073741824L  // Similarity.Base30Mod
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -62,18 +74,15 @@ case class CountMinAgg(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
-  @inline private def bucket(h: Long, j: Int): Int = {
-    val base = java.lang.Math.floorMod(h, B)
-    (java.lang.Math.floorMod(base * (2L * j + 1) + (7919L * j + 12345L), P)
-      % width).toInt
-  }
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var j = 0
-      while (j < depth) { buf(j * width + bucket(h, j)) += 1L; j += 1 }
+      while (j < depth) {
+        buf(j * width + CountMinAgg.bucket(h, j, width)) += 1L
+        j += 1
+      }
     }
     buf
   }

@@ -161,6 +161,15 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count_min is callable from SQL via extensions") {
+    (1 to 100).map(i => s"x${i % 5}").toDF("t").createOrReplaceTempView("cms_sql")
+    val arr = spark.sql(
+      """SELECT count_min(conv(substring(md5(t), 1, 15), 16, 10)::LONG, 4, 8)
+        |FROM cms_sql""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(arr.length == 32 && arr.slice(0, 8).sum == 100L)
+  }
+
   test("count_min row sums equal the item count (merge across partitions)") {
     val df = (1 to 1000).map(i => s"w$i").toDF("t").repartition(8)
     val depth = 4; val width = 16
