@@ -1124,6 +1124,79 @@ object DedupQueries {
         |GROUP BY w.source
         |ORDER BY source""".stripMargin)),
 
+    // ExactSubstr cutting census under keep-first-occurrence: unlike
+    // dedup_substr_spans (which counts EVERY duplicated occurrence),
+    // this is what a span-cutting pass actually deletes — positions
+    // whose covering duplicated window also lives in a smaller-id doc,
+    // so each duplicated run survives exactly once (in its lowest-id
+    // holder). tokens_cut / tokens_total is the real corpus shrinkage.
+    QueryDef("dedup_substr_prune",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val spans = graft.ops.Text.duplicatedSpansToCut(d, "doc_id", "text",
+          DupSpanK)
+        val perDoc = spans.groupBy(col("doc_id"))
+          .agg(sum(col("span_end") - col("span_start") + 1).as("cut"))
+        d.select(col("doc_id"), col("source"),
+            wordCount(col("text")).cast("long").as("nw"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("cut")).as("n_docs_cut"),
+            sum(col("nw")).as("tokens_total"),
+            coalesce(sum(col("cut")), lit(0L)).as("tokens_cut"))
+          .select(col("source"), col("n_docs"), col("n_docs_cut"),
+            col("tokens_total"), col("tokens_cut"),
+            (col("tokens_total") - col("tokens_cut")).as("tokens_kept"),
+            round((col("tokens_cut").cast("double") /
+              col("tokens_total").cast("double")).cast(dec), 6)
+              .cast("double").as("cut_frac"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substring(md5(array_to_string(w[i:i+${DupSpanK - 1}], ' ')), 1, 15))::BIGINT AS h
+        |  FROM w, LATERAL unnest(range(1, len(w) - ${DupSpanK - 2})) AS t(i)
+        |  WHERE len(w) >= $DupSpanK),
+        |dup AS (
+        |  SELECT h, min(doc_id) AS mn FROM g GROUP BY h
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (
+        |  SELECT g.doc_id, g.i FROM g JOIN dup USING (h)
+        |  WHERE g.doc_id > dup.mn),
+        |pe AS (
+        |  SELECT doc_id, i,
+        |    max(i + ${DupSpanK - 1}) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM pe),
+        |spans AS (
+        |  SELECT doc_id, island, min(i) AS s, max(i) + ${DupSpanK - 1} AS e
+        |  FROM isl GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut
+        |  FROM spans GROUP BY 1)
+        |SELECT w.source, count(*) AS n_docs,
+        |  count(p.doc_id) AS n_docs_cut,
+        |  CAST(sum(len(w.w)) AS BIGINT) AS tokens_total,
+        |  COALESCE(CAST(sum(p.cut) AS BIGINT), 0) AS tokens_cut,
+        |  CAST(sum(len(w.w)) AS BIGINT)
+        |    - COALESCE(CAST(sum(p.cut) AS BIGINT), 0) AS tokens_kept,
+        |  CAST(round(CAST(COALESCE(sum(p.cut), 0)::DOUBLE
+        |    / sum(len(w.w))::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS cut_frac
+        |FROM w LEFT JOIN perdoc p USING (doc_id)
+        |GROUP BY w.source
+        |ORDER BY source""".stripMargin)),
+
     // Threshold-sweep survival curve: at each candidate threshold, how
     // many LSH candidate pairs verify (by signature-slot agreement),
     // how many docs the smaller-id-wins rule removes, and what

@@ -327,7 +327,23 @@ object Text {
     * costs more than re-running a codegen'd scan projection.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame = {
+                      k: Int): DataFrame =
+    dupSpansImpl(docs, idCol, textCol, k, canonicalKeep = false)
+
+  /** [[duplicatedSpans]] under the keep-first-occurrence rule: a
+    * position is in a span only if some covering duplicated window
+    * also appears in a SMALLER-id document — so the lowest-id holder
+    * of each duplicated run keeps it, and the spans returned here are
+    * exactly what an ExactSubstr cutting pass deletes (Lee et al.
+    * remove all but one occurrence; lowest-id is the deterministic
+    * pick, the same canonical rule as the LSH dedup family).
+    */
+  def duplicatedSpansToCut(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame =
+    dupSpansImpl(docs, idCol, textCol, k, canonicalKeep = true)
+
+  private def dupSpansImpl(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, canonicalKeep: Boolean): DataFrame = {
     // Native one-pass window-hash kernel (no lambda expressions — they
     // are interpreted and excluded from codegen CSE; the kernel cut
     // this query 5.7 s → ~2 s at sf0.1). Short docs → empty array →
@@ -339,8 +355,11 @@ object Text {
     val dup = grams.groupBy(col("h"))
       .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
       .where(col("mn") =!= col("mx"))
-      .select(col("h"))
-    val hits = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+      .select(col("h"), col("mn"))
+    val joined = grams.join(dup, Seq("h"))
+    val hits = (if (canonicalKeep) joined.where(col(idCol) > col("mn"))
+                else joined)
+      .select(col(idCol), col("pos"))
     val win = Window.partitionBy(idCol).orderBy("pos")
     val prevEnd = max(col("pos") + lit(k - 1))
       .over(win.rowsBetween(Window.unboundedPreceding, -1))

@@ -210,6 +210,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(!spans.exists(_._1 == 5L), "doc5 is shorter than k")
   }
 
+  test("duplicatedSpansToCut keeps the lowest-id occurrence and cuts the rest") {
+    val spans = Text.duplicatedSpansToCut(spanCorpus, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect().toSet
+    // doc1 is the lowest-id holder of "a b c d e" → keeps it; doc2
+    // cuts its copy; doc4's two runs are also doc1-owned → cut; doc6
+    // keeps, doc7 cuts
+    assert(spans == Set((2L, 2, 6), (4L, 0, 2), (4L, 6, 8), (7L, 0, 3)),
+      s"got $spans")
+    // cut spans are a subset of the all-occurrences spans
+    val all = spansOf(spanCorpus)
+    assert(spans.subsetOf(all))
+  }
+
   test("duplicatedSpans recovers a long run exactly (window cover, no over-extension)") {
     val df = Seq(
       (1L, "u v w a a a a a a a x y z"),
