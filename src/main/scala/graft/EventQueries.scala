@@ -1351,6 +1351,61 @@ object EventQueries {
         |FROM k JOIN (
         |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
         |  FROM events GROUP BY 1) x USING (event_type)
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // Temporal train/test split with entity-leakage census: cutoff at
+    // 4/5 of the observed time range (pure integer micros arithmetic
+    // against a broadcast min/max), then per split the event/user
+    // counts plus how many users appear on BOTH sides — the number a
+    // per-user model must see before trusting the holdout (user
+    // overlap across a time split is fine for forecasting, leakage
+    // for user-level classification; the census makes the choice
+    // explicit instead of silent).
+    QueryDef("temporal_split_events",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val bounds = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        val lab = e.crossJoin(broadcast(bounds))
+          .withColumn("split",
+            when(col("us") < col("mn") + expr("((mx - mn) * 4) div 5"),
+              "train").otherwise("test"))
+        val per = lab.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+        val ov = lab.select(col("split"), col("user_id")).distinct()
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .where(col("c") === 2)
+          .agg(count(lit(1)).as("user_overlap"))
+        per.crossJoin(broadcast(ov))
+          .select(col("split"), col("n_events"), col("n_users"),
+            col("user_overlap"),
+            round((col("user_overlap").cast("double") /
+              col("n_users").cast("double")).cast(dec), 6).cast("double")
+              .as("overlap_frac"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM events),
+        |lab AS (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) < b.mn + ((b.mx - b.mn) * 4) // 5
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM events, b),
+        |per AS (
+        |  SELECT split, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM lab GROUP BY split),
+        |ov AS (
+        |  SELECT count(*) AS user_overlap FROM (
+        |    SELECT user_id FROM (SELECT DISTINCT split, user_id FROM lab) d
+        |    GROUP BY user_id HAVING count(*) = 2) q)
+        |SELECT per.split, per.n_events, per.n_users, ov.user_overlap,
+        |  CAST(round(CAST(ov.user_overlap::DOUBLE / per.n_users::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS overlap_frac
+        |FROM per CROSS JOIN ov
+        |ORDER BY split""".stripMargin))
   )
 }

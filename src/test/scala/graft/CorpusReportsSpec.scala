@@ -251,6 +251,21 @@ class CorpusReportsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - per.max / mean) < 1e-6)
   }
 
+  test("temporal_split_events: splits partition the events, overlap bounded") {
+    val rows = SparkEntry.queries("temporal_split_events")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("test", "train"))
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._2).sum == total)
+    val Seq(test, train) = rows.map(_._2).toSeq
+    assert(train > test, "cutoff at 4/5 of the range should favor train")
+    rows.foreach { r =>
+      assert(r._4 <= r._3, "overlap cannot exceed a split's users")
+      assert(r._5 >= 0.0 && r._5 <= 1.0)
+    }
+  }
+
   test("vocab_heaps_fit: sublinear growth exponent with a tight log-log fit") {
     val r = SparkEntry.queries("vocab_heaps_fit")(spark, sfDir).collect().head
     assert(r.getLong(0) == 10L)
