@@ -17,6 +17,14 @@ object EventQueries {
   private val QSampleDiv = 16L
 
   private val SessionGapUs = 1800L * 1000000L // 30 min in microseconds
+
+  /** events_anomaly_dow flag threshold: |z| above this flags the day.
+    * 1.5 (not the textbook 2/3) because the synthetic daily volumes
+    * are near-uniform — max observed |z| ≈ 1.62 at every SF — and an
+    * always-empty screen gates nothing; the threshold is the caller's
+    * dial in production.
+    */
+  private val AnomalyDowZ = 1.5
   // modified-z cutoff 3.5 × normal consistency 1.4826, pre-folded to
   // one decimal literal both engines parse to the same double (a
   // runtime product could associate/round differently per engine)
@@ -1352,6 +1360,65 @@ object EventQueries {
         |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
         |  FROM events GROUP BY 1) x USING (event_type)
         |ORDER BY event_type""".stripMargin)),
+
+    // Day-of-week-adjusted volume anomaly screen: daily event counts
+    // scored against their own weekday's mean/std (the seasonal
+    // baseline that keeps every Saturday from flagging as an anomaly
+    // against a weekday-dominated global mean). Same two-pass
+    // DECIMAL-exact moment recipe as events_anomaly_zscore; variance=0
+    // weekdays are filtered BEFORE the z division (ANSI throws on
+    // double division by zero — the r8 Heaps lesson). Bounded frames
+    // everywhere: days × 1 row daily rollup, 7-row DOW stats.
+    QueryDef("events_anomaly_dow",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("dow", dayofweek(col("day")))
+        val m = daily.groupBy(col("dow"))
+          .agg(count(lit(1)).as("nd"),
+            round((sum(col("n_events").cast(DecimalType(18, 6))) /
+              count(lit(1))).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("dow_mean"))
+          .where(col("nd") > 1)
+        val dev = daily.join(broadcast(m), "dow")
+          .withColumn("dev", col("n_events") - col("dow_mean"))
+        val v = dev.groupBy(col("dow"))
+          .agg(round((sum((col("dev") * col("dev")).cast(DecimalType(28, 10))) /
+            (count(lit(1)) - 1)).cast(DecimalType(28, 10)), 6)
+            .cast("double").as("variance"))
+        dev.join(broadcast(v), "dow")
+          .where(col("variance") > 0)
+          .withColumn("z", round(col("dev") / sqrt(col("variance")), 3))
+          .where(abs(col("z")) > AnomalyDowZ)
+          .select(col("day"), col("dow").cast("long").as("dow"),
+            col("n_events"), col("dow_mean"), col("z"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT ts::DATE AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |dw AS (SELECT day, n_events, dayofweek(day) + 1 AS dow FROM daily),
+        |m AS (
+        |  SELECT dow, COUNT(*) AS nd,
+        |    CAST(round(CAST(SUM(n_events::DECIMAL(18,6)) / COUNT(*)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS dow_mean
+        |  FROM dw GROUP BY 1 HAVING COUNT(*) > 1),
+        |d AS (
+        |  SELECT dw.day, dw.dow, dw.n_events, dw.n_events - m.dow_mean AS dev,
+        |    m.dow_mean
+        |  FROM dw JOIN m USING (dow)),
+        |v AS (
+        |  SELECT dow,
+        |    CAST(round(CAST(SUM((dev * dev)::DECIMAL(28,10)) / (COUNT(*) - 1)
+        |      AS DECIMAL(28,10)), 6) AS DOUBLE) AS variance
+        |  FROM d GROUP BY 1)
+        |SELECT d.day, d.dow::BIGINT AS dow, d.n_events, d.dow_mean,
+        |  round(d.dev / sqrt(v.variance), 3) AS z
+        |FROM d JOIN v USING (dow)
+        |WHERE v.variance > 0
+        |  AND abs(round(d.dev / sqrt(v.variance), 3)) > $AnomalyDowZ
+        |ORDER BY day""".stripMargin)),
 
     // Temporal train/test split with entity-leakage census: cutoff at
     // 4/5 of the observed time range (pure integer micros arithmetic

@@ -215,4 +215,34 @@ class PropertySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(1L, 3L), s"null-score rows must be excluded: $got")
   }
+
+  test("invariant: duplicatedSpans tolerates null, empty, and sub-k texts") {
+    val df = Seq[(Long, String)]((1L, null), (2L, ""), (3L, "a b"),
+        (4L, "x y z w v u t s"), (5L, "x y z w v u t s"))
+      .toDF("doc_id", "text")
+    val spans = graft.ops.Text.duplicatedSpans(df, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect().toSet
+    // only the identical 8-word pair produces spans
+    assert(spans == Set((4L, 0, 7), (5L, 0, 7)), s"got $spans")
+    val cut = graft.ops.Text.duplicatedSpansToCut(df, "doc_id", "text", 3)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(cut == Set((5L, 0, 7)), s"got $cut")
+  }
+
+  test("invariant: dedupSurvivalCurve on a single-doc corpus is all-surviving") {
+    val one = Seq((1L, "just one lonely document here with some words"))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Similarity.dedupSurvivalCurve(one, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(6)))
+    assert(rows.length == 5)
+    assert(rows.forall(r => r._2 == 0L && r._3 == 1.0), s"got ${rows.toSeq}")
+  }
+
+  test("invariant: count_min of an empty frame is the zero sketch") {
+    val empty = Seq.empty[String].toDF("t")
+    val arr = empty
+      .agg(graft.functions.GraftFunctions.countMin(col("t"), 4, 8).as("sk"))
+      .as[Seq[Long]].head()
+    assert(arr.length == 32 && arr.forall(_ == 0L))
+  }
 }
