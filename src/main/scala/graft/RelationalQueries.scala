@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 import graft.ops.Relational
 
@@ -441,6 +442,80 @@ object RelationalQueries {
         |SELECT n_rows, n_keys, max_cnt, hot_key, p99_cnt,
         |  CAST(round(CAST(max_cnt::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS skew_ratio
-        |FROM st, hot, p""".stripMargin))
+        |FROM st, hot, p""".stripMargin)),
+
+    // Pareto / ABC revenue concentration: customers bucketed into
+    // revenue deciles and the cumulative share curve (decile 0 = top
+    // spenders; cum_rev_frac at decile 1 answers "do 20% of customers
+    // carry 80% of revenue"). Scale shape: NO global rank window —
+    // decile boundaries come from the exact-quantile two-pass
+    // bracketing (driver state = O(quantiles), only bucket counts
+    // move), bucket assignment is 9 broadcast-literal comparisons at
+    // scan time, and the cumulative window runs over exactly 10 rows.
+    // The oracle reproduces the same type-1 boundary rule
+    // (rank = max(1, ceil(p·n))) with a brute-force row_number.
+    QueryDef("orders_pareto_deciles",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d2 = DecimalType(18, 2)
+        val o = Tables.load(s, dir, "orders")
+        val rev = o.groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("rev"))
+        val (_, bounds) = graft.ops.Quantile.exactQuantiles(rev, "rev",
+          (1 to 9).map(_ / 10.0))
+        val dAsc = bounds.map(b => when(col("rev") > lit(b), 1).otherwise(0))
+          .reduce(_ + _)
+        val tot = rev.agg(sum(col("rev").cast(d2)).as("__tr"))
+        val per = rev.withColumn("decile", (lit(9) - dAsc).cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev").cast(d2)).as("drev"))
+        val wc = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        per.crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_customers"),
+            col("drev").cast("double").as("revenue"),
+            round((col("drev").cast("double") / col("__tr").cast("double"))
+              .cast(dec), 6).cast("double").as("rev_frac"),
+            round((sum(col("drev")).over(wc).cast("double") /
+              col("__tr").cast("double")).cast(dec), 6).cast("double")
+              .as("cum_rev_frac"))
+          .orderBy(col("decile"))
+      },
+      Some {
+        val bDefs = (1 to 9).map(p =>
+          s"max(CASE WHEN rn = greatest(1, CAST(ceil(0.$p * n) AS BIGINT)) " +
+          s"THEN rev END) AS b$p").mkString(",\n|  ")
+        val dAsc = (1 to 9).map(p =>
+          s"(CASE WHEN r.rev > b.b$p THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT rev, row_number() OVER (ORDER BY rev) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM rev),
+        |b AS (SELECT
+        |  $bDefs
+        |  FROM s),
+        |dc AS (
+        |  SELECT r.rev, 9 - ($dAsc) AS decile
+        |  FROM rev r, b),
+        |tot AS (SELECT SUM(CAST(rev AS DECIMAL(18,2))) AS tr FROM rev),
+        |per AS (
+        |  SELECT decile, count(*) AS n_customers,
+        |    SUM(CAST(rev AS DECIMAL(18,2))) AS drev
+        |  FROM dc GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        |  CAST(drev AS DOUBLE) AS revenue,
+        |  CAST(round(CAST(CAST(drev AS DOUBLE) / CAST(tot.tr AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rev_frac,
+        |  CAST(round(CAST(CAST(sum(drev) OVER (ORDER BY decile) AS DOUBLE)
+        |    / CAST(tot.tr AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS cum_rev_frac
+        |FROM per, tot
+        |ORDER BY decile""".stripMargin
+      })
   )
 }

@@ -251,6 +251,22 @@ class CorpusReportsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - per.max / mean) < 1e-6)
   }
 
+  test("orders_pareto_deciles: deciles partition customers, shares telescope to 1") {
+    val rows = SparkEntry.queries("orders_pareto_deciles")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val nCust = Tables.load(spark, sfDir, "orders")
+      .select(countDistinct(col("o_custkey"))).as[Long].head()
+    assert(rows.map(_._2).sum == nCust)
+    // top decile carries the largest share; shares are non-increasing
+    rows.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi._3 >= lo._3, s"shares not sorted: $hi $lo")
+      case _ =>
+    }
+    assert(math.abs(rows.last._4 - 1.0) < 1e-6, "cumulative share must end at 1")
+  }
+
   test("temporal_split_events: splits partition the events, overlap bounded") {
     val rows = SparkEntry.queries("temporal_split_events")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
