@@ -459,8 +459,13 @@ object RelationalQueries {
         val dec = DecimalType(18, 8)
         val d2 = DecimalType(18, 2)
         val o = Tables.load(s, dir, "orders")
+        // localCheckpoint: the bracketing rounds + the report both read
+        // the per-customer rollup; without it every quantile round
+        // re-aggregates the fact table. |customers| ≪ |orders| at any
+        // scale, executor-local blocks, freed with the session cache.
         val rev = o.groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("rev"))
+          .localCheckpoint(true)
         val (_, bounds) = graft.ops.Quantile.exactQuantiles(rev, "rev",
           (1 to 9).map(_ / 10.0))
         val dAsc = bounds.map(b => when(col("rev") > lit(b), 1).otherwise(0))
