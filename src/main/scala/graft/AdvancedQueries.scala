@@ -211,6 +211,37 @@ object AdvancedQueries {
         |  CASE WHEN len(frames) > 0 THEN md5(frames[len(frames)]) END AS last_md5
         |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // S9-shape — binary multipart chunk manifest: fixed-size chunks
+    // (last partial) with per-chunk offset/size/md5, the manifest a
+    // multimodal store writes next to each blob for resumable transfer
+    // and sub-object dedup. Scan-time slice array + posexplode — no
+    // shuffle before the final presentation sort; at 100 TB the
+    // manifest is written partition-local next to the data files. The
+    // oracle mirrors the byte math over VARCHAR (exact on this ASCII
+    // corpus, same convention as multimodal_frame_sample).
+    QueryDef("multimodal_chunk_manifest",
+      (s, dir) => {
+        val cb = 192
+        val slices = Multimodal.chunkSlices(col("text").cast("binary"), cb)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), posexplode(slices).as(Seq("i", "chunk")))
+          .select(col("doc_id"),
+            col("i").cast("long").as("chunk_idx"),
+            (col("i").cast("long") * cb).as("byte_offset"),
+            length(col("chunk")).cast("long").as("chunk_bytes"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (length(text) - 1) // 192 + 1)) AS i
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, i AS chunk_idx, i * 192 AS byte_offset,
+        |  length(substring(text, (i * 192 + 1)::INT, 192))::BIGINT AS chunk_bytes,
+        |  md5(substring(text, (i * 192 + 1)::INT, 192)) AS chunk_md5
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Data profiling — the validation pass an ingest pipeline runs
     // before training: per-column row/null/exact-distinct counts. One
     // column-pruned scan per column (each aggregate reads only its own
