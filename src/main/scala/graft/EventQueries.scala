@@ -729,6 +729,68 @@ object EventQueries {
         |  UNION ALL SELECT 0.99::DOUBLE, n_full, n_sample, e99, s99 FROM fx, sx)
         |ORDER BY q""".stripMargin)),
 
+    // One-pass mergeable quantile sketch (expressions.KllQuantileAgg)
+    // graded against the exact two-pass answer. The sketch's estimate
+    // depends on Spark's nondeterministic partial-merge order, so the
+    // gate hashes the DETERMINISTIC guarantee instead: the true rank
+    // of each estimate must land within the sketch's own accumulated
+    // err_bound of the target rank (a hard invariant of the even-index
+    // compactor, any merge order) — the oracle asserts the same rows
+    // with within_bound literally TRUE, so a broken envelope flips the
+    // boolean and fails the hash. exact_v rides along from the
+    // bracketing two-pass (driver state = O(buckets), same as
+    // quantile_exact_twopass). At 100 TB the sketch is the one-pass
+    // groupBy-friendly form; the rank-check pass here is eval-only
+    // telemetry.
+    QueryDef("sketch_quantile_kll",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(0.5, 0.9, 0.99)
+        val labels = Seq("p50", "p90", "p99")
+        val e = Tables.load(s, dir, "events")
+          .select(col("value").cast("double").as("v"))
+          .where(col("v").isNotNull && !isnan(col("v")))
+        val sk = e.agg(kllQuantiles(col("v"), 256, qs).as("s"))
+          .select(col("s.n"), col("s.err_bound"), col("s.est")).head()
+        val n = sk.getLong(0)
+        val err = sk.getLong(1)
+        val est = sk.getSeq[Double](2)
+        val (_, exact) = graft.ops.Quantile.exactQuantiles(e, "v", qs)
+        val rankAggs = qs.indices.flatMap(i => Seq(
+          sum(when(col("v") < est(i), 1L).otherwise(0L)).as(s"lt$i"),
+          sum(when(col("v") <= est(i), 1L).otherwise(0L)).as(s"le$i")))
+        val ranks = e.agg(rankAggs.head, rankAggs.tail: _*).head()
+        qs.indices.map { i =>
+          val target = math.max(1L, math.ceil(qs(i) * n).toLong)
+          val lt = ranks.getLong(2 * i)
+          val le = ranks.getLong(2 * i + 1)
+          val within = le >= target - err && lt < target + err
+          (labels(i), n, target, exact(i), within)
+        }.toDF("q_label", "n", "k_target", "exact_v", "within_bound")
+          .orderBy(col("q_label"))
+      },
+      Some("""WITH s AS (
+        |  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |x AS (
+        |  SELECT max(n) AS n,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |        THEN value END) AS e50,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |        THEN value END) AS e90,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+        |        THEN value END) AS e99
+        |  FROM s)
+        |SELECT q_label, n,
+        |  greatest(1, CAST(ceil(q * n) AS BIGINT)) AS k_target,
+        |  exact_v, TRUE AS within_bound
+        |FROM (
+        |  SELECT 'p50' AS q_label, 0.50 AS q, n, e50 AS exact_v FROM x
+        |  UNION ALL SELECT 'p90', 0.90, n, e90 FROM x
+        |  UNION ALL SELECT 'p99', 0.99, n, e99 FROM x)
+        |ORDER BY q_label""".stripMargin)),
+
     // Multi-q tail report over a BIGGER, duplicate-heavy column
     // (lineitem.l_extendedprice — ~30× the events row count at any
     // sf, prices repeat across rows so bracket rounds hit duplicate

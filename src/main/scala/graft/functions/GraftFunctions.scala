@@ -129,6 +129,22 @@ object GraftFunctions {
       element_at(sketch, (lit(j.toLong * width) + bkt + 1).cast("int"))
     }.reduce(least(_, _))
 
+  /** Deterministic mergeable KLL quantile sketch aggregate
+    * (expressions.KllQuantileAgg): one-pass per-group quantile
+    * estimates with a HARD accumulated rank-error bound —
+    * O(k·log(n/k)) state, map-side partials, merge-order-safe
+    * guarantee. Returns struct (n, err_bound, est ARRAY<DOUBLE> — one
+    * per q in `qs`). The 100 TB single-pass complement to
+    * [[graft.ops.Quantile]]'s exact multi-round bracketing.
+    */
+  def kllQuantiles(c: Column, k: Int, qs: Seq[Double]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.expressions.KllQuantileAgg(
+        GraftColumnBridge.expression(c.cast("double")), k, qs)
+        .toAggregateExpression())
+  }
+
   /** Size-capped collect_set over long ids
     * (expressions.CollectSetCapped): ascending-sorted distinct array,
     * or NULL for groups exceeding `cap` distinct ids — with O(cap)
