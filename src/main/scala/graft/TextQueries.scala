@@ -2007,24 +2007,14 @@ object TextQueries {
       (s, dir) => {
         val dec = DecimalType(18, 8)
         val d = Tables.load(s, dir, "documents")
-        val lw = split(lower(col("text")), " ")
-        val dupWin = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-        val flags = d.select(
-          wordCount(col("text")).cast("long").as("nw"),
-          (Text.langId(col("text")) =!= "und").as("b1"),
-          (wordCount(col("text")) >= 20 && wordCount(col("text")) <= 100000).as("b2"),
-          (round(Text.qualityScore(col("text")), 6) >= 0.5).as("b3"),
-          (size(array_distinct(lw)) * 10 >= size(lw) * 3).as("b4"),
-          (row_number().over(dupWin) === 1).as("b5"))
-        val stages = Seq(
-          lit(true), col("b1"), col("b1") && col("b2"),
-          col("b1") && col("b2") && col("b3"),
-          col("b1") && col("b2") && col("b3") && col("b4"),
-          col("b1") && col("b2") && col("b3") && col("b4") && col("b5"))
-        val aggExprs = (0 to 5).flatMap(i => Seq(
-          sum(when(stages(i), 1L).otherwise(0L)).as(s"n$i"),
-          sum(when(stages(i), col("nw")).otherwise(0L)).as(s"t$i")))
-        val one = flags.agg(aggExprs.head, aggExprs.tail: _*)
+        // flags + cumulative aggregate shared with the streaming form
+        // (streaming/CurationStream) — batch/stream parity holds by
+        // construction; the first-per-md5 window is the batch stage-5
+        val dupWin = Window.partitionBy(col("k")).orderBy(col("doc_id"))
+        val flags = d.select(col("doc_id") +:
+            graft.streaming.CurationStream.flagCols(col("text")): _*)
+          .withColumn("b5", row_number().over(dupWin) === 1)
+        val one = graft.streaming.CurationStream.funnelAgg(flags)
         val withF = one.select(col("*") +:
           (0 to 5).map(i => round((col(s"t$i").cast("double") /
             col("t0").cast("double")).cast(dec), 6).cast("double").as(s"f$i")): _*)
