@@ -242,6 +242,83 @@ object AdvancedQueries {
         |FROM idx
         |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Rendezvous (highest-random-weight) shard assignment — the
+    // consistent-placement primitive for growing a 100 TB corpus from
+    // N to N+1 shards: each doc goes to argmax over shards of
+    // h(shard, doc_id), so adding a shard moves only the docs the NEW
+    // shard now wins (~1/(N+1) of the corpus) and every moved doc
+    // lands ON the new shard (n_moved_elsewhere is identically 0 —
+    // spec-asserted, oracle-mirrored). The mod-hash columns are the
+    // counter-evidence: h % N reshuffles ~8/9 of everything. Pure
+    // scan-time argmax (a when-chain over N seeded md5Long hashes, no
+    // shuffle) + one rollup keyed on old_shard.
+    QueryDef("shard_rendezvous_moves",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val nOld = 8
+        val nNew = 9
+        val id = col("doc_id").cast("string")
+        def owner(n: Int): org.apache.spark.sql.Column = {
+          val hs = (0 until n).map(i => md5Long(i, id))
+          val g = greatest(hs: _*)
+          hs.zipWithIndex.foldLeft(null: org.apache.spark.sql.Column) {
+            case (acc, (hc, i)) =>
+              if (acc == null) when(hc === g, i.toLong)
+              else acc.when(hc === g, i.toLong)
+          }
+        }
+        Tables.load(s, dir, "documents")
+          .select(
+            owner(nOld).as("old_shard"), owner(nNew).as("new_shard"),
+            pmod(md5Long(id), lit(nOld.toLong)).as("old_mod"),
+            pmod(md5Long(id), lit(nNew.toLong)).as("new_mod"))
+          .groupBy(col("old_shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("new_shard") =!= col("old_shard"), 1L)
+              .otherwise(0L)).as("n_moved"),
+            sum(when(col("new_shard") =!= col("old_shard") &&
+              col("new_shard") =!= nOld.toLong, 1L)
+              .otherwise(0L)).as("n_moved_elsewhere"),
+            sum(when(col("new_mod") =!= col("old_mod"), 1L)
+              .otherwise(0L)).as("n_mod_moved"))
+          .withColumn("moved_frac",
+            round((col("n_moved").cast("double") /
+              col("n_docs").cast("double")).cast(dec), 6).cast("double"))
+          .withColumn("mod_moved_frac",
+            round((col("n_mod_moved").cast("double") /
+              col("n_docs").cast("double")).cast(dec), 6).cast("double"))
+          .orderBy(col("old_shard"))
+      },
+      Some {
+        def h(i: Int) =
+          s"('0x' || substring(md5('$i:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+        def owner(n: Int, alias: String) = {
+          val hs = (0 until n).map(h)
+          val g = s"greatest(${hs.mkString(", ")})"
+          val cases = hs.zipWithIndex
+            .map { case (hc, i) => s"WHEN $hc = $g THEN ${i}::BIGINT" }
+            .mkString(" ")
+          s"CASE $cases END AS $alias"
+        }
+        s"""WITH a AS (
+          |  SELECT ${owner(8, "old_shard")},
+          |    ${owner(9, "new_shard")},
+          |    ${h(0).replace("'0:' || ", "")} % 8 AS old_mod,
+          |    ${h(0).replace("'0:' || ", "")} % 9 AS new_mod
+          |  FROM documents)
+          |SELECT old_shard, COUNT(*) AS n_docs,
+          |  SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+          |  SUM(CASE WHEN new_shard <> old_shard AND new_shard <> 8
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_moved_elsewhere,
+          |  SUM(CASE WHEN new_mod <> old_mod THEN 1 ELSE 0 END)::BIGINT AS n_mod_moved,
+          |  CAST(round(CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)::DOUBLE
+          |    / COUNT(*)::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) AS moved_frac,
+          |  CAST(round(CAST(SUM(CASE WHEN new_mod <> old_mod THEN 1 ELSE 0 END)::DOUBLE
+          |    / COUNT(*)::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) AS mod_moved_frac
+          |FROM a GROUP BY old_shard ORDER BY old_shard""".stripMargin
+      }),
+
     // Data profiling — the validation pass an ingest pipeline runs
     // before training: per-column row/null/exact-distinct counts. One
     // column-pruned scan per column (each aggregate reads only its own

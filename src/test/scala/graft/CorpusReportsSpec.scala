@@ -345,4 +345,23 @@ class CorpusReportsSpec extends SparkSpec {
         r.getDouble(5) + 1e-6, "abs_error consistent with its operands")
     }
   }
+
+  test("shard_rendezvous_moves: moved docs all land on the new shard, " +
+    "movement ~1/(N+1), mod-hash reshuffles most of the corpus") {
+    val rows = SparkEntry.queries("shard_rendezvous_moves")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L))
+    // HRW invariant: a doc moves only when the NEW shard outbids its
+    // old owner — nothing may move between pre-existing shards
+    assert(rows.forall(_.getLong(3) == 0L), "n_moved_elsewhere must be 0")
+    val nDocs = rows.map(_.getLong(1)).sum
+    val nMoved = rows.map(_.getLong(2)).sum
+    val nModMoved = rows.map(_.getLong(4)).sum
+    val movedFrac = nMoved.toDouble / nDocs
+    // expectation 1/9 ≈ 0.111; loose bounds for a small corpus
+    assert(movedFrac > 0.03 && movedFrac < 0.25, s"moved $movedFrac")
+    // mod-hash expectation 8/9 ≈ 0.889 — an order of magnitude worse
+    assert(nModMoved.toDouble / nDocs > 0.6)
+    assert(nModMoved > 4 * nMoved)
+  }
 }
