@@ -286,6 +286,110 @@ object StarQueries {
         |ORDER BY zkey, o_orderkey
         |LIMIT 20""".stripMargin)),
 
+    // Min/max block-pruning census — measures what each physical
+    // layout is WORTH: the same orders table cut into 256 equal-width
+    // key-range blocks under three layouts (natural = insertion key,
+    // bydate = time-sorted, zorder = Morton tiles), with per-block
+    // min/max stats (exactly what parquet footers / Delta file stats
+    // store) probed by a two-dimensional predicate (customer band AND
+    // date band). n_scan_* counts the blocks/rows whose stat ranges
+    // overlap BOTH bands — what a scan must actually read. The
+    // expected physics, and what the gate pins: each single-column
+    // sort prunes its own column and nothing else; z-order prunes on
+    // both. No global sort anywhere — block ids are scan-local
+    // key-range arithmetic (blocks ARE key ranges, the same contract
+    // as range-partitioned files), so the census is one stats pass +
+    // three narrow aggregates; at 100 TB it reads file footers, not
+    // rows. Predicate bounds derive from the table's own min/max so
+    // the census is scale-free.
+    QueryDef("layout_pruning_census",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val nB = 256L
+        val o = Tables.load(s, dir, "orders")
+        val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        val keyed = o.select(
+          col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("cust"), day.as("day"))
+          .withColumn("zkey", graft.ops.Layout.zorderKey2(
+            col("cust").bitwiseAND(lit(65535L)),
+            col("day").bitwiseAND(lit(65535L)), 16))
+        val st = keyed.agg(
+          min("okey"), max("okey"), min("cust"), max("cust"),
+          min("day"), max("day"), min("zkey"), max("zkey")).head()
+        val Seq(mnO, mxO, _, mxC, mnD, mxD, mnZ, mxZ) =
+          (0 until 8).map(st.getLong)
+        val cLo = 1L
+        val cHi = mxC / 10
+        val dLo = mnD + 300
+        val dHi = mnD + 500
+        def census(layout: String, key: String, mn: Long, mx: Long) = {
+          val blocks = keyed
+            .withColumn("blk",
+              expr(s"(($key - ${mn}L) * ${nB}L) div ${mx - mn + 1}L"))
+            .groupBy(col("blk"))
+            .agg(min("cust").as("minc"), max("cust").as("maxc"),
+              min("day").as("mind"), max("day").as("maxd"),
+              count(lit(1)).as("cnt"))
+          val scanned = col("minc") <= cHi && col("maxc") >= cLo &&
+            col("mind") <= dHi && col("maxd") >= dLo
+          blocks.agg(
+            count(lit(1)).as("n_blocks"),
+            sum(when(scanned, 1L).otherwise(0L)).as("n_scan_blocks"),
+            sum(col("cnt")).as("n_rows"),
+            sum(when(scanned, col("cnt")).otherwise(0L)).as("n_scan_rows"))
+            .select(lit(layout).as("layout"), col("n_blocks"),
+              col("n_scan_blocks"), col("n_rows"), col("n_scan_rows"))
+        }
+        census("bydate", "day", mnD, mxD)
+          .unionAll(census("natural", "okey", mnO, mxO))
+          .unionAll(census("zorder", "zkey", mnZ, mxZ))
+          .withColumn("scan_row_frac",
+            round((col("n_scan_rows").cast("double") /
+              col("n_rows").cast("double")).cast(dec), 6).cast("double"))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val zsql = graft.ops.Layout.zorderKey2Sql("o_custkey & 65535",
+          "(epoch_us(o_orderdate) // 86400000000) & 65535", 16)
+        def census(layout: String, key: String, mn: String, mx: String) =
+          s"""SELECT '$layout' AS layout, COUNT(*)::BIGINT AS n_blocks,
+            |  SUM(CASE WHEN minc <= cHi AND maxc >= cLo
+            |      AND mind <= dHi AND maxd >= dLo THEN 1 ELSE 0 END)::BIGINT
+            |    AS n_scan_blocks,
+            |  SUM(cnt)::BIGINT AS n_rows,
+            |  SUM(CASE WHEN minc <= cHi AND maxc >= cLo
+            |      AND mind <= dHi AND maxd >= dLo THEN cnt ELSE 0 END)::BIGINT
+            |    AS n_scan_rows
+            |FROM (
+            |  SELECT (($key - $mn) * 256) // ($mx - $mn + 1) AS blk,
+            |    min(cust) AS minc, max(cust) AS maxc,
+            |    min(day) AS mind, max(day) AS maxd, count(*) AS cnt
+            |  FROM k, st GROUP BY 1), sel""".stripMargin
+        s"""WITH k AS (
+          |  SELECT o_orderkey::BIGINT AS okey, o_custkey::BIGINT AS cust,
+          |    (epoch_us(o_orderdate) // 86400000000) AS day,
+          |    $zsql AS zkey
+          |  FROM orders),
+          |st AS (
+          |  SELECT min(okey) AS mno, max(okey) AS mxo,
+          |    max(cust) AS mxc, min(day) AS mnd, max(day) AS mxd,
+          |    min(zkey) AS mnz, max(zkey) AS mxz FROM k),
+          |sel AS (
+          |  SELECT 1 AS cLo, mxc // 10 AS cHi,
+          |    mnd + 300 AS dLo, mnd + 500 AS dHi FROM st)
+          |SELECT layout, n_blocks, n_scan_blocks, n_rows, n_scan_rows,
+          |  CAST(round(CAST(n_scan_rows::DOUBLE / n_rows::DOUBLE
+          |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS scan_row_frac
+          |FROM (
+          |${census("bydate", "day", "mnd", "mxd")}
+          |UNION ALL
+          |${census("natural", "okey", "mno", "mxo")}
+          |UNION ALL
+          |${census("zorder", "zkey", "mnz", "mxz")})
+          |ORDER BY layout""".stripMargin
+      }),
+
     // RFM customer segmentation — the classic recency / frequency /
     // monetary bucketing behind lifecycle marketing reports. One
     // per-customer aggregate on the natural key (combiner-friendly),

@@ -125,4 +125,33 @@ class LayoutSpec extends SparkSpec {
     }
     assert(reps == Seq(4096), s"expected one Repartition(4096): $reps")
   }
+
+  test("layout_pruning_census: z-order prunes the 2-D predicate best, " +
+    "natural layout reads everything") {
+    // sf0.01: at sf0.001 blocks hold ~6 rows and the Morton tiles are
+    // too sparse for the layout physics to show (bydate's single
+    // selective band wins on noise) — the census needs real density
+    val rows = SparkEntry.queries("layout_pruning_census")(
+        spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set("natural", "bydate", "zorder"))
+    // every layout holds the same rows; scanned ⊆ total
+    val totals = rows.values.map(_._3).toSet
+    assert(totals.size == 1)
+    rows.values.foreach { case (nb, sb, nr, sr, frac) =>
+      assert(sb <= nb && sr <= nr && frac >= 0.0 && frac <= 1.0)
+    }
+    // natural = insertion order is uncorrelated with both predicate
+    // columns, so its min/max stats prune worst (at sf0.01+ it reads
+    // exactly 1.0 of the rows; at sf0.001 blocks hold ~6 rows and a
+    // lucky narrow block occasionally falls outside the date band)
+    assert(rows("natural")._5 >= rows("bydate")._5)
+    assert(rows("natural")._5 >= rows("zorder")._5)
+    // the single-column sort prunes; the Morton tiles prune at least
+    // as well on the combined predicate
+    assert(rows("bydate")._5 < 0.5)
+    assert(rows("zorder")._5 <= rows("bydate")._5)
+  }
 }
