@@ -472,6 +472,81 @@ object StarQueries {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mom_pct
         |FROM m ORDER BY month""".stripMargin)),
 
+    // Cohort lifetime-value triangle — the acquisition-quality report
+    // every subscription/commerce warehouse runs: customers grouped by
+    // first-order month (cohort), revenue tracked by months-since
+    // (age), with cumulative LTV per original cohort member. Scale
+    // shape: one per-customer min() aggregate (combiner-friendly),
+    // one join back keyed on the SAME custkey (co-partitioned — AQE
+    // broadcasts the cohort side when small), one (cohort, age)
+    // rollup, then bounded windows over the ≤ months² triangle.
+    // Revenue stays DECIMAL through the cumulative window (a double
+    // running sum would be engine/order-dependent); the per-customer
+    // LTV is exact integer cents via floor division — no FP anywhere.
+    QueryDef("orders_cohort_ltv",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val withM = o.select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        val firstM = withM.groupBy(col("o_custkey"))
+          .agg(min(col("m")).as("cohort_m"))
+        val g = withM.join(firstM, "o_custkey")
+          .withColumn("age", col("m") - col("cohort_m"))
+          .groupBy(col("cohort_m"), col("age"))
+          .agg(countDistinct(col("o_custkey")).as("n_active"),
+            count(lit(1)).as("n_orders"),
+            sum(col("price")).as("rev_dec"))
+        val byCohort = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cohort_m")) // ≤ |months| rows per cohort
+        val cumW = byCohort.orderBy(col("age"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        g.withColumn("cohort_size",
+            max(when(col("age") === 0, col("n_active"))).over(byCohort))
+          .withColumn("cum_rev", sum(col("rev_dec")).over(cumW))
+          .select(
+            make_date((col("cohort_m") / 12).cast("int"),
+              pmod(col("cohort_m"), lit(12)).cast("int") + 1, lit(1))
+              .as("cohort_month"),
+            col("age").as("age_months"),
+            col("n_active"), col("n_orders"),
+            col("rev_dec").cast("double").as("revenue"),
+            // exact integer cents: a decimal/double division rounded
+            // to 6 landed on a half-ulp boundary at sf0.01 (the
+            // classic cross-engine .XXXXX50 edge) — floor-divided
+            // cents are bit-identical everywhere
+            expr("CAST(cum_rev * 100 AS BIGINT) div cohort_size")
+              .as("ltv_cents_per_customer"))
+          .orderBy(col("cohort_month"), col("age_months"))
+      },
+      Some("""WITH o2 AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort_m FROM o2 GROUP BY 1),
+        |g AS (
+        |  SELECT cohort_m, o2.m - cohort_m AS age,
+        |    COUNT(DISTINCT o2.o_custkey)::BIGINT AS n_active,
+        |    COUNT(*) AS n_orders, SUM(price) AS rev_dec
+        |  FROM o2 JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    max(CASE WHEN age = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_m) AS cohort_size,
+        |    SUM(rev_dec) OVER (PARTITION BY cohort_m ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM g)
+        |SELECT make_date((cohort_m // 12)::INT, (cohort_m % 12 + 1)::INT, 1)
+        |    AS cohort_month,
+        |  age AS age_months, n_active, n_orders,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  (CAST(cum_rev * 100 AS BIGINT) // cohort_size)
+        |    AS ltv_cents_per_customer
+        |FROM w ORDER BY cohort_month, age_months""".stripMargin)),
+
     // Q13 shape — customer order-count distribution: LEFT join so
     // zero-order customers land in the c_count=0 bucket, then a
     // distribution over the counts. Two aggregations, each one

@@ -204,4 +204,27 @@ class RelationalSpec extends SparkSpec {
     assert(binned == naive)
     assert(naive.nonEmpty && naive.values.forall(_ == 1))
   }
+
+  test("orders_cohort_ltv: age-0 anchors cohort size, LTV cents monotone, " +
+    "actives bounded by cohort size") {
+    val rows = SparkEntry.queries("orders_cohort_ltv")(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"$c: first age must be 0")
+      val size = sorted.head._3
+      // every later age re-activates a subset of the cohort
+      assert(sorted.forall(_._3 <= size), s"$c: actives exceed cohort size")
+      // cumulative revenue per member never decreases with age
+      assert(sorted.map(_._5).sliding(2).forall(p =>
+        p.length < 2 || p(1) >= p(0)), s"$c: LTV not monotone")
+    }
+    // total order count across the triangle ties out to the table
+    val totalOrders = rows.map(_._4).sum
+    assert(totalOrders == Tables.load(spark, sfDir, "orders").count())
+  }
 }
