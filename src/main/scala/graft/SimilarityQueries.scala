@@ -59,6 +59,115 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // IVF nprobe → recall tuning curve: the dial an index operator
+    // actually turns, measured. For nprobe ∈ {1, 2, 4} the multiprobe
+    // searcher is graded against the brute-force ground truth with
+    // micro-averaged recall (Σhits/Σtruth — exact integer counts, one
+    // IEEE division at presentation). The exact top-k is computed
+    // once and localCheckpointed (TopK·|Q| rows — candidate-set
+    // sized, never corpus-sized); each curve point is one
+    // probe-filtered broadcast join + a count. Query cost grows
+    // linearly in nprobe while the index is untouched — this report
+    // is the evidence for choosing the knee (and the spec pins recall
+    // monotone in nprobe).
+    QueryDef("ann_nprobe_curve",
+      (s, dir) => {
+        import s.implicits._
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val raw = Tables.load(s, dir, "embeddings")
+        val e = raw.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val q = e.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true) // reused once per curve point
+        val nTrue = exact.count()
+        val cents = raw.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        Seq(1, 2, 4).map { np =>
+          val approx = Similarity.ivfTopKMultiProbe(raw, "vec_id",
+              "embedding", cents, col("vec_id") < NumQueryVecs, TopK, np)
+            .select(col("query_id"), col("neighbor_id"))
+          val nHit = approx.join(exact, Seq("query_id", "neighbor_id"))
+            .count()
+          (np.toLong, nTrue, nHit)
+        }.toDF("nprobe", "n_true", "n_hit")
+          .withColumn("recall",
+            round((col("n_hit").cast("double") /
+              col("n_true").cast("double")).cast(dec), 6).cast("double"))
+          .orderBy(col("nprobe"))
+      },
+      Some {
+        def point(np: Int) =
+          s"""SELECT ${np}::BIGINT AS nprobe,
+            |  (SELECT COUNT(*) FROM bf) AS n_true,
+            |  (SELECT COUNT(*)
+            |   FROM (SELECT query_id, neighbor_id FROM (
+            |      SELECT s.query_id, s.neighbor_id,
+            |        ROW_NUMBER() OVER (PARTITION BY s.query_id
+            |          ORDER BY s.cos DESC, s.neighbor_id) AS rank
+            |      FROM (
+            |        SELECT q.query_id, e.vec_id AS neighbor_id,
+            |          round(list_cosine_similarity(q.qemb::DOUBLE[],
+            |            e.embedding::DOUBLE[]), 6) AS cos
+            |        FROM cells e JOIN qp q
+            |          ON e.cell = q.qcell AND q.rn <= $np
+            |          AND e.vec_id <> q.query_id) s)
+            |    WHERE rank <= $TopK) a
+            |   JOIN bf b ON b.query_id = a.query_id
+            |    AND b.neighbor_id = a.neighbor_id) AS n_hit""".stripMargin
+        s"""WITH q0 AS (
+          |  SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+          |  WHERE vec_id < $NumQueryVecs),
+          |bf_scored AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.qemb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+          |  FROM embeddings e JOIN q0 q ON e.vec_id <> q.query_id),
+          |bf AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY cos DESC, neighbor_id) AS rank FROM bf_scored)
+          |  WHERE rank <= $TopK),
+          |c AS (
+          |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+          |  WHERE vec_id < $NumCells),
+          |assigned AS (
+          |  SELECT e.vec_id, e.embedding, c.cid,
+          |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+          |  FROM embeddings e CROSS JOIN c),
+          |cells AS (
+          |  SELECT vec_id, embedding, cid AS cell FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          |      ORDER BY ccos DESC, cid) AS rn FROM assigned)
+          |  WHERE rn = 1),
+          |qp AS (
+          |  SELECT query_id, qemb, qcell, rn FROM (
+          |    SELECT vec_id AS query_id, embedding AS qemb, cid AS qcell,
+          |      ROW_NUMBER() OVER (PARTITION BY vec_id
+          |        ORDER BY ccos DESC, cid) AS rn
+          |    FROM assigned WHERE vec_id < $NumQueryVecs))
+          |SELECT nprobe, n_true, n_hit,
+          |  CAST(round(CAST(n_hit::DOUBLE / n_true::DOUBLE
+          |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS recall
+          |FROM (
+          |${point(1)}
+          |UNION ALL
+          |${point(2)}
+          |UNION ALL
+          |${point(4)})
+          |ORDER BY nprobe""".stripMargin
+      }),
+
     // Embedding PCA + whitening (ops/Pca): decimal-sum covariance
     // (distributed, partition-independent) + driver-side power
     // iteration over the d×d matrix (d bounded), whitening as a pure

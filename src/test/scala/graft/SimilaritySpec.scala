@@ -524,4 +524,18 @@ class SimilaritySpec extends SparkSpec {
       assert(r._7 >= 0.0 && r._7 <= 1.0)
     }
   }
+
+  test("ann_nprobe_curve: recall is monotone in nprobe and bounded by 1") {
+    val rows = SparkEntry.queries("ann_nprobe_curve")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    // widening the probe set only ever ADDS candidate cells, so hits
+    // (and recall) cannot decrease
+    assert(rows.sliding(2).forall(p => p.length < 2 || p(1)._3 >= p(0)._3),
+      s"hits not monotone: ${rows.toSeq}")
+    rows.foreach { case (_, nTrue, nHit, recall) =>
+      assert(nHit <= nTrue && recall >= 0.0 && recall <= 1.0)
+    }
+  }
 }
