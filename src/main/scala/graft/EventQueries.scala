@@ -791,6 +791,56 @@ object EventQueries {
         |  UNION ALL SELECT 'p99', 0.99, n, e99 FROM x)
         |ORDER BY q_label""".stripMargin)),
 
+    // Per-group KLL envelope gate on a duplicate-heavy discrete column
+    // (l_quantity ∈ {1..50} — the tie-pileup stress case for any
+    // compactor). One groupBy aggregate builds an independent sketch
+    // per return-flag group; one follow-up conditional-sum pass
+    // computes each estimate's TRUE per-group rank; the gate hashes
+    // n plus the per-(group, q) envelope booleans (the estimates
+    // themselves are merge-order-dependent and stay out of the hash,
+    // same contract as sketch_quantile_kll). This is the sketch the
+    // 100 TB monitoring path actually ships: per-group state is
+    // O(k·log(n/k)) and the shuffle carries one sketch per (group,
+    // partition), not raw values.
+    QueryDef("group_quantiles_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(0.5, 0.9, 0.99)
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_quantity").cast("double").as("v"))
+          .where(col("v").isNotNull && !isnan(col("v")))
+        val sk = li.groupBy(col("flag"))
+          .agg(kllQuantiles(col("v"), 128, qs).as("s"))
+          .select(col("flag"), col("s.n"), col("s.err_bound"), col("s.est"))
+          .collect().sortBy(_.getString(0))
+        val aggs = sk.toSeq.flatMap { r =>
+          val flag = r.getString(0)
+          val est = r.getSeq[Double](3)
+          qs.indices.flatMap(i => Seq(
+            sum(when(col("flag") === flag && col("v") < est(i), 1L)
+              .otherwise(0L)).as(s"lt_${flag}_$i"),
+            sum(when(col("flag") === flag && col("v") <= est(i), 1L)
+              .otherwise(0L)).as(s"le_${flag}_$i")))
+        }
+        val ranks = li.agg(aggs.head, aggs.tail: _*).head()
+        sk.toSeq.zipWithIndex.map { case (r, gi) =>
+          val n = r.getLong(1)
+          val err = r.getLong(2)
+          val within = qs.indices.map { i =>
+            val target = math.max(1L, math.ceil(qs(i) * n).toLong)
+            val lt = ranks.getLong(gi * 6 + 2 * i)
+            val le = ranks.getLong(gi * 6 + 2 * i + 1)
+            le >= target - err && lt < target + err
+          }
+          (r.getString(0), n, within(0), within(1), within(2))
+        }.toDF("flag", "n", "within_p50", "within_p90", "within_p99")
+          .orderBy(col("flag"))
+      },
+      Some("""SELECT l_returnflag AS flag, COUNT(l_quantity) AS n,
+        |  TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Multi-q tail report over a BIGGER, duplicate-heavy column
     // (lineitem.l_extendedprice — ~30× the events row count at any
     // sf, prices repeat across rows so bracket rounds hit duplicate
