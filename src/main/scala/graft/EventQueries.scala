@@ -1473,6 +1473,81 @@ object EventQueries {
         |  FROM events GROUP BY 1) x USING (event_type)
         |ORDER BY event_type""".stripMargin)),
 
+    // Sketch-based join-cardinality estimation — the query-planning
+    // use of Count–Min: |A ⋈ B| on a key is the inner product of the
+    // two key-frequency vectors, and min over the sketch's d rows of
+    // the bucketed inner product estimates it WITHOUT ever joining —
+    // two one-pass aggregates whose shuffled state is d·w counters
+    // per side, vs a real (or sampled) join. The estimate provably
+    // never underestimates (bucket collisions only ADD cross terms),
+    // which is exactly the property a planner wants for a
+    // broadcast-threshold decision — both engines compute estimate
+    // AND exact, so the gate pins the estimator's arithmetic and its
+    // one-sided-error invariant together.
+    QueryDef("join_size_estimate_cms",
+      (s, dir) => {
+        import s.implicits._
+        val d = 4
+        val w = 256
+        val a = Tables.load(s, dir, "events")
+          .select(col("user_id").cast("long").as("k"))
+        val b = Tables.load(s, dir, "orders")
+          .select(col("o_custkey").cast("long").as("k"))
+        val skA = a.agg(countMin(col("k"), d, w).as("sk"))
+          .head().getSeq[Long](0)
+        val skB = b.agg(countMin(col("k"), d, w).as("sk"))
+          .head().getSeq[Long](0)
+        val est = (0 until d).map { j =>
+          var s2 = 0L
+          var i = 0
+          while (i < w) { s2 += skA(j * w + i) * skB(j * w + i); i += 1 }
+          s2
+        }.min
+        val ca = a.groupBy(col("k")).agg(count(lit(1)).as("na"))
+        val cb = b.groupBy(col("k")).agg(count(lit(1)).as("nb"))
+        val row = ca.join(cb, "k")
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("x"))
+          .head()
+        val exact = row.getLong(0)
+        Seq((a.count(), b.count(), exact, est))
+          .toDF("n_left", "n_right", "exact_join_size", "cms_estimate")
+          .withColumn("overcount",
+            col("cms_estimate") - col("exact_join_size"))
+          .withColumn("never_under",
+            col("cms_estimate") >= col("exact_join_size"))
+      },
+      Some {
+        def bucketSql(j: Int): String =
+          s"(((h % 1073741824) * ${2 * j + 1} + ${7919 * j + 12345}) " +
+          s"% 2147483647) % 256"
+        val rowEsts = (0 until 4).map { j =>
+          s"""(SELECT CAST(COALESCE(SUM(x.c * y.c), 0) AS BIGINT) FROM
+            |  (SELECT ${bucketSql(j)} AS b, SUM(c)::BIGINT AS c FROM ca GROUP BY 1) x
+            |  JOIN
+            |  (SELECT ${bucketSql(j)} AS b, SUM(c)::BIGINT AS c FROM cb GROUP BY 1) y
+            |  USING (b))""".stripMargin
+        }.mkString(",\n|  ")
+        s"""WITH ca AS (
+          |  SELECT k, count(*) AS c,
+          |    ('0x' || substring(md5(k::VARCHAR), 1, 15))::BIGINT AS h
+          |  FROM (SELECT user_id::BIGINT AS k FROM events) GROUP BY k),
+          |cb AS (
+          |  SELECT k, count(*) AS c,
+          |    ('0x' || substring(md5(k::VARCHAR), 1, 15))::BIGINT AS h
+          |  FROM (SELECT o_custkey::BIGINT AS k FROM orders) GROUP BY k),
+          |est AS (SELECT least(
+          |  $rowEsts) AS cms_estimate),
+          |ex AS (
+          |  SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS exact_join_size
+          |  FROM ca JOIN cb USING (k))
+          |SELECT (SELECT COUNT(*) FROM events) AS n_left,
+          |  (SELECT COUNT(*) FROM orders) AS n_right,
+          |  ex.exact_join_size, est.cms_estimate,
+          |  est.cms_estimate - ex.exact_join_size AS overcount,
+          |  est.cms_estimate >= ex.exact_join_size AS never_under
+          |FROM ex, est""".stripMargin
+      }),
+
     // Day-of-week-adjusted volume anomaly screen: daily event counts
     // scored against their own weekday's mean/std (the seasonal
     // baseline that keeps every Saturday from flagging as an anomaly
