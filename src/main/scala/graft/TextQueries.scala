@@ -1336,6 +1336,45 @@ object TextQueries {
     // the only broadcast. Same ln-then-round-6 determinism contract as
     // text_unigram_logprob; rounded score + term tie-break keeps the
     // rank stable cross-engine.
+    // Hashing-trick vectorizer (Weinberger et al.): BPE-ish tokens →
+    // fixed D=1024-dim sparse vectors with the ± sign hash that keeps
+    // collision noise zero-mean — the vocabularyless featurizer that
+    // needs NO fitted dictionary, so it maps any future shard of a
+    // 100 TB corpus identically with zero coordination. One explode +
+    // one (doc, bucket) aggregate; bucket and sign both derive from
+    // the shared 60-bit hash so the oracle replays them exactly.
+    // Output is the sparse COO form (doc_id, bucket, n_tokens,
+    // weight) — the layout a downstream trainer consumes directly.
+    QueryDef("feature_hash_vectors",
+      (s, dir) => {
+        val dDim = 1024L
+        val h = hash60(col("tok"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(bpeTokens(col("text"))).as("tok"))
+          .select(col("doc_id"),
+            pmod(h, lit(dDim)).as("bucket"),
+            // h is positive 60-bit; >>10 = h div 1024 exactly (a
+            // double `/` would lose low bits past 2^53)
+            (pmod(shiftrightunsigned(h, 10), lit(2L)) * 2L - 1L)
+              .as("sign"))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("sign")).as("weight"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '$BpeTokenPattern')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+        |  FROM tok)
+        |SELECT doc_id, h % 1024 AS bucket,
+        |  COUNT(*) AS n_tokens,
+        |  SUM(CASE WHEN (h // 1024) % 2 = 0 THEN -1 ELSE 1 END)::BIGINT AS weight
+        |FROM h GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin)),
+
     QueryDef("text_tfidf_topk",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
