@@ -390,6 +390,63 @@ object StarQueries {
           |ORDER BY layout""".stripMargin
       }),
 
+    // Market-basket pair lift — co-occurrence mining over order
+    // baskets: support counts for part pairs bought together and
+    // lift = P(both)/(P(a)·P(b)) against independence. The pair
+    // generation is a self-equi-join on the ORDER key, so the blowup
+    // per order is C(basket,2) with TPC-H baskets ≤ 7 lines — the
+    // output stream is a small constant times lineitem, never
+    // catalog² (the classic a-priori trap would be joining on part).
+    // One distinct, one co-partitioned self-join, two aggregates,
+    // TakeOrdered top-20; singles broadcast onto the pair counts.
+    // Lift arithmetic is (n_both·N)/(n1·n2) in IEEE double with
+    // pinned parenthesization, rounded through DECIMAL — bit-equal
+    // cross-engine.
+    QueryDef("basket_pairs_lift",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = li.select(countDistinct(col("ok"))).head().getLong(0)
+        val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+          .agg(count(lit(1)).as("n_both"))
+          .where(col("n_both") >= 3)
+        pairs
+          .join(broadcast(singles.withColumnRenamed("pk", "p1")
+            .withColumnRenamed("np", "np1")), "p1")
+          .join(broadcast(singles.withColumnRenamed("pk", "p2")
+            .withColumnRenamed("np", "np2")), "p2")
+          .select(col("p1"), col("p2"), col("n_both"),
+            col("np1"), col("np2"),
+            round(((col("n_both").cast("double") * nOrders.toDouble) /
+              (col("np1").cast("double") * col("np2").cast("double")))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("lift"))
+          .orderBy(col("lift").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS total FROM li),
+        |s AS (SELECT pk, COUNT(*) AS np FROM li GROUP BY 1),
+        |p AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3)
+        |SELECT p1, p2, n_both::BIGINT AS n_both,
+        |  s1.np AS np1, s2.np AS np2,
+        |  CAST(round(CAST((n_both::DOUBLE * (SELECT total FROM n)::DOUBLE) /
+        |    (s1.np::DOUBLE * s2.np::DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS lift
+        |FROM p
+        |JOIN s s1 ON s1.pk = p.p1
+        |JOIN s s2 ON s2.pk = p.p2
+        |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin)),
+
     // RFM customer segmentation — the classic recency / frequency /
     // monetary bucketing behind lifecycle marketing reports. One
     // per-customer aggregate on the natural key (combiner-friendly),
