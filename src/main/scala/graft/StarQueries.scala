@@ -404,9 +404,14 @@ object StarQueries {
     // cross-engine.
     QueryDef("basket_pairs_lift",
       (s, dir) => {
+        // four consumers (count, singles, both join legs) — checkpoint
+        // the distinct basket frame once or each re-runs scan+distinct
+        // (the drift_js_sources multi-consumer lesson; plan census
+        // showed 7 exchanges without it)
         val li = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .localCheckpoint(true)
         val nOrders = li.select(countDistinct(col("ok"))).head().getLong(0)
         val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
         val pairs = li.as("a")
