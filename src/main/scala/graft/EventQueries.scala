@@ -104,6 +104,63 @@ object EventQueries {
         |SELECT user_id, MAX(session_seq)::BIGINT AS n_sessions, COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Top session paths — lightweight sequential-pattern mining: the
+    // most frequent 3-step event-type sequences WITHIN a session
+    // (sessionized by the same 30-min gap rule as events_sessionize).
+    // The naive encoding collects per-session type arrays and explodes
+    // n-grams (array state = session length — a hot user's month-long
+    // session OOMs the aggregate); instead two lead() columns over the
+    // SAME user-ordered window turn each row into its own trigram, so
+    // state per row is O(1) and the session boundary is a scan-local
+    // equality on the session counter. One window shuffle keyed on
+    // user, one path rollup, TakeOrdered 10.
+    QueryDef("events_top_paths",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSession = when(
+          unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byUser)) > SessionGapUs, 1)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0)
+        val s2 = e.withColumn("__new", newSession)
+          .withColumn("sess", sum(col("__new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val withLeads = s2
+          .withColumn("t1", lead(col("event_type"), 1).over(byUser))
+          .withColumn("s1", lead(col("sess"), 1).over(byUser))
+          .withColumn("t2", lead(col("event_type"), 2).over(byUser))
+          .withColumn("s2", lead(col("sess"), 2).over(byUser))
+        withLeads
+          .where(col("s1") === col("sess") && col("s2") === col("sess"))
+          .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
+      },
+      Some(s"""WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+        |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |l AS (
+        |  SELECT event_type, sess,
+        |    lead(event_type, 1) OVER w2 AS t1, lead(sess, 1) OVER w2 AS s1,
+        |    lead(event_type, 2) OVER w2 AS t2, lead(sess, 2) OVER w2 AS s2
+        |  FROM s
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+        |FROM l WHERE s1 = sess AND s2 = sess
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
     // Funnel: users whose first signup precedes their first purchase.
     QueryDef("events_funnel",
       (s, dir) => {
