@@ -937,6 +937,48 @@ object EventQueries {
     // count), then a per-group cumulative window over DISTINCT values
     // picks each k-th. Oracle uses the independent row_number-per-
     // group formulation of the same lower-quantile convention.
+    // Per-type inter-arrival cadence: exact p50/p90 of the gap (whole
+    // seconds) between a user's consecutive events of the same type —
+    // the "how often does this signal fire" telemetry behind alert
+    // tuning and session-gap selection. The lag window keys on
+    // (user_id, event_type) — high-cardinality, so no hot reducer (a
+    // per-type-only window would put the corpus on |types| cores);
+    // the quantile pass then compresses to (type, distinct gap)
+    // before its bounded per-type cumulative window, the
+    // groupQuantiles contract. Integer seconds ⇒ heavy duplication ⇒
+    // the compressed frame is tiny at any scale.
+    QueryDef("events_interarrival_quantiles",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = e.withColumn("gap_s",
+            ((unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(byUserType)))
+              / lit(1000000L)).cast("long"))
+          .where(col("gap_s").isNotNull)
+        graft.ops.Quantile.groupQuantiles(gaps, "event_type", "gap_s",
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+        |      // 1000000 AS gap_s
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type AS g, gap_s::DOUBLE AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_s::DOUBLE) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT g AS event_type, max(n) AS n,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |      THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |      THEN v END) AS p90
+        |FROM s GROUP BY g ORDER BY event_type""".stripMargin)),
+
     QueryDef("group_quantiles_exact",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")

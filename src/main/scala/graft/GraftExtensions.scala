@@ -131,6 +131,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "count_min(longHashCol, depthLiteral, widthLiteral)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.expressions.KllQuantileAgg].getName,
+        "kll_quantile"),
+      (children: Seq[Expression]) => children match {
+        // kll_quantile(doubleCol, kLiteral, qLiteral...) — returns
+        // struct(n, err_bound, est[#qs]); qs are double literals so
+        // SQL callers pin the quantile list at plan time like the
+        // Scala API does
+        case c +: Literal(k: Int, _) +: qs if qs.nonEmpty &&
+            qs.forall { case Literal(_: Double, _) => true; case _ => false } =>
+          graft.expressions.KllQuantileAgg(c, k,
+            qs.map { case Literal(q: Double, _) => q })
+        case _ => throw new IllegalArgumentException(
+          "kll_quantile(doubleCol, kLiteral, qDoubleLiteral...)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
     // Plan-level capability: opt-in COUNT(DISTINCT) → KMV-sketch
     // rewrite (spark.graft.approxDistinct=true). An optimizer rule
     // because approximation policy is a session decision about an

@@ -101,6 +101,19 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("kll_quantile is callable from SQL via GraftExtensions") {
+    val row = spark.sql(
+      "SELECT kll_quantile(CAST(id AS DOUBLE), 64, 0.5D, 0.9D) AS s " +
+        "FROM range(1, 1001)")
+      .select(col("s.n"), col("s.err_bound"), col("s.est")).head()
+    assert(row.getLong(0) == 1000L)
+    val err = row.getLong(1)
+    val est = row.getSeq[Double](2)
+    // data is 1..1000, so value == rank: the envelope reads directly
+    assert(math.abs(est(0) - 500.0) <= err + 1, s"p50=${est(0)} err=$err")
+    assert(math.abs(est(1) - 900.0) <= err + 1, s"p90=${est(1)} err=$err")
+  }
+
   test("kll skips NULL and NaN but keeps ±Inf ordered") {
     val vals: Seq[java.lang.Double] =
       Seq[java.lang.Double](1.0, 2.0, null, Double.NaN, 3.0,
