@@ -390,6 +390,54 @@ object StarQueries {
           |ORDER BY layout""".stripMargin
       }),
 
+    // Open-order backlog curve — the interval-concurrency sweep:
+    // every order contributes +1 at its open date and −1 the day
+    // after its last lineitem receipt; the running sum of the daily
+    // net IS the number of simultaneously-open orders. The naive
+    // encoding (per-day point-in-interval join, days × orders) is
+    // quadratic; the sweep is one join to build intervals, one
+    // aggregate to |days| net rows, and a cumulative window over the
+    // BOUNDED day frame (~2.5k rows at any corpus size — the window
+    // is calendar-bounded, not data-bounded). The same shape prices
+    // concurrent sessions, open connections, or active leases at
+    // 100 TB.
+    QueryDef("orders_open_backlog_daily",
+      (s, dir) => {
+        val closes = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+        val opens = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("ok"),
+            to_date(col("o_orderdate")).as("open_d"))
+        val iv = opens.join(closes, "ok")
+        val deltas = iv.select(col("open_d").as("day"), lit(1L).as("dl"))
+          .unionByName(iv.select(date_add(col("close_d"), 1).as("day"),
+            lit(-1L).as("dl")))
+          .groupBy(col("day")).agg(sum(col("dl")).as("net"))
+        // unpartitioned window safe: ≤ |calendar days| rows by
+        // construction (the aggregation above collapsed the data)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        deltas.withColumn("open_orders", sum(col("net")).over(w))
+          .orderBy(col("day"))
+      },
+      Some("""WITH c AS (
+        |  SELECT l_orderkey AS ok, max(l_shipdate::DATE) AS close_d
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT o_orderdate::DATE AS open_d, close_d
+        |  FROM orders JOIN c ON o_orderkey = c.ok),
+        |d AS (
+        |  SELECT open_d AS day, 1::BIGINT AS dl FROM iv
+        |  UNION ALL
+        |  SELECT close_d + 1, -1::BIGINT FROM iv),
+        |n AS (SELECT day, SUM(dl)::BIGINT AS net FROM d GROUP BY 1)
+        |SELECT day, net,
+        |  CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS open_orders
+        |FROM n ORDER BY day""".stripMargin)),
+
     // Market-basket pair lift — co-occurrence mining over order
     // baskets: support counts for part pairs bought together and
     // lift = P(both)/(P(a)·P(b)) against independence. The pair
