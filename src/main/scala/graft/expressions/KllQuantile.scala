@@ -20,6 +20,135 @@ final class KllBuf(
     var n: Long = 0L,
     var errBound: Long = 0L)
 
+/** The sketch kernel, shared verbatim by the Catalyst aggregate and
+  * the streaming form (streaming.KllStream) so batch and stream
+  * cannot drift. All operations are deterministic; only the ORDER of
+  * insert/merge calls varies with partitioning, and the errBound
+  * invariant holds under any order.
+  */
+object Kll {
+
+  /** Sort level h, retain its max when the count is odd (weight
+    * conservation), promote even indices with doubled weight, clear.
+    */
+  private def compact(buf: KllBuf, k: Int, h: Int): Unit = {
+    val lvl = buf.levels(h)
+    if (lvl.size < 2) return
+    val arr = lvl.toArray
+    java.util.Arrays.sort(arr)
+    lvl.clear()
+    var c = arr.length
+    if (c % 2 == 1) { lvl += arr(c - 1); c -= 1 }
+    if (buf.levels.size == h + 1) buf.levels += ArrayBuffer()
+    val up = buf.levels(h + 1)
+    var i = 0
+    while (i < c) { up += arr(i); i += 2 }
+    buf.errBound += 1L << h
+  }
+
+  private def cascade(buf: KllBuf, k: Int): Unit = {
+    var h = 0
+    while (h < buf.levels.size) {
+      if (buf.levels(h).size >= k) compact(buf, k, h)
+      h += 1
+    }
+  }
+
+  /** Insert one finite value (caller filters NULL/NaN). */
+  def insert(buf: KllBuf, k: Int, d: Double): Unit = {
+    buf.levels(0) += d
+    buf.n += 1
+    if (buf.levels(0).size >= k) cascade(buf, k)
+  }
+
+  /** Merge b into a (level-wise concat + cascade); b is not reused. */
+  def mergeInto(a: KllBuf, b: KllBuf, k: Int): KllBuf = {
+    var h = 0
+    while (h < b.levels.size) {
+      if (a.levels.size == h) a.levels += ArrayBuffer()
+      a.levels(h) ++= b.levels(h)
+      h += 1
+    }
+    a.n += b.n
+    a.errBound += b.errBound
+    cascade(a, k)
+    a
+  }
+
+  /** Lower-quantile estimates for each q: the smallest sketch value
+    * whose cumulative weight reaches max(1, ceil(q·n)). NaN-filled
+    * when the sketch is empty.
+    */
+  def estimates(buf: KllBuf, qs: Seq[Double]): Array[Double] = {
+    val ests = new Array[Double](qs.size)
+    if (buf.n == 0) {
+      java.util.Arrays.fill(ests, Double.NaN)
+      return ests
+    }
+    var total = 0
+    buf.levels.foreach(l => total += l.size)
+    val vs = new Array[Double](total)
+    val ws = new Array[Long](total)
+    var idx = 0
+    var h = 0
+    while (h < buf.levels.size) {
+      val lvl = buf.levels(h)
+      var i = 0
+      while (i < lvl.size) { vs(idx) = lvl(i); ws(idx) = 1L << h; idx += 1; i += 1 }
+      h += 1
+    }
+    val order = (0 until total).sortBy(i => vs(i))
+    var qi = 0
+    while (qi < qs.size) {
+      val target = math.max(1L, math.ceil(qs(qi) * buf.n).toLong)
+      var cum = 0L
+      var j = 0
+      var found = false
+      while (j < total && !found) {
+        cum += ws(order(j))
+        if (cum >= target) { ests(qi) = vs(order(j)); found = true }
+        j += 1
+      }
+      if (!found) ests(qi) = vs(order(total - 1)) // rounding backstop
+      qi += 1
+    }
+    ests
+  }
+
+  def serialize(buf: KllBuf): Array[Byte] = {
+    var doubles = 0
+    buf.levels.foreach(l => doubles += l.size)
+    val bb = ByteBuffer.allocate(8 + 8 + 4 + buf.levels.size * 4 + doubles * 8)
+    bb.putLong(buf.n)
+    bb.putLong(buf.errBound)
+    bb.putInt(buf.levels.size)
+    buf.levels.foreach { l =>
+      bb.putInt(l.size)
+      l.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): KllBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val err = bb.getLong
+    val nLevels = bb.getInt
+    val levels = ArrayBuffer[ArrayBuffer[Double]]()
+    var h = 0
+    while (h < nLevels) {
+      val sz = bb.getInt
+      val l = new ArrayBuffer[Double](sz)
+      var i = 0
+      while (i < sz) { l += bb.getDouble; i += 1 }
+      levels += l
+      h += 1
+    }
+    if (levels.isEmpty) levels += ArrayBuffer()
+    new KllBuf(levels, n, err)
+  }
+}
+
 /** Deterministic mergeable quantile sketch (Munro–Paterson / KLL
   * family, with the random compactor offset replaced by a fixed
   * even-index rule so the error bound is a hard invariant, not a
@@ -29,7 +158,7 @@ final class KllBuf(
   * exact bracketing needs a driver-coordinated multi-round loop, while
   * this sketch is ONE ordinary aggregate — O(k·log(n/k)) state per
   * group, map-side partials, mergeable in any order — usable inside
-  * `groupBy(...).agg(...)` and streamable.
+  * `groupBy(...).agg(...)` and streamable (streaming.KllStream).
   *
   * State: level h holds at most k values, each representing 2^h input
   * rows. When a level fills, its values are sorted and the even-index
@@ -88,127 +217,25 @@ case class KllQuantileAgg(
 
   override def createAggregationBuffer(): KllBuf = new KllBuf()
 
-  /** Sort level h, retain its max when the count is odd (weight
-    * conservation), promote even indices with doubled weight, clear.
-    */
-  private def compact(buf: KllBuf, h: Int): Unit = {
-    val lvl = buf.levels(h)
-    if (lvl.size < 2) return
-    val arr = lvl.toArray
-    java.util.Arrays.sort(arr)
-    lvl.clear()
-    var c = arr.length
-    if (c % 2 == 1) { lvl += arr(c - 1); c -= 1 }
-    if (buf.levels.size == h + 1) buf.levels += ArrayBuffer()
-    val up = buf.levels(h + 1)
-    var i = 0
-    while (i < c) { up += arr(i); i += 2 }
-    buf.errBound += 1L << h
-  }
-
-  private def cascade(buf: KllBuf): Unit = {
-    var h = 0
-    while (h < buf.levels.size) {
-      if (buf.levels(h).size >= k) compact(buf, h)
-      h += 1
-    }
-  }
-
   override def update(buf: KllBuf, input: InternalRow): KllBuf = {
     val v = child.eval(input)
     if (v != null) {
       val d = v.asInstanceOf[Double]
-      if (!d.isNaN) {
-        buf.levels(0) += d
-        buf.n += 1
-        if (buf.levels(0).size >= k) cascade(buf)
-      }
+      if (!d.isNaN) Kll.insert(buf, k, d)
     }
     buf
   }
 
-  override def merge(a: KllBuf, b: KllBuf): KllBuf = {
-    var h = 0
-    while (h < b.levels.size) {
-      if (a.levels.size == h) a.levels += ArrayBuffer()
-      a.levels(h) ++= b.levels(h)
-      h += 1
-    }
-    a.n += b.n
-    a.errBound += b.errBound
-    cascade(a)
-    a
-  }
+  override def merge(a: KllBuf, b: KllBuf): KllBuf = Kll.mergeInto(a, b, k)
 
-  override def eval(buf: KllBuf): Any = {
-    val ests = new Array[Double](qs.size)
-    if (buf.n == 0) {
-      java.util.Arrays.fill(ests, Double.NaN)
-    } else {
-      // gather (value, weight) across levels, sort by value once
-      var total = 0
-      buf.levels.foreach(l => total += l.size)
-      val vs = new Array[Double](total)
-      val ws = new Array[Long](total)
-      var idx = 0
-      var h = 0
-      while (h < buf.levels.size) {
-        val lvl = buf.levels(h)
-        var i = 0
-        while (i < lvl.size) { vs(idx) = lvl(i); ws(idx) = 1L << h; idx += 1; i += 1 }
-        h += 1
-      }
-      val order = (0 until total).sortBy(i => vs(i))
-      var qi = 0
-      while (qi < qs.size) {
-        val target = math.max(1L, math.ceil(qs(qi) * buf.n).toLong)
-        var cum = 0L
-        var j = 0
-        var found = false
-        while (j < total && !found) {
-          cum += ws(order(j))
-          if (cum >= target) { ests(qi) = vs(order(j)); found = true }
-          j += 1
-        }
-        if (!found) ests(qi) = vs(order(total - 1)) // cum < target possible only by rounding; clamp to max
-        qi += 1
-      }
-    }
-    InternalRow(buf.n, buf.errBound, new GenericArrayData(ests))
-  }
+  override def eval(buf: KllBuf): Any =
+    InternalRow(buf.n, buf.errBound,
+      new GenericArrayData(Kll.estimates(buf, qs)))
 
-  override def serialize(buf: KllBuf): Array[Byte] = {
-    var doubles = 0
-    buf.levels.foreach(l => doubles += l.size)
-    val bb = ByteBuffer.allocate(8 + 8 + 4 + buf.levels.size * 4 + doubles * 8)
-    bb.putLong(buf.n)
-    bb.putLong(buf.errBound)
-    bb.putInt(buf.levels.size)
-    buf.levels.foreach { l =>
-      bb.putInt(l.size)
-      l.foreach(bb.putDouble)
-    }
-    bb.array()
-  }
+  override def serialize(buf: KllBuf): Array[Byte] = Kll.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllBuf = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getLong
-    val err = bb.getLong
-    val nLevels = bb.getInt
-    val levels = ArrayBuffer[ArrayBuffer[Double]]()
-    var h = 0
-    while (h < nLevels) {
-      val sz = bb.getInt
-      val l = new ArrayBuffer[Double](sz)
-      var i = 0
-      while (i < sz) { l += bb.getDouble; i += 1 }
-      levels += l
-      h += 1
-    }
-    if (levels.isEmpty) levels += ArrayBuffer()
-    new KllBuf(levels, n, err)
-  }
+  override def deserialize(bytes: Array[Byte]): KllBuf =
+    Kll.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantileAgg =
     copy(mutableAggBufferOffset = newOffset)
