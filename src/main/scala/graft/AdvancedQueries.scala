@@ -319,6 +319,86 @@ object AdvancedQueries {
           |FROM a GROUP BY old_shard ORDER BY old_shard""".stripMargin
       }),
 
+    // Capacity-weighted rendezvous — heterogeneous shards: score_i =
+    // w_i/|ln(u_i)| (the Efraimidis–Spirakis exponential trick on the
+    // same 60-bit uniforms) allocates docs proportionally to shard
+    // WEIGHTS, and upgrading one shard's weight (shard 3: 1 → 3)
+    // moves docs ONLY onto the upgraded shard — everyone else's
+    // scores are untouched, so no doc can move between unchanged
+    // shards (n_moved_elsewhere ≡ 0, and shard 3's own row moves
+    // nothing). Expected movement = share growth = 3/10 − 1/8 ≈
+    // 17.5 % of the corpus; a naive rebalance re-hashes everything.
+    // Same scan-local argmax shape as shard_rendezvous_moves — ln and
+    // IEEE division are cross-engine-stable on identical operands
+    // (the prioritySample precedent).
+    QueryDef("shard_rendezvous_weighted",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val nSh = 8
+        val upgraded = 3
+        val id = col("doc_id").cast("string")
+        val M = 1152921504606846976d // 2^60, exact double
+        def u(i: Int) =
+          (md5Long(i, id) + lit(1L)).cast("double") / lit(M)
+        def argmaxChain(scores: Seq[org.apache.spark.sql.Column]) = {
+          val g = greatest(scores: _*)
+          scores.zipWithIndex.foldLeft(null: org.apache.spark.sql.Column) {
+            case (acc, (c, i)) =>
+              if (acc == null) when(c === g, i.toLong)
+              else acc.when(c === g, i.toLong)
+          }
+        }
+        val before = argmaxChain((0 until nSh).map(i => u(i)))
+        val after = argmaxChain((0 until nSh).map { i =>
+          val w = if (i == upgraded) 3.0 else 1.0
+          lit(-w) / log(u(i))
+        })
+        Tables.load(s, dir, "documents")
+          .select(before.as("before_shard"), after.as("after_shard"))
+          .groupBy(col("before_shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("after_shard") =!= col("before_shard"), 1L)
+              .otherwise(0L)).as("n_moved"),
+            sum(when(col("after_shard") =!= col("before_shard") &&
+              col("after_shard") =!= upgraded.toLong, 1L)
+              .otherwise(0L)).as("n_moved_elsewhere"))
+          .withColumn("moved_frac",
+            round((col("n_moved").cast("double") /
+              col("n_docs").cast("double")).cast(dec), 6).cast("double"))
+          .orderBy(col("before_shard"))
+      },
+      Some {
+        def u(i: Int) =
+          s"((('0x' || substring(md5('$i:' || doc_id::VARCHAR), 1, 15))::BIGINT" +
+            s" + 1) / 1152921504606846976.0)"
+        def argmax(exprs: Seq[String], alias: String) = {
+          val g = s"greatest(${exprs.mkString(", ")})"
+          val cases = exprs.zipWithIndex
+            .map { case (e, i) => s"WHEN $e = $g THEN ${i}::BIGINT" }
+            .mkString(" ")
+          s"CASE $cases END AS $alias"
+        }
+        val before = argmax((0 until 8).map(u), "before_shard")
+        val after = argmax((0 until 8).map { i =>
+          val w = if (i == 3) "-3.0" else "-1.0"
+          s"(($w) / ln(${u(i)}))"
+        }, "after_shard")
+        s"""WITH a AS (
+          |  SELECT $before,
+          |    $after
+          |  FROM documents)
+          |SELECT before_shard, COUNT(*) AS n_docs,
+          |  SUM(CASE WHEN after_shard <> before_shard THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_moved,
+          |  SUM(CASE WHEN after_shard <> before_shard AND after_shard <> 3
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_moved_elsewhere,
+          |  CAST(round(CAST(SUM(CASE WHEN after_shard <> before_shard
+          |      THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+          |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS moved_frac
+          |FROM a GROUP BY before_shard ORDER BY before_shard""".stripMargin
+      }),
+
     // Data profiling — the validation pass an ingest pipeline runs
     // before training: per-column row/null/exact-distinct counts. One
     // column-pruned scan per column (each aggregate reads only its own

@@ -364,4 +364,20 @@ class CorpusReportsSpec extends SparkSpec {
     assert(nModMoved.toDouble / nDocs > 0.6)
     assert(nModMoved > 4 * nMoved)
   }
+
+  test("shard_rendezvous_weighted: upgrade moves docs only onto the " +
+    "upgraded shard, at the share-growth rate") {
+    val rows = SparkEntry.queries("shard_rendezvous_weighted")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    assert(rows.forall(_._4 == 0L), "movement between unchanged shards")
+    // the upgraded shard's own docs never move (its score only grew)
+    assert(rows.find(_._1 == 3L).get._3 == 0L)
+    val nDocs = rows.map(_._2).sum
+    val nMoved = rows.map(_._3).sum
+    val frac = nMoved.toDouble / nDocs
+    // expected share growth 3/10 − 1/8 = 0.175; loose small-corpus band
+    assert(frac > 0.08 && frac < 0.30, s"moved $frac")
+  }
 }
