@@ -1572,6 +1572,88 @@ object EventQueries {
         |  FROM events GROUP BY 1) x USING (event_type)
         |ORDER BY event_type""".stripMargin)),
 
+    // Incremental sketch maintenance — the nightly-ingest pattern for
+    // mergeable state: the KMV distinct sketch's state is the k
+    // smallest DISTINCT hashes, a pure function of the value SET, so
+    // (stored state over the old snapshot) ∪ (delta batch) re-trimmed
+    // to k EQUALS a full-corpus rebuild — bit-exact, not
+    // approximately (the same algebra incremental_agg_update proves
+    // for counts/sums, here for a sketch). The stored state is ≤ k
+    // rows per group (window-ranked), the delta pass touches only the
+    // delta, and the gate hashes both estimates plus their equality.
+    QueryDef("incremental_sketch_merge",
+      (s, dir) => {
+        val k = 64
+        val M = 1152921504606846976d // 2^60
+        val d = Tables.load(s, dir, "documents")
+        val hashed = d.select(col("source"),
+          hash60(col("text").cast("string")).as("h"))
+        val oldState = hashed.where(col("h") % 10 =!= 0)
+        val delta = hashed.where(col("h") % 10 === 0)
+        val wRank = Window.partitionBy(col("source")).orderBy(col("h"))
+        // stored state: k smallest distinct hashes per group
+        val stored = oldState.distinct()
+          .withColumn("rn", row_number().over(wRank))
+          .where(col("rn") <= k).drop("rn")
+        def estimate(df: org.apache.spark.sql.DataFrame) =
+          df.distinct()
+            .withColumn("rn", row_number().over(wRank))
+            .where(col("rn") <= k)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("nd"),
+              max(when(col("rn") === k, col("h"))).as("hk"))
+            .select(col("source"),
+              when(col("nd") < k, col("nd"))
+                .otherwise(floor(lit((k - 1).toDouble) * lit(M) /
+                  col("hk").cast("double")).cast("long")).as("est"))
+        val inc = estimate(stored.unionByName(delta))
+          .withColumnRenamed("est", "est_incremental")
+        val full = d.groupBy(col("source"))
+          .agg(kmvDistinct(col("text"), k).as("est_full"))
+        inc.join(full, "source")
+          .withColumn("merge_equals_rebuild",
+            col("est_incremental") === col("est_full"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH hsh AS (
+        |  SELECT source,
+        |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |stored AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source
+        |      ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT source, h FROM hsh WHERE h % 10 <> 0))
+        |  WHERE rn <= 64),
+        |merged AS (
+        |  SELECT source, h FROM stored
+        |  UNION
+        |  SELECT source, h FROM hsh WHERE h % 10 = 0),
+        |incr AS (
+        |  SELECT source,
+        |    CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |         ELSE CAST(floor(63::DOUBLE * 1152921504606846976::DOUBLE
+        |           / max(CASE WHEN rn = 64 THEN h END)::DOUBLE) AS BIGINT)
+        |    END AS est_incremental
+        |  FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source
+        |      ORDER BY h) AS rn FROM merged)
+        |  WHERE rn <= 64 GROUP BY source),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |         ELSE CAST(floor(63::DOUBLE * 1152921504606846976::DOUBLE
+        |           / max(CASE WHEN rn = 64 THEN h END)::DOUBLE) AS BIGINT)
+        |    END AS est_full
+        |  FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source
+        |      ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT source, h FROM hsh))
+        |  WHERE rn <= 64 GROUP BY source)
+        |SELECT source, est_incremental, est_full,
+        |  est_incremental = est_full AS merge_equals_rebuild
+        |FROM incr JOIN f USING (source) ORDER BY source""".stripMargin)),
+
     // Sketch-based join-cardinality estimation — the query-planning
     // use of Count–Min: |A ⋈ B| on a key is the inner product of the
     // two key-frequency vectors, and min over the sketch's d rows of
