@@ -41,6 +41,34 @@ class PushdownSpec extends SparkSpec {
       row.getLong(2) == 19998L)
   }
 
+  test("runtime bloom-filter join pruning injects might_contain on the " +
+    "probe side") {
+    val dir = Files.createTempDirectory("graft-rtbloom").toString
+    spark.range(0, 200000).selectExpr("id", "id % 1000 AS k")
+      .write.mode("overwrite").parquet(dir)
+    // child session: lower the size thresholds so the optimizer
+    // considers the tiny test tables bloom-worthy (at real scale the
+    // defaults — 10 MB build side — gate the same rewrite)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    // selective build side; disable broadcast so the shuffle-join path
+    // (where the runtime filter pays) is chosen
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = s2.read.parquet(dir)
+    val dim = s2.read.parquet(dir).where(col("id") < 50)
+      .selectExpr("k AS dk")
+    val joined = fact.join(dim, col("k") === col("dk"))
+    val plan = fmt(joined)
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter in plan:\n$plan")
+    assert(joined.count() == 50L * 200L)
+  }
+
   test("dynamic partition pruning reaches the partitioned fact scan") {
     val dir = Files.createTempDirectory("graft-dpp").toString
     // fact partitioned by year; dim maps year -> flag with a selective
