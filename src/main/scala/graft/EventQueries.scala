@@ -1572,6 +1572,86 @@ object EventQueries {
         |  FROM events GROUP BY 1) x USING (event_type)
         |ORDER BY event_type""".stripMargin)),
 
+    // A/B experiment readout — deterministic 50/50 user split (detHash
+    // on user_id, the partitioning-independent assignment every
+    // experiment platform needs so a re-run or a re-shard never
+    // reassigns anyone), per-arm visitors and purchase conversion,
+    // and the pooled two-proportion z statistic. One per-user
+    // aggregate (combiner-friendly) + one 2-row rollup; counts stay
+    // exact BIGINT and the z formula runs once per arm-pair in IEEE
+    // double over decimal-rounded rates — bit-stable cross-engine.
+    // At 100 TB the per-user aggregate is the only data-sized stage.
+    QueryDef("ab_test_report",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val e = Tables.load(s, dir, "events")
+        val perUser = e.groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("converted"))
+          .withColumn("arm", detHash(2L, col("user_id")))
+        val arms = perUser.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("converted")).as("n_converted"))
+          .withColumn("rate",
+            round((col("n_converted").cast("double") /
+              col("n_users").cast("double")).cast(dec), 6).cast("double"))
+        // two bounded rows: self-join arm 0 × arm 1 for the z stat
+        val a = arms.where(col("arm") === 0L)
+          .select(col("n_users").as("n0"), col("n_converted").as("c0"),
+            col("rate").as("rate0"))
+        val b = arms.where(col("arm") === 1L)
+          .select(col("n_users").as("n1"), col("n_converted").as("c1"),
+            col("rate").as("rate1"))
+        a.crossJoin(b)
+          .withColumn("p_pool",
+            round(((col("c0") + col("c1")).cast("double") /
+              (col("n0") + col("n1")).cast("double")).cast(dec), 6)
+              .cast("double"))
+          // degenerate experiment (everyone or no one converts, e.g.
+          // the tiny sf0.001 slice) has zero pooled variance — the z
+          // statistic is undefined, not infinite; NULL on both engines
+          .withColumn("z",
+            when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+              round(((col("rate0") - col("rate1")) /
+                sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                  (lit(1.0) / col("n0").cast("double") +
+                    lit(1.0) / col("n1").cast("double"))))
+                .cast(dec), 6).cast("double")))
+          .withColumn("significant_95", abs(col("z")) > 1.96)
+      },
+      Some(s"""WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS converted,
+        |    ${detHashSql(2L, Seq("user_id"))} AS arm
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, COUNT(*) AS n_users,
+        |    SUM(converted)::BIGINT AS n_converted,
+        |    CAST(round(CAST(SUM(converted)::DOUBLE / COUNT(*)::DOUBLE
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS rate
+        |  FROM u GROUP BY arm),
+        |x AS (
+        |  SELECT a.n_users AS n0, a.n_converted AS c0, a.rate AS rate0,
+        |    b.n_users AS n1, b.n_converted AS c1, b.rate AS rate1,
+        |    CAST(round(CAST((a.n_converted + b.n_converted)::DOUBLE /
+        |      (a.n_users + b.n_users)::DOUBLE AS DECIMAL(18,8)), 6)
+        |      AS DOUBLE) AS p_pool
+        |  FROM (SELECT * FROM arms WHERE arm = 0) a,
+        |    (SELECT * FROM arms WHERE arm = 1) b)
+        |SELECT n0, c0, rate0, n1, c1, rate1, p_pool,
+        |  CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
+        |    CAST(round(CAST((rate0 - rate1) /
+        |      sqrt(p_pool * (1.0 - p_pool) *
+        |        (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS z,
+        |  abs(CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
+        |    CAST(round(CAST((rate0 - rate1) /
+        |      sqrt(p_pool * (1.0 - p_pool) *
+        |        (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) END) > 1.96 AS significant_95
+        |FROM x""".stripMargin)),
+
     // Incremental sketch maintenance — the nightly-ingest pattern for
     // mergeable state: the KMV distinct sketch's state is the k
     // smallest DISTINCT hashes, a pure function of the value SET, so
