@@ -1586,8 +1586,8 @@ object EventQueries {
         val dec = DecimalType(18, 8)
         val e = Tables.load(s, dir, "events")
         val perUser = e.groupBy(col("user_id"))
-          .agg(max(when(col("event_type") === "purchase", 1L)
-            .otherwise(0L)).as("converted"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150.0, 1L).otherwise(0L)).as("converted"))
           .withColumn("arm", detHash(2L, col("user_id")))
         val arms = perUser.groupBy(col("arm"))
           .agg(count(lit(1)).as("n_users"),
@@ -1621,8 +1621,8 @@ object EventQueries {
       },
       Some(s"""WITH u AS (
         |  SELECT user_id,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
-        |      AS converted,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |      THEN 1 ELSE 0 END)::BIGINT AS converted,
         |    ${detHashSql(2L, Seq("user_id"))} AS arm
         |  FROM events GROUP BY user_id),
         |arms AS (
