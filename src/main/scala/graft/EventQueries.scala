@@ -1734,6 +1734,86 @@ object EventQueries {
         |  est_incremental = est_full AS merge_equals_rebuild
         |FROM incr JOIN f USING (source) ORDER BY source""".stripMargin)),
 
+    // CMS width → error curve: the join-size estimator's additive
+    // error is Θ(nA·nB/w) — this report MEASURES the law on real
+    // tables (w ∈ {64, 256, 1024}: each 4× width cuts the overcount
+    // ~4×), which is the sizing evidence a planner integration needs
+    // (pick w so the error is below the broadcast-threshold decision
+    // margin). Six one-pass aggregates + one small exact join shared
+    // across points; the gate pins estimate arithmetic at every
+    // width plus the one-sided invariant.
+    QueryDef("join_estimate_width_curve",
+      (s, dir) => {
+        import s.implicits._
+        val d = 4
+        val widths = Seq(64, 256, 1024)
+        val a = Tables.load(s, dir, "events")
+          .select(col("user_id").cast("long").as("k"))
+        val b = Tables.load(s, dir, "orders")
+          .select(col("o_custkey").cast("long").as("k"))
+        val ca = a.groupBy(col("k")).agg(count(lit(1)).as("na"))
+          .localCheckpoint(true) // shared by exact + every width point
+        val cb = b.groupBy(col("k")).agg(count(lit(1)).as("nb"))
+          .localCheckpoint(true)
+        val exact = ca.join(cb, "k")
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
+          .head().getLong(0)
+        widths.map { w =>
+          val skA = a.agg(countMin(col("k"), d, w).as("sk"))
+            .head().getSeq[Long](0)
+          val skB = b.agg(countMin(col("k"), d, w).as("sk"))
+            .head().getSeq[Long](0)
+          val est = (0 until d).map { j =>
+            var s2 = 0L
+            var i = 0
+            while (i < w) { s2 += skA(j * w + i) * skB(j * w + i); i += 1 }
+            s2
+          }.min
+          (w.toLong, exact, est, est - exact, est >= exact)
+        }.toDF("width", "exact_join_size", "cms_estimate", "overcount",
+          "never_under")
+          .orderBy(col("width"))
+      },
+      Some {
+        def point(w: Int) = {
+          def bucketSql(j: Int): String =
+            s"(((h % 1073741824) * ${2 * j + 1} + ${7919 * j + 12345}) " +
+            s"% 2147483647) % $w"
+          val rowEsts = (0 until 4).map { j =>
+            s"""(SELECT CAST(COALESCE(SUM(x.c * y.c), 0) AS BIGINT) FROM
+              |    (SELECT ${bucketSql(j)} AS b, SUM(c)::BIGINT AS c FROM ca GROUP BY 1) x
+              |    JOIN
+              |    (SELECT ${bucketSql(j)} AS b, SUM(c)::BIGINT AS c FROM cb GROUP BY 1) y
+              |    USING (b))""".stripMargin
+          }.mkString(",\n|    ")
+          s"""SELECT ${w}::BIGINT AS width,
+            |  (SELECT x FROM ex) AS exact_join_size,
+            |  least(
+            |    $rowEsts) AS cms_estimate""".stripMargin
+        }
+        s"""WITH ca AS (
+          |  SELECT k, count(*) AS c,
+          |    ('0x' || substring(md5(k::VARCHAR), 1, 15))::BIGINT AS h
+          |  FROM (SELECT user_id::BIGINT AS k FROM events) GROUP BY k),
+          |cb AS (
+          |  SELECT k, count(*) AS c,
+          |    ('0x' || substring(md5(k::VARCHAR), 1, 15))::BIGINT AS h
+          |  FROM (SELECT o_custkey::BIGINT AS k FROM orders) GROUP BY k),
+          |ex AS (
+          |  SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS x
+          |  FROM ca JOIN cb USING (k))
+          |SELECT width, exact_join_size, cms_estimate,
+          |  cms_estimate - exact_join_size AS overcount,
+          |  cms_estimate >= exact_join_size AS never_under
+          |FROM (
+          |${point(64)}
+          |UNION ALL
+          |${point(256)}
+          |UNION ALL
+          |${point(1024)})
+          |ORDER BY width""".stripMargin
+      }),
+
     // Sketch-based join-cardinality estimation — the query-planning
     // use of Count–Min: |A ⋈ B| on a key is the inner product of the
     // two key-frequency vectors, and min over the sketch's d rows of
