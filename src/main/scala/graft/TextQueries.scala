@@ -481,6 +481,76 @@ object TextQueries {
     // reads before reweighting sources. Two aggregates on the natural
     // key (source, and source × lang for the mode) plus a rank window
     // over |sources × langs| rows; raw documents shuffle once.
+    // UCB1 source selection — the online data-mixing decision ("which
+    // source should the curation pipeline sample next?") made
+    // deterministic and auditable: per source, reward = fraction of
+    // docs clearing the quality bar, and ucb = mean_reward +
+    // sqrt(2·ln(N)/n) — the optimism bonus that keeps under-sampled
+    // sources in rotation (the bandit view of mixture tuning;
+    // DoReMi-style reweighting is the batch cousin at
+    // mix_reweight_sources). One aggregate to |sources| rows; the
+    // transcendentals run once per source over decimal-rounded
+    // operands, and the argmax tie-breaks on source name — fully
+    // gate-stable. At 100 TB the per-source aggregate is the only
+    // data-sized stage.
+    QueryDef("source_ucb_next",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val cleared = when(round(Text.qualityScore(col("text")), 6) >= 0.5,
+          1L).otherwise(0L)
+        val perSrc = d.select(col("source"), cleared.as("ok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_ok"))
+        val totals = perSrc.agg(sum(col("n_docs")).as("n_total"))
+        val withUcb = perSrc.crossJoin(broadcast(totals))
+          .withColumn("mean_reward",
+            round((col("n_ok").cast("double") /
+              col("n_docs").cast("double")).cast(dec), 6).cast("double"))
+          .withColumn("ucb",
+            round((col("mean_reward") +
+              sqrt(lit(2.0) * log(col("n_total").cast("double")) /
+                col("n_docs").cast("double"))).cast(dec), 6).cast("double"))
+        val w = Window.orderBy(col("ucb").desc, col("source")) // |sources| rows
+        withUcb
+          .withColumn("is_next", row_number().over(w) === 1)
+          .select(col("source"), col("n_docs"), col("n_ok"),
+            col("mean_reward"), col("ucb"), col("is_next"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT source,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS len,
+        |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, round(
+        |    (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |    + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS q
+        |  FROM q),
+        |p AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_ok
+        |  FROM sc GROUP BY source),
+        |t AS (SELECT SUM(n_docs)::BIGINT AS n_total FROM p),
+        |u AS (
+        |  SELECT source, n_docs, n_ok,
+        |    CAST(round(CAST(n_ok::DOUBLE / n_docs::DOUBLE
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_reward,
+        |    CAST(round(CAST(
+        |      CAST(round(CAST(n_ok::DOUBLE / n_docs::DOUBLE
+        |        AS DECIMAL(18,8)), 6) AS DOUBLE) +
+        |      sqrt(2.0 * ln(n_total::DOUBLE) / n_docs::DOUBLE)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS ucb
+        |  FROM p, t)
+        |SELECT source, n_docs, n_ok, mean_reward, ucb,
+        |  row_number() OVER (ORDER BY ucb DESC, source) = 1 AS is_next
+        |FROM u ORDER BY source""".stripMargin)),
+
     QueryDef("source_quality_report",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
