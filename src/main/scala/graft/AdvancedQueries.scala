@@ -619,6 +619,67 @@ object AdvancedQueries {
     // unrolled-CTE replay with no rounding discipline at all. The
     // oracle is generated from the same constants (unit/base/damping)
     // as the operator call, so the two cannot drift.
+    // BFS hop-distance census over the same co-purchase graph: hop
+    // histogram from the 5 smallest part ids, maxHops=4, plus an
+    // unreachable-at-4 row (hop = -1). Fixed-round frontier expansion
+    // (Graph.bfsHops) with the pageRank lazy-root idiom; the oracle
+    // unrolls the identical rounds, so early-exit-vs-fixed-round
+    // semantics cannot drift. On the dense co-purchase graph the
+    // frontier saturates in 2-3 hops — the histogram IS the
+    // connectivity evidence.
+    QueryDef("graph_bfs_hops",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok").as("ok2"), col("pk").as("dst")),
+            col("ok") === col("ok2") && col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+          .localCheckpoint(true) // nodes/seeds/bfs all read it
+        val nodes = e.select(col("src").as("node")).distinct()
+        val seeds = nodes.orderBy(col("node")).limit(5)
+        val dist = graft.ops.Graph.bfsHops(e, "src", "dst", seeds, 4)
+        val nNodes = nodes.count()
+        val nReached = dist.count()
+        dist.groupBy(col("d").as("hop"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .unionByName(Seq((-1L, nNodes - nReached))
+            .toDF("hop", "n_nodes"))
+          .orderBy(col("hop"))
+      },
+      Some {
+        // MATERIALIZED: every round references the previous round's
+        // CTEs twice; DuckDB's default inlining would re-evaluate the
+        // whole chain per reference (measured 290 s at sf0.1 vs ~1 s
+        // materialized — the exponential-CTE trap)
+        val rounds = (1 to 4).map { h =>
+          s"""f$h AS MATERIALIZED (
+            |  SELECT DISTINCT e.dst AS node FROM e JOIN f${h - 1}
+            |    ON e.src = f${h - 1}.node
+            |  WHERE NOT EXISTS (SELECT 1 FROM d${h - 1} s
+            |    WHERE s.node = e.dst)),
+            |d$h AS MATERIALIZED (
+            |  SELECT * FROM d${h - 1}
+            |  UNION ALL SELECT node, ${h}::BIGINT FROM f$h)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          |n AS (SELECT DISTINCT src AS node FROM e),
+          |f0 AS (SELECT node FROM n ORDER BY node LIMIT 5),
+          |d0 AS (SELECT node, 0::BIGINT AS d FROM f0),
+          |$rounds
+          |SELECT d AS hop, COUNT(*)::BIGINT AS n_nodes FROM d4 GROUP BY 1
+          |UNION ALL
+          |SELECT -1::BIGINT, (SELECT COUNT(*) FROM n) -
+          |  (SELECT COUNT(*) FROM d4)
+          |ORDER BY hop""".stripMargin
+      }),
+
     QueryDef("graph_pagerank_parts",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")

@@ -435,4 +435,55 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** BFS hop distances from a seed set — fixed-round frontier
+    * expansion, the Pregel primitive behind reachability, influence
+    * radius, and "how far is everything from the seeds" audits.
+    *
+    * Each round is one frontier⋈edges join + one anti-join against
+    * the settled set: the frontier SHRINKS as the reachable set
+    * saturates, so total work is O(maxHops · m) worst-case and
+    * usually far less; rounds chain lazily through RDD roots (the
+    * pageRank plan-truncation idiom) with the settled set persisted
+    * per round because two consumers (anti-join + union) read it.
+    * Fixed `maxHops` — no early-exit count per round — keeps the
+    * whole expansion ONE job and makes the unrolled SQL oracle
+    * replay the loop exactly; beyond-horizon nodes are simply absent
+    * from the result (callers report them as unreachable-at-k).
+    *
+    * Output: (node, d) — hop distance 0..maxHops for every node
+    * reached, each node exactly once at its FIRST discovery hop.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def root(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val e = materialize(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
+    val settled = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var dist = materialize(seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("d", lit(0L)))
+    settled += dist
+    var frontier = root(dist.select(col("node")))
+    for (h <- 1 to maxHops) {
+      val nbrs = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+      val fresh = nbrs.join(dist.select(col("node")), Seq("node"),
+          "left_anti")
+        .withColumn("d", lit(h.toLong))
+      dist = materialize(dist.unionByName(fresh))
+      settled += dist
+      frontier = root(dist.where(col("d") === h.toLong).select(col("node")))
+    }
+    val out = dist // final round's materialize already persisted it
+    out.count() // force the chain before dropping shared inputs
+    e.unpersist()
+    settled.dropRight(1).foreach(_.unpersist())
+    out
+  }
 }
