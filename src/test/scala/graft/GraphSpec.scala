@@ -206,4 +206,22 @@ class GraphSpec extends SparkSpec {
     r2.unpersist()
     assert(a == b)
   }
+
+  test("bfsHops: path distances, horizon cutoff, unreachable absent, " +
+    "partition-independent") {
+    // undirected path 1-2-3-4-5-6 plus isolated pair 10-11
+    val ups = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L))
+    val pairs = ups ++ ups.map(_.swap)
+    for (parts <- Seq(1, 7)) {
+      val e = pairs.toDF("src", "dst").repartition(parts)
+      val seeds = Seq(1L).toDF("node")
+      val out = Graph.bfsHops(e, "src", "dst", seeds, maxHops = 3)
+      val dist = out.as[(Long, Long)].collect().toMap
+      out.unpersist()
+      // nodes 5, 6 beyond the 3-hop horizon; 10, 11 unreachable
+      assert(dist == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+        s"parts=$parts: $dist")
+    }
+  }
 }
