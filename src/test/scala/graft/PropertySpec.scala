@@ -245,4 +245,35 @@ class PropertySpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(arr.length == 32 && arr.forall(_ == 0L))
   }
+
+  test("property: chunkSlices reassembles any binary payload exactly, " +
+    "any chunk size") {
+    // arbitrary bytes (full 0-255 range, not ASCII) at adversarial
+    // lengths: empty, below/at/above one chunk, exact multiples
+    val rnd = new scala.util.Random(1217)
+    val payloads: Seq[Array[Byte]] =
+      Seq(0, 1, 7, 8, 9, 15, 16, 17, 64, 100).map { n =>
+        val a = new Array[Byte](n); rnd.nextBytes(a); a
+      }
+    for (chunk <- Seq(1, 8, 16)) {
+      val out = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "payload")
+        .select(col("id"), col("payload"),
+          graft.ops.Multimodal.chunkSlices(col("payload"), chunk)
+            .as("chunks"))
+        .collect()
+      out.foreach { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val chunks = r.getSeq[Array[Byte]](2)
+        assert(chunks.map(_.length).sum == payload.length)
+        // every chunk full-size except a shorter last one
+        if (chunks.nonEmpty) {
+          assert(chunks.init.forall(_.length == chunk))
+          assert(chunks.last.length >= 1 && chunks.last.length <= chunk)
+        }
+        assert(java.util.Arrays.equals(chunks.flatten.toArray, payload),
+          s"chunk=$chunk id=${r.getLong(0)}: reassembly mismatch")
+      }
+    }
+  }
 }
