@@ -17,6 +17,16 @@ object DedupQueries {
   import Similarity.{MersennePrime31 => P, Base30Mod => B30}
 
   private val NumPerms = 64
+
+  /** pipe_cluster_summaries: the per-representative summarize
+    * instruction (single text scope; prompts mirrored in the oracle
+    * via PipelineQueries.mockResponseSql).
+    */
+  private val ClusterSummIns = graft.pipeline.Instruction(
+    name = "summarize",
+    role = "You are a summarizer.",
+    task = "Summarize the canonical representative of this duplicate cluster.",
+    scope = Seq("text"))
   private val Bands = 16
   private val Rows = 4
   private val ShingleN = 5
@@ -468,6 +478,74 @@ object DedupQueries {
         |  FROM m)
         |SELECT cluster, doc_id AS rep_id, n_members::BIGINT AS n_members
         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // Composition gate: dedup → representative → LLM map stage, the
+    // end-to-end "summarize each duplicate cluster once" flow a
+    // curation pipeline actually runs (dedup machinery feeds the
+    // instruction engine; paying the LLM per CLUSTER instead of per
+    // document is the whole point of deduping first). Same
+    // representative rule as cluster_representatives; the mock-LLM
+    // stage runs through the real runner (batching, cache, fan-out)
+    // and the oracle re-renders the identical prompts over the
+    // recursive-CTE representatives.
+    QueryDef("pipe_cluster_summaries",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text",
+          NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands,
+          Rows, MaxBucketSize)
+        val members = Similarity.connectedComponents(pairs)
+          .join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val reps = members
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster"))))
+          .where(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("rep_id"),
+            col("n_members"))
+        val withText = reps.join(
+          d.select(col("doc_id").as("rep_id"), col("text")), "rep_id")
+        val st0 = graft.pipeline.InstructionRunner.stringifyKv(
+          withText, Seq("text"), "stage0_result")
+        graft.pipeline.InstructionRunner.runStage(st0,
+            graft.pipeline.InstructionStage("summ", Seq(ClusterSummIns)),
+            graft.pipeline.MockLlmClient(), "stage0_result", "summ_result")
+          .select(col("cluster"), col("rep_id"), col("n_members"),
+            element_at(col("summ_result"), "summarize").as("summary"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |m AS (
+        |  SELECT cc.doc_id, cc.cluster, d.n_chars
+        |  FROM cc JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT cluster, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM m),
+        |reps AS (
+        |  SELECT cluster, doc_id AS rep_id, n_members::BIGINT AS n_members
+        |  FROM r WHERE rn = 1)
+        |SELECT reps.cluster, reps.rep_id, reps.n_members,
+        |  ${PipelineQueries.mockResponseSql(ClusterSummIns,
+             Map("text" -> "d2.text"))} AS summary
+        |FROM reps JOIN documents d2 ON d2.doc_id = reps.rep_id
+        |ORDER BY reps.cluster""".stripMargin)),
 
     // Centrality-ranked canonical representatives: PageRank over the
     // dup-pair graph picks each cluster's most-linked member (the

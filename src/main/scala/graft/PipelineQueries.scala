@@ -65,6 +65,14 @@ object PipelineQueries {
     MockLlmClient.contentSql(sqlLit(Prompts.sysPrompt(ins)), user)
   }
 
+  /** Mock response for composition oracles in other registries (e.g.
+    * pipe_cluster_summaries): same prompt render + mock arithmetic
+    * over caller-supplied per-key value SQL.
+    */
+  private[graft] def mockResponseSql(ins: Instruction,
+                                     values: Map[String, String]): String =
+    responseSql(ins, values)
+
   private val summarizeSql = responseSql(summarize, Map("text" -> "text"))
   private val classifySql =
     responseSql(classify, Map("lang" -> "lang", "source" -> "source"))
