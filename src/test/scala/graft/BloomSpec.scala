@@ -55,4 +55,30 @@ class BloomSpec extends SparkSpec {
     assert(viaBloom == plain)
     assert(plain.nonEmpty && plain.size < 2000) // both branches exercised
   }
+
+  test("prefilter effectiveness: might-contain fraction ≈ dup share + fpp, " +
+    "so the join shuffle shrinks to that fraction") {
+    // 100k-row "crawl", 10% true dups of a 50k-key known corpus: the
+    // measured bypass rate is the scale evidence — only the
+    // might-contain sliver (true dups + ~fpp false positives) reaches
+    // the exact anti-join shuffle
+    val n = 100000L
+    val dupShare = 0.10
+    val fpp = 0.01
+    val known = spark.range(0, 50000)
+      .select(concat(lit("k-"), col("id")).as("key"))
+    val crawl = spark.range(0, n).select(
+      when(col("id") % 10 === 0,
+          concat(lit("k-"), org.apache.spark.sql.functions.expr("id div 10")))
+        .otherwise(concat(lit("new-"), col("id"))).as("key"))
+    val filter = Bloom.fit(known, col("key"), expectedItems = 50000, fpp)
+    val nMaybe = crawl
+      .where(Bloom.mightContain(filter, col("key"))).count()
+    val maybeFrac = nMaybe.toDouble / n
+    // lower bound: every true dup must probe true (no false negatives)
+    assert(maybeFrac >= dupShare, s"false negatives? $maybeFrac")
+    // upper bound: dups + fpp with 3x headroom on the fpp term
+    assert(maybeFrac <= dupShare + 3 * fpp,
+      s"prefilter not selective: $maybeFrac")
+  }
 }
