@@ -346,4 +346,51 @@ class TextJsonlSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("malformed JSONL: corrupt lines quarantine under PERMISSIVE, " +
+    "drop under DROPMALFORMED, nothing lost silently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badjsonl")
+    java.nio.file.Files.writeString(dir.resolve("part.jsonl"),
+      """{"doc_id": 1, "text": "good one"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "also good"}
+        |not json at all
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    assert(permissive.count() == 4) // every input line accounted for
+    assert(permissive.where(col("_corrupt_record").isNotNull).count() == 2)
+    assert(permissive.where(col("_corrupt_record").isNull)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    permissive.unpersist()
+    val dropped = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.fields.init))
+      .option("mode", "DROPMALFORMED")
+      .json(dir.toString)
+    assert(dropped.count() == 2)
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    spark.range(0, 10).selectExpr("id", "'old' AS src")
+      .write.mode("overwrite").parquet(s"$dir/b=1")
+    spark.range(10, 20).selectExpr("id", "'new' AS src", "id * 2 AS extra")
+      .write.mode("overwrite").parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "src", "extra", "b"))
+    assert(merged.count() == 20)
+    // old files surface the evolved column as NULL, not an error
+    assert(merged.where(col("b") === 1 && col("extra").isNull).count() == 10)
+    assert(merged.where(col("b") === 2)
+      .select(sum(col("extra"))).head().getLong(0) == (10L until 20L).map(_ * 2).sum)
+  }
 }
