@@ -69,6 +69,34 @@ class PushdownSpec extends SparkSpec {
     assert(joined.count() == 50L * 200L)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // the runtime answer to key skew (complementing the explicit
+    // saltedJoin operator): AQE detects the oversized partition
+    // AFTER the map stage and fans it out. Child session so the tiny
+    // thresholds don't leak into other suites.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // 95 % of rows share key 0; the rest spread over 100 keys
+    val left = s2.range(0, 300000).selectExpr(
+      "CASE WHEN id % 20 < 19 THEN 0 ELSE id % 100 END AS k", "id AS v")
+    val right = s2.range(0, 100).selectExpr("id AS k", "id AS w")
+    val j = left.join(right, "k")
+    // execute THIS DataFrame's own QueryExecution (count() would spawn
+    // a separate one and leave j's plan isFinalPlan=false)
+    val n = j.collect().length
+    assert(n == 300000 * 19 / 20 + (0 until 300000)
+      .count(i => i % 20 == 19 && i % 100 < 100))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("skewed"),
+      s"AQE did not mark the join skewed:\n$plan")
+  }
+
   test("dynamic partition pruning reaches the partitioned fact scan") {
     val dir = Files.createTempDirectory("graft-dpp").toString
     // fact partitioned by year; dim maps year -> flag with a selective
