@@ -100,9 +100,23 @@ object Bench {
     // A BENCH_ONLY subset run MERGES into the standing BENCH_LOCAL
     // record instead of replacing it — single-query A/Bs kept
     // clobbering the full-suite archive.
+    // A subset run at a DIFFERENT sf than the standing archive must
+    // not merge — mixed-sf per-query seconds in one record are
+    // meaningless (an sf0.001 smoke once silently overwrote 4 sf0.01
+    // rows). Detect via the archive's own "sf" field.
+    val priorSf = try {
+      val txt = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("BENCH_LOCAL.json"))
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    } catch { case _: Throwable => None }
+    val sfMatches = priorSf.forall(_ == sfDir)
     val localRecord =
-      if (only.isEmpty) full
-      else {
+      if (only.isEmpty) Some(full)
+      else if (!sfMatches) {
+        System.err.println(s"[bench] subset run at $sfDir does not match " +
+          s"BENCH_LOCAL.json sf=${priorSf.get} — archive left untouched")
+        None
+      } else Some {
         val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
         val prior = try {
           val txt = java.nio.file.Files.readString(path)
@@ -120,8 +134,8 @@ object Bench {
         s"""{"metric":"total","value":${fmt(tot)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"merged":true}"""
       }
     for ((out, txt) <- Seq(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json") -> full,
-        "BENCH_LOCAL.json" -> localRecord)) {
+        Some(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json") -> full),
+        localRecord.map("BENCH_LOCAL.json" -> _)).flatten) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), txt + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     }

@@ -94,11 +94,45 @@ object StressBench {
     import graft.functions.GraftFunctions
     val wide = spark.range(50L * 1000 * 1000)
       .select((col("id") % 64).as("g"), col("id"))
+    // noop sink, NOT count(): a count over groupBy().agg() lets
+    // ColumnPruning drop the unreferenced aggregate expression and
+    // times a degenerate groups-only plan (caught r8 s7 — the exact
+    // percentile below "ran" in 0.3 s)
+    def sink(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 64L
+    }
     timed("exactDistinct50M")(
-      wide.groupBy(col("g")).agg(countDistinct(col("id"))).count())
-    timed("kmvDistinct50M")(
-      wide.groupBy(col("g"))
-        .agg(GraftFunctions.kmvDistinct(col("id"), 256)).count())
+      sink(wide.groupBy(col("g")).agg(countDistinct(col("id")))))
+    // kmv in BOTH hash modes: the aggregate's input is
+    // hash60(cast(id as string)) — md5 (oracle-parity default) pays a
+    // string+hex round-trip per row that dominates the sketch itself;
+    // xxhash64 (production mode) keeps the hash in codegen with zero
+    // allocations. The honest local comparison vs exact countDistinct
+    // is the xx row; the md5 row is the price of oracle parity.
+    timed("kmvDistinct50M_md5")(
+      sink(wide.groupBy(col("g"))
+        .agg(GraftFunctions.kmvDistinct(col("id"), 256))))
+    spark.conf.set(GraftFunctions.HashModeKey, "xxhash64")
+    timed("kmvDistinct50M_xx")(
+      sink(wide.groupBy(col("g"))
+        .agg(GraftFunctions.kmvDistinct(col("id"), 256))))
+    spark.conf.set(GraftFunctions.HashModeKey, "md5")
+
+    // sketch-vs-exact quantiles at scale: 50M doubles over 64 groups —
+    // exact percentile buffers every group value in one aggregation
+    // buffer (the executor-OOM shape at 100 TB), percentile_approx
+    // ships a mergeable digest, the KLL aggregate ships O(k·log(n/k))
+    // doubles per (group, partition) AND carries its hard error bound
+    val vals = spark.range(50L * 1000 * 1000)
+      .select((col("id") % 64).as("g"),
+        ((col("id") * 2654435761L) % 1000003L).cast("double").as("v"))
+    timed("exactPercentile50M")(
+      sink(vals.groupBy(col("g")).agg(expr("percentile(v, 0.99)"))))
+    timed("approxPercentile50M")(
+      sink(vals.groupBy(col("g")).agg(expr("approx_percentile(v, 0.99)"))))
+    timed("kllQuantile50M")(
+      sink(vals.groupBy(col("g"))
+        .agg(GraftFunctions.kllQuantiles(col("v"), 256, Seq(0.99)))))
 
     println(s"""{"corpus_rows":$n,"copies":$copies,"sf":"$sfDir"}""")
     spark.stop()
