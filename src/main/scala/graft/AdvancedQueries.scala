@@ -630,13 +630,7 @@ object AdvancedQueries {
     QueryDef("graph_bfs_hops",
       (s, dir) => {
         import s.implicits._
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.select(col("ok"), col("pk").as("src"))
-          .join(li.select(col("ok").as("ok2"), col("pk").as("dst")),
-            col("ok") === col("ok2") && col("src") =!= col("dst"))
-          .select(col("src"), col("dst")).distinct()
+        val e = coPurchasePairs(s, dir, directed = true).distinct()
           .localCheckpoint(true) // nodes/seeds/bfs all read it
         val nodes = e.select(col("src").as("node")).distinct()
         val seeds = nodes.orderBy(col("node")).limit(5)
@@ -682,13 +676,7 @@ object AdvancedQueries {
 
     QueryDef("graph_pagerank_parts",
       (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.select(col("ok"), col("pk").as("src"))
-          .join(li.select(col("ok").as("ok2"), col("pk").as("dst")),
-            col("ok") === col("ok2") && col("src") =!= col("dst"))
-          .select(col("src"), col("dst")).distinct()
+        val e = coPurchasePairs(s, dir, directed = true).distinct()
         val pr = graft.ops.Graph.pageRank(e, "src", "dst", PageRankIters)
         val out = pr.orderBy(col("node")).select(col("node"), col("r"))
         out
@@ -711,14 +699,7 @@ object AdvancedQueries {
     // (a stable round is an identity filter on both sides).
     QueryDef("graph_kcore_parts",
       (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-          .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
-          .select(col("src"), col("dst"))
+        val e = repeatCoPurchaseEdges(s, dir)
         val core = graft.ops.Graph.kCore(e, "src", "dst", k = KcoreK,
           maxIters = KcoreRounds)
         core.orderBy(col("node"))
@@ -754,14 +735,7 @@ object AdvancedQueries {
     // unconverged level agrees state-for-state (Graph.peelRounds).
     QueryDef("graph_coreness_parts",
       (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-          .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
-          .select(col("src"), col("dst"))
+        val e = repeatCoPurchaseEdges(s, dir)
         graft.ops.Graph.corenessDecomposition(e, "src", "dst",
           kMax = CorenessKMax, maxItersPerLevel = CorenessRounds)
       },
@@ -775,28 +749,15 @@ object AdvancedQueries {
     // whether or not the labels have converged.
     QueryDef("graph_label_prop_parts",
       (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-          .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
-          .select(col("src"), col("dst"))
+        val e = repeatCoPurchaseEdges(s, dir)
         graft.ops.Graph.labelPropagation(e, "src", "dst", iters = LpaRounds)
       },
       Some(lpaOracleSql(LpaRounds))),
 
     QueryDef("graph_triangles_parts",
       (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        // u<v pairs directly (triangleCount normalizes anyway): half
-        // the pre-distinct intermediate of the both-directions build
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        // u<v pairs, not pre-distincted (triangleCount normalizes)
+        val e = coPurchasePairs(s, dir, directed = false)
         graft.ops.Graph.triangleCount(e, "src", "dst")
       },
       Some("""WITH li AS (
@@ -809,6 +770,46 @@ object AdvancedQueries {
         |JOIN e e2 ON e2.u = e1.v
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin))
   )
+
+  /** Co-purchase part pairs built in ONE shuffle: group each order's
+    * part set with collect_set (dedups (ok, pk) for free), then
+    * explode ordered pairs from the set in-row. The previous
+    * li.distinct() + li⋈li self-join shape paid a second full-width
+    * exchange plus a pre-distinct join, and was the dominant term of
+    * every graph query's wall at sf0.1 (VERDICT r8). Per-order part
+    * sets are small (~a basket, 4-7 parts), so the in-row k²
+    * expansion is negligible next to the exchange it removes; a
+    * pathological mega-order would surface as one hot row, the same
+    * skew class the self-join had.
+    * `directed=true` emits both (x,y) and (y,x); false emits x<y
+    * once. Pairs are NOT globally distinct — callers distinct() or
+    * count multiplicities (= shared-order count) as needed.
+    */
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String, directed: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val cond = if (directed) "y != x" else "y > x"
+    li.groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+      .select(explode(expr(
+        s"flatten(transform(ps, x -> transform(filter(ps, y -> $cond)," +
+          " y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** The repeat-co-purchase graph every peel/community query shares:
+    * u<v part pairs sharing >= 2 distinct orders. One aggregate over
+    * [[coPurchasePairs]]'s pair stream — each order contributes a
+    * pair at most once (sets), so count(*) IS the shared-order count.
+    */
+  private def repeatCoPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                                    dir: String)
+      : org.apache.spark.sql.DataFrame =
+    coPurchasePairs(s, dir, directed = false)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+      .select(col("src"), col("dst"))
 
   private val PageRankIters = 5
   // 3-core over the repeat-pair graph cascades ~10 peel rounds at

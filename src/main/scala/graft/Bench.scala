@@ -7,8 +7,12 @@ import org.apache.spark.sql.SparkSession
   * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
   * median is reported — this VM shows order-of-magnitude wall-clock
   * swings (SCALING.md), so single-shot numbers are not comparable
-  * across rounds. SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset
-  * for local iteration.
+  * across rounds. Queries whose 3-run median exceeds 5 s get
+  * SPARK_GRAFT_BENCH_HEAVY_EXTRA (default 2) additional back-to-back
+  * samples and report the median of all 5 — the 32-thread-saturating
+  * class swings 1.5-2.3× under VM burst-throttling and needs the
+  * larger sample (VERDICT r8 #8). SPARK_GRAFT_BENCH_ONLY=a,b,c
+  * restricts to a subset for local iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,35 +54,53 @@ object Bench {
     // Different neighbors per round turn contamination into an
     // outlier the median drops; fixed seeds keep runs reproducible.
     val names = queries.keys.toSeq.sorted
+    // isolate runs: drop cached data/broadcasts accumulated by the
+    // previous query so its GC debt isn't billed to this one.
+    // clearCache + System.gc alone is NOT enough: gc() only
+    // ENQUEUES reference processing, and the ContextCleaner's
+    // broadcast/shuffle removal RPCs then land DURING the next
+    // timed query (suite-mode ran multi-job queries ~2x their
+    // isolated time; probe sketch_distinct_kmv 3.0 suite vs 0.8
+    // isolated). So: gc, run an UNTIMED settle action that spins
+    // the scheduler while the cleaner queue drains, gc the newly
+    // unreachable state, and park briefly for concurrent-GC tails.
+    def settleThenTime(name: String): (String, Double) = {
+      spark.catalog.clearCache()
+      System.gc()
+      spark.range(1024).repartition(4)
+        .groupBy(org.apache.spark.sql.functions.expr("id % 8")).count()
+        .write.format("noop").mode("overwrite").save()
+      System.gc()
+      Thread.sleep(400)
+      val t0 = System.nanoTime()
+      // noop sink forces full evaluation of every output column;
+      // count() would let Catalyst prune the projections being timed.
+      try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     val perRound = (1 to runs).map { round =>
       val order = new scala.util.Random(round * 1009L).shuffle(names)
-      order.map { name =>
-        // isolate runs: drop cached data/broadcasts accumulated by the
-        // previous query so its GC debt isn't billed to this one.
-        // clearCache + System.gc alone is NOT enough: gc() only
-        // ENQUEUES reference processing, and the ContextCleaner's
-        // broadcast/shuffle removal RPCs then land DURING the next
-        // timed query (suite-mode ran multi-job queries ~2x their
-        // isolated time; probe sketch_distinct_kmv 3.0 suite vs 0.8
-        // isolated). So: gc, run an UNTIMED settle action that spins
-        // the scheduler while the cleaner queue drains, gc the newly
-        // unreachable state, and park briefly for concurrent-GC tails.
-        spark.catalog.clearCache()
-        System.gc()
-        spark.range(1024).repartition(4)
-          .groupBy(org.apache.spark.sql.functions.expr("id % 8")).count()
-          .write.format("noop").mode("overwrite").save()
-        System.gc()
-        Thread.sleep(400)
-        val t0 = System.nanoTime()
-        // noop sink forces full evaluation of every output column;
-        // count() would let Catalyst prune the projections being timed.
-        try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+      order.map(settleThenTime).toMap
     }
-    val results = names.map(n => n -> median(perRound.map(_(n)))).toMap
+    val prelim = names.map(n => n -> median(perRound.map(_(n)))).toMap
+    // Heavy-tail determinism (VERDICT r8 #8): queries that saturate
+    // all 32 threads for seconds show 1.5-2.3× same-day swings that a
+    // 3-run median can't always filter — the largest noise source in
+    // the standing record. Give the >5 s class extra samples (median
+    // of runs + extras), benched back-to-back in their own pass so a
+    // burst-throttle window hits all samples or none.
+    val heavyExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_EXTRA", "2").toInt
+    val heavies = prelim.filter(_._2 > 5.0).keys.toSeq.sorted
+    val extraRuns: Map[String, Seq[Double]] =
+      if (heavyExtra <= 0 || heavies.isEmpty) Map.empty
+      else (1 to heavyExtra).flatMap { round =>
+        val order = new scala.util.Random(900001L + round).shuffle(heavies)
+        order.map(settleThenTime)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val results = names.map { n =>
+      n -> median(perRound.map(_(n)) ++ extraRuns.getOrElse(n, Nil))
+    }.toMap
     // completeness tripwire: BENCH_LOCAL.json is the only full archive
     // (stdout keeps top-N); an accidentally-unregistered query must
     // fail the bench, not hide in the omitted tail

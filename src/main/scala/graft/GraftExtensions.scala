@@ -135,17 +135,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.expressions.KllQuantileAgg].getName,
         "kll_quantile"),
-      (children: Seq[Expression]) => children match {
+      (children: Seq[Expression]) => {
         // kll_quantile(doubleCol, kLiteral, qLiteral...) — returns
-        // struct(n, err_bound, est[#qs]); qs are double literals so
-        // SQL callers pin the quantile list at plan time like the
-        // Scala API does
-        case c +: Literal(k: Int, _) +: qs if qs.nonEmpty &&
-            qs.forall { case Literal(_: Double, _) => true; case _ => false } =>
-          graft.expressions.KllQuantileAgg(c, k,
-            qs.map { case Literal(q: Double, _) => q })
-        case _ => throw new IllegalArgumentException(
-          "kll_quantile(doubleCol, kLiteral, qDoubleLiteral...)")
+        // struct(n, err_bound, est[#qs]); qs are literals so SQL
+        // callers pin the quantile list at plan time like the Scala
+        // API does. Spark's SQL parser types a plain `0.5` as
+        // DECIMAL(1,1), not DOUBLE (ADVICE r8: only the D-suffixed
+        // spelling matched), so quantiles accept DOUBLE, DECIMAL and
+        // INTEGER literals; k accepts INTEGER/LONG.
+        def qOf(e: Expression): Option[Double] = e match {
+          case Literal(q: Double, _) => Some(q)
+          case Literal(q: org.apache.spark.sql.types.Decimal, _) =>
+            Some(q.toDouble)
+          case Literal(q: Int, _) => Some(q.toDouble)
+          case _ => None
+        }
+        def kOf(e: Expression): Option[Int] = e match {
+          case Literal(k: Int, _) => Some(k)
+          case Literal(k: Long, _) if k <= Int.MaxValue => Some(k.toInt)
+          case _ => None
+        }
+        children match {
+          case c +: kLit +: qs if kOf(kLit).isDefined && qs.nonEmpty &&
+              qs.forall(qOf(_).isDefined) =>
+            graft.expressions.KllQuantileAgg(c, kOf(kLit).get,
+              qs.map(qOf(_).get))
+          case _ => throw new IllegalArgumentException(
+            "kll_quantile(doubleCol, kLiteral, qLiteral...)")
+        }
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     // Plan-level capability: opt-in COUNT(DISTINCT) → KMV-sketch

@@ -176,13 +176,23 @@ object SimilarityQueries {
     // correctness is spec-gated (PcaSpec: planted-basis recovery,
     // orthonormality, unit whitened variance, bit-identical fit under
     // repartitioning); registering it still runs the full surface
-    // end-to-end each round.
+    // end-to-end each round. The REGISTERED shape is scalar rows —
+    // the whitened vector posexploded to (vec_id, component, value)
+    // with the value rounded through decimal — because the driver's
+    // canonicalize-then-hash harness sorts result columns and cannot
+    // order a raw array<double> (r8's one red gate). PcaSpec stays
+    // the math proof over the vector form.
     QueryDef("embedding_pca_whiten",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val m = graft.ops.Pca.pcaFit(e, "embedding", k = 8)
         graft.ops.Pca.pcaWhiten(e, "vec_id", "embedding", m)
-          .orderBy(col("vec_id"))
+          .select(col("vec_id"), posexplode(col("whitened"))
+            .as(Seq("component", "v")))
+          .select(col("vec_id"), col("component"),
+            round(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 12)), 6)
+              .cast("double").as("value"))
+          .orderBy(col("vec_id"), col("component"))
       },
       None),
 
@@ -714,6 +724,63 @@ object SimilarityQueries {
         |SELECT c.vec_id, c.cell, c.ccos,
         |  CASE WHEN rm.rid IS NULL THEN 0 ELSE 1 END AS removed
         |FROM cells0 c LEFT JOIN rm ON rm.rid = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin)),
+
+    // Incremental semantic dedup (Similarity.semDedupIncremental) —
+    // the embedding-space sibling of dedup_incremental_minhash: the
+    // low-vec_id detHash half is the accepted corpus, the rest the
+    // arriving batch; a batch vector is removed iff a same-(cell,
+    // block) corpus vector, or a lower-id same-(cell, block) batch
+    // vector, reaches SemDedupMinCos. Corpus×corpus pairs are never
+    // formed — cost scales with the batch. Same centroid set and
+    // hot-cell sub-blocking as semdedup_embedding; block counts run
+    // over corpus ∪ batch so the split is side-consistent.
+    QueryDef("semdedup_incremental",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val corpus = e.where(detHash(2L, col("vec_id")) === 0L)
+        val batch = e.where(detHash(2L, col("vec_id")) =!= 0L)
+        val cents = e.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        Similarity.semDedupIncremental(batch, "vec_id", "embedding",
+            corpus, cents, SemDedupMinCos, SemDedupBlock, SemDedupPlanes)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < $NumCells),
+        |asn AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+        |  FROM embeddings e CROSS JOIN c),
+        |cells0 AS (
+        |  SELECT vec_id, embedding, cid AS cell,
+        |    CASE WHEN ${detHashSql(2L, Seq("vec_id"))} = 0
+        |      THEN 0 ELSE 1 END AS isnew
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM asn)
+        |  WHERE rn = 1),
+        |sized AS (
+        |  SELECT vec_id, embedding, cell, isnew,
+        |    count(*) OVER (PARTITION BY cell) AS n_cell
+        |  FROM cells0),
+        |cells AS (
+        |  SELECT vec_id, embedding, cell, isnew,
+        |    CASE WHEN n_cell <= $SemDedupBlock THEN -1
+        |      ELSE ${bucketSql("embedding", SemDedupPlanes)} END AS blk
+        |  FROM sized),
+        |rm AS (
+        |  SELECT DISTINCT b.vec_id AS rid
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.blk = b.blk AND b.isnew = 1
+        |    AND (a.isnew = 0 OR a.vec_id < b.vec_id)
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        |    >= $SemDedupMinCos)
+        |SELECT c.vec_id, c.cell,
+        |  CASE WHEN rm.rid IS NULL THEN 0 ELSE 1 END AS removed
+        |FROM cells0 c LEFT JOIN rm ON rm.rid = c.vec_id
+        |WHERE c.isnew = 1
         |ORDER BY c.vec_id""".stripMargin)),
 
     // Embedding-health census per label: exact vector count, mean /

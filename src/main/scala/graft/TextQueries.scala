@@ -50,6 +50,9 @@ object TextQueries {
 
   /** Mixture temperature (mT5's α = 0.3) and curriculum shard count. */
   private val MixAlpha = 0.3
+  // ExactSubstr span length for the training-mix composition — same
+  // k as DedupQueries' dedup_substr_prune gate
+  private val MixSpanK = 8
   private val CurriculumK = 8
 
   /** Source-overlap matrix: 3-gram unit, keep grams with
@@ -2179,6 +2182,160 @@ object TextQueries {
         |  FROM f)
         |$stageRows
         |ORDER BY stage_id""".stripMargin
-      })
+      }),
+
+    // End-to-end training-mix manifest — the README curation story as
+    // ONE oracle-gated artifact (VERDICT r8 #7): the curation
+    // funnel's full gate (lang → length → quality → diversity →
+    // exact-unique) selects survivors; ExactSubstr span dedup prunes
+    // their cross-doc duplicated token mass; temperature (α)
+    // reweighting runs over the SURVIVING token mass; the
+    // token-balanced curriculum cut shards by surface difficulty —
+    // emitted as the per-(shard, source) manifest a training
+    // scheduler consumes: docs, kept tokens, α-weighted tokens.
+    // Every stage IS the registered operator (CurationStream.flagCols
+    // / Text.duplicatedSpansToCut / Text.temperatureReweightCounts /
+    // Text.curriculumShardAssign), so the composition cannot drift
+    // from the individually-gated pieces; the oracle replays the
+    // whole chain from scratch. Scale shape: each stage is one scan
+    // or a bounded-frame aggregate; the only corpus-sized shuffles
+    // are the funnel's md5 window, the span gram aggregate, and the
+    // difficulty-bucket window — all keyed, no global sorts.
+    QueryDef("training_mix_manifest",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val dupWin = Window.partitionBy(col("k")).orderBy(col("doc_id"))
+        val flags = d.select(col("doc_id") +:
+            graft.streaming.CurationStream.flagCols(col("text")): _*)
+          .withColumn("b5", row_number().over(dupWin) === 1)
+        val keptIds = flags.where(col("b1") && col("b2") && col("b3") &&
+          col("b4") && col("b5")).select(col("doc_id"))
+        val kept = d.join(keptIds, Seq("doc_id"), "left_semi")
+        val spans = graft.ops.Text.duplicatedSpansToCut(kept, "doc_id",
+          "text", MixSpanK)
+        val cuts = spans.groupBy(col("doc_id"))
+          .agg(sum(col("span_end") - col("span_start") + 1).as("__cut"))
+        // localCheckpoint: consumed by the mixture aggregate, the
+        // shard-assign window + bucket totals, and the final rollup
+        val pruned = kept.select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("__nc"),
+            wordCount(col("text")).cast("long").as("__nw0"))
+          .join(cuts, Seq("doc_id"), "left")
+          .withColumn("tok_kept",
+            col("__nw0") - coalesce(col("__cut"), lit(0L)))
+          .withColumn("__diff", expr("(__nc * 100) div __nw0"))
+          .localCheckpoint(true)
+        val mix = graft.ops.Text.temperatureReweightCounts(
+            pruned.groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("tok_kept")).as("n_tokens")),
+            MixAlpha)
+          .select(col("source"), col("weight"))
+        val assigned = graft.ops.Text.curriculumShardAssign(pruned,
+          "doc_id", "tok_kept", "__diff", CurriculumK)
+        assigned.join(broadcast(mix), "source")
+          .groupBy(col("shard"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok_kept")).as("tokens_kept"),
+            round((sum(col("tok_kept")).cast("double") *
+              first(col("weight"))).cast(dec), 6)
+              .cast("double").as("weighted_tokens"))
+          .orderBy(col("shard"), col("source"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |    len(string_split(text, ' '))::BIGINT AS nwl,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(text)::DOUBLE AS len,
+        |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(0)}))) AS h_en,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(1)}))) AS h_es,
+        |    len(list_filter(string_split(lower(text), ' '), w -> w IN (${swLang(2)}))) AS h_de,
+        |    len(list_distinct(string_split(lower(text), ' ')))::BIGINT AS ndw,
+        |    len(string_split(lower(text), ' '))::BIGINT AS nlw
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, n_chars, text, nwl,
+        |    (h_en + h_es + h_de) > 0 AS b1,
+        |    nwl >= 20 AND nwl <= 100000 AS b2,
+        |    round(
+        |      (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+        |      + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |      + least(sw / nw * 5.0, 1.0) * 0.3, 6) >= 0.5 AS b3,
+        |    ndw * 10 >= nlw * 3 AS b4,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS b5
+        |  FROM q),
+        |kept AS (
+        |  SELECT doc_id, source, n_chars, text, nwl AS nw0 FROM f
+        |  WHERE b1 AND b2 AND b3 AND b4 AND b5),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substring(md5(array_to_string(w[i:i+${MixSpanK - 1}], ' ')), 1, 15))::BIGINT AS h
+        |  FROM w, LATERAL unnest(range(1, len(w) - ${MixSpanK - 2})) AS t(i)
+        |  WHERE len(w) >= $MixSpanK),
+        |dup AS (
+        |  SELECT h, min(doc_id) AS mn FROM g GROUP BY h
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (
+        |  SELECT g.doc_id, g.i FROM g JOIN dup USING (h)
+        |  WHERE g.doc_id > dup.mn),
+        |pe AS (
+        |  SELECT doc_id, i,
+        |    max(i + ${MixSpanK - 1}) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM pe),
+        |spansc AS (
+        |  SELECT doc_id, island, min(i) AS s, max(i) + ${MixSpanK - 1} AS e
+        |  FROM isl GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut
+        |  FROM spansc GROUP BY 1),
+        |pruned AS (
+        |  SELECT k.doc_id, k.source,
+        |    k.nw0 - COALESCE(p.cut, 0) AS tok_kept,
+        |    (k.n_chars * 100) // k.nw0 AS diff
+        |  FROM kept k LEFT JOIN perdoc p USING (doc_id)),
+        |per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(tok_kept) AS BIGINT) AS n_tokens
+        |  FROM pruned GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+        |pa AS (
+        |  SELECT source,
+        |    CAST(round(CAST(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS actual_frac,
+        |    CAST(round(CAST(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),
+        |      $MixAlpha) AS DECIMAL(18,8)), 6) AS DOUBLE) AS pa6
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT CAST(sum(pa6::DECIMAL(18,8)) AS DECIMAL(18,8)) AS z
+        |  FROM pa),
+        |mix AS (
+        |  SELECT source,
+        |    CAST(round(CAST((pa6 / CAST(z AS DOUBLE)) / actual_frac
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
+        |  FROM pa CROSS JOIN z),
+        |p2 AS (
+        |  SELECT doc_id, source, tok_kept,
+        |    sum(tok_kept) OVER (ORDER BY diff, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tok_kept AS cumb
+        |  FROM pruned),
+        |tot2 AS (SELECT CAST(sum(tok_kept) AS BIGINT) AS total FROM pruned)
+        |SELECT CAST((cumb * $CurriculumK) // total AS BIGINT) AS shard,
+        |  p2.source AS source, count(*) AS n_docs,
+        |  CAST(sum(tok_kept) AS BIGINT) AS tokens_kept,
+        |  CAST(round(CAST(CAST(sum(tok_kept) AS DOUBLE) * max(m.weight)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weighted_tokens
+        |FROM p2 CROSS JOIN tot2 JOIN mix m ON m.source = p2.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

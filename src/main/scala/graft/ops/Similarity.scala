@@ -1307,16 +1307,40 @@ object Similarity {
     * the same contract as [[semDedup]]'s sub-blocking). Directed kNN
     * is a per-block window with a WindowGroupLimit prune to k rows
     * per vector; the mutual join carries id pairs only.
+    *
+    * `maxBlockSize` is the HOT-BLOCK bound `subPlanes` alone cannot
+    * give: identical (or near-zero) embeddings share one sign-LSH
+    * bucket at ANY plane count, so a degenerate corpus would make the
+    * self-join quadratic in the hot bucket. A block over the cap is
+    * split into ceil(n/maxBlockSize) deterministic id-hash sub-blocks
+    * and pairs are emitted only WITHIN a sub-block — per-block pair
+    * work is then ≤ n·maxBlockSize instead of n², the same capped
+    * contract as [[cosineDedupBlocked]]. Recall on a hot block drops
+    * (neighbors straddling sub-blocks are unseen), which for the
+    * degenerate all-identical case is harmless: every sub-block still
+    * clusters internally and CC merges nothing across them — callers
+    * needing cross-sub-block merges re-run on representatives. The
+    * block-count window rides the hash-partition-by-block exchange
+    * the self-join needs anyway.
     */
   def knnGraphClusters(emb: DataFrame, idCol: String, embCol: String,
                        k: Int, subPlanes: Int,
-                       maxIter: Int = 25): DataFrame = {
-    val e = emb.select(col(idCol).as("__id"),
+                       maxIter: Int = 25,
+                       maxBlockSize: Int = 4096): DataFrame = {
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2: $maxBlockSize")
+    val e0 = emb.select(col(idCol).as("__id"),
         col(embCol).cast("array<double>").as("__e"))
       .withColumn("__n", vectorNorm(col("__e")))
       .withColumn("__blk", signLshBucket(col("__e"), subPlanes))
+    val blkCnt = count(lit(1)).over(Window.partitionBy(col("__blk")))
+    val e = e0.withColumn("__sub",
+      when(blkCnt <= maxBlockSize, lit(0L))
+        .otherwise(pmod(xxhash64(col("__id")),
+          ceil(blkCnt / lit(maxBlockSize.toDouble)).cast("long"))))
     val pairs = e.as("a").join(e.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+        col("a.__blk") === col("b.__blk") &&
+          col("a.__sub") === col("b.__sub") &&
+          col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("src"), col("b.__id").as("dst"),
         round(dotProduct(col("a.__e"), col("b.__e")) /
           (col("a.__n") * col("b.__n")), 6).as("cos"))
@@ -1392,6 +1416,64 @@ object Similarity {
       .distinct()
     cells.join(removed, col(idCol) === col("__rm"), "left")
       .select(col(idCol), col("cell"), col("__ccos").as("ccos"),
+        when(col("__rm").isNull, lit(0)).otherwise(lit(1)).as("removed"))
+  }
+
+  /** Incremental semantic dedup — [[semDedup]]'s ingest form, the
+    * embedding-space sibling of [[minhashDedupIncremental]]: dedup a
+    * NEW batch of vectors against an already-accepted corpus without
+    * ever pairing corpus×corpus. A batch vector is removed iff some
+    * same-(cell, block) CORPUS vector, or a LOWER-ID same-(cell,
+    * block) batch vector, has rounded cosine ≥ minCos. The corpus
+    * side wins REGARDLESS of numeric id — it arrived first, the
+    * ingest-order semantics — so when corpus ids all precede batch
+    * ids this is exactly semDedup's pair-dominance rule restricted
+    * to pairs touching the batch, and batch ∪ corpus replayed
+    * through plain semDedup flags the same batch ids (spec-pinned).
+    *
+    * Scale shape: both sides take the broadcast-centroid scan-local
+    * assignment (assignCells); the pair join carries only
+    * same-(cell, block) rows and its batch leg filters __new = 1
+    * BEFORE the join, so corpus-corpus pairs are never formed — cost
+    * scales with the batch and the touched cells, never corpus². Hot
+    * cells (counted over corpus ∪ batch, so the block split is
+    * consistent across sides) degrade to sign-LSH sub-blocks, the
+    * [[cosineDedupBlocked]] guard. At deploy scale the corpus
+    * assignment is a materialized table maintained at ingest —
+    * recomputing it here per call is the test-scale simplification,
+    * same note as semDedup's localCheckpoint.
+    */
+  def semDedupIncremental(batch: DataFrame, idCol: String, embCol: String,
+                          corpus: DataFrame, centroids: DataFrame,
+                          minCos: Double, maxBlockSize: Int,
+                          subPlanes: Int): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    val corpusCells = assignCells(prep(corpus), centroids, idCol)
+      .withColumn("__new", lit(0))
+    // read twice (pair leg + final flag join) — the semDedup
+    // localCheckpoint discipline
+    val batchCells = assignCells(prep(batch), centroids, idCol)
+      .localCheckpoint(true)
+    val combined = corpusCells
+      .unionByName(batchCells.withColumn("__new", lit(1)))
+    val blocked = combined.withColumn("__blk",
+      when(count(lit(1)).over(Window.partitionBy(col("cell")))
+          <= maxBlockSize, lit(-1L))
+        .otherwise(signLshBucket(col("__emb"), subPlanes)))
+    val a = blocked.as("a")
+    val b = blocked.where(col("__new") === 1).as("b")
+    val removed = a.join(b,
+        col("a.cell") === col("b.cell") &&
+          col("a.__blk") === col("b.__blk") &&
+          (col("a.__new") === 0 ||
+            col(s"a.$idCol") < col(s"b.$idCol")))
+      .where(round(dotProduct(col("a.__emb"), col("b.__emb")) /
+        (col("a.__nrm") * col("b.__nrm")), 6) >= minCos)
+      .select(col(s"b.$idCol").as("__rm")).distinct()
+    batchCells.join(removed, col(idCol) === col("__rm"), "left")
+      .select(col(idCol), col("cell"),
         when(col("__rm").isNull, lit(0)).otherwise(lit(1)).as("removed"))
   }
 

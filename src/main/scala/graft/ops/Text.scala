@@ -640,16 +640,26 @@ object Text {
     * doubles, one IEEE division per output).
     */
   def temperatureReweight(df: DataFrame, srcCol: String, textCol: String,
-                          alpha: Double): DataFrame = {
+                          alpha: Double): DataFrame =
+    temperatureReweightCounts(
+      df.groupBy(col(srcCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens")),
+      alpha)
+
+  /** [[temperatureReweight]] over a PRECOMPUTED per-source count
+    * frame (source, n_docs, n_tokens) — the composition seam: a
+    * pipeline that has already pruned/adjusted its token mass (e.g.
+    * ExactSubstr-cut counts) reweights the surviving mass, not the
+    * raw text.
+    */
+  def temperatureReweightCounts(per0: DataFrame, alpha: Double): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     def r6(c: Column) = round(c.cast(dec), 6).cast("double")
     // localCheckpoint: three consumers (total, normalizer, final
     // select) read this O(sources) aggregate — without it each re-runs
     // the corpus scan. Blocks are executor-local and trivially small.
-    val per = df.groupBy(col(srcCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
-      .localCheckpoint(true)
+    val per = per0.localCheckpoint(true)
     val tot = per.agg(sum(col("n_tokens")).as("__total"))
     val withP = per.crossJoin(broadcast(tot))
       .withColumn("actual_frac",
@@ -697,30 +707,45 @@ object Text {
         size(split(col(textCol), " ")).cast("long").as("__nw"),
         col(charsCol).cast("long").as("__nc"))
       .withColumn("__diff", expr("(__nc * 100) div __nw"))
-    val win = Window.partitionBy(col("__diff")).orderBy(col("__id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBucket = d.withColumn("__cumin",
-      sum(col("__nw")).over(win) - col("__nw"))
-    // localCheckpoint: offsets AND the grand total both derive from
-    // the bucket-totals frame (bounded: one row per distinct integer
-    // difficulty), so the corpus scans twice (window pass + this
-    // aggregate), never three times.
-    val bt = d.groupBy(col("__diff")).agg(sum(col("__nw")).as("__bt"))
-      .localCheckpoint(true)
-    // bounded frame: one row per distinct integer difficulty value
-    val wb = Window.orderBy(col("__diff"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val off = bt.select(col("__diff"),
-      coalesce(sum(col("__bt")).over(wb), lit(0L)).as("__off"))
-    val tot = bt.agg(sum(col("__bt")).as("__total"))
-    inBucket.join(broadcast(off), "__diff").crossJoin(broadcast(tot))
-      .withColumn("__cumb", col("__off") + col("__cumin"))
-      .withColumn("shard",
-        expr(s"(__cumb * ${numShards.toLong}L) div __total"))
+    curriculumShardAssign(d, "__id", "__nw", "__diff", numShards)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("n_tokens"),
         min(col("__diff")).as("min_cpt"), max(col("__diff")).as("max_cpt"))
       .orderBy(col("shard"))
+  }
+
+  /** The per-document shard assignment under [[curriculumShards]]'s
+    * token-balanced cut, exposed for compositions that need to carry
+    * other per-doc columns (source, weights) into the shard rollup:
+    * returns the input rows plus a `shard` column. `tokCol` is the
+    * token MASS being balanced (may be an adjusted/pruned count) and
+    * `diffCol` the integer difficulty key; both are caller-computed,
+    * so the same bucket-offset prefix decomposition serves raw and
+    * post-prune pipelines alike.
+    */
+  def curriculumShardAssign(df: DataFrame, idCol: String, tokCol: String,
+                            diffCol: String, numShards: Int): DataFrame = {
+    val win = Window.partitionBy(col(diffCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = df.withColumn("__cumin",
+      sum(col(tokCol)).over(win) - col(tokCol))
+    // localCheckpoint: offsets AND the grand total both derive from
+    // the bucket-totals frame (bounded: one row per distinct integer
+    // difficulty), so the corpus scans twice (window pass + this
+    // aggregate), never three times.
+    val bt = df.groupBy(col(diffCol)).agg(sum(col(tokCol)).as("__bt"))
+      .localCheckpoint(true)
+    // bounded frame: one row per distinct integer difficulty value
+    val wb = Window.orderBy(col(diffCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt.select(col(diffCol),
+      coalesce(sum(col("__bt")).over(wb), lit(0L)).as("__off"))
+    val tot = bt.agg(sum(col("__bt")).as("__total"))
+    inBucket.join(broadcast(off), diffCol).crossJoin(broadcast(tot))
+      .withColumn("__cumb", col("__off") + col("__cumin"))
+      .withColumn("shard",
+        expr(s"(__cumb * ${numShards.toLong}L) div __total"))
+      .drop("__cumin", "__off", "__cumb", "__total")
   }
 
   /** Per-slice distribution drift vs the WHOLE corpus: the

@@ -38,10 +38,19 @@ object KllStream {
         (g: Int, it: Iterator[Obs], state) =>
           val buf = state.getOption.map(Kll.deserialize)
             .getOrElse(new KllBuf())
+          val nBefore = buf.n
           it.foreach { o => if (!o.v.isNaN) Kll.insert(buf, k, o.v) }
-          state.update(Kll.serialize(buf))
-          Iterator.single(GroupQuantiles(g, buf.n, buf.n, buf.errBound,
-            Kll.estimates(buf, qs).toSeq))
+          // emit only when the sketch absorbed something: version is
+          // buf.n, so a batch whose rows were all NaN-filtered would
+          // otherwise re-emit a DUPLICATE (g, version) row and break
+          // max-version consumers (ADVICE r8). n strictly increases
+          // per accepted value, so (g, version) is unique in the sink.
+          if (buf.n == nBefore) Iterator.empty
+          else {
+            state.update(Kll.serialize(buf))
+            Iterator.single(GroupQuantiles(g, buf.n, buf.n, buf.errBound,
+              Kll.estimates(buf, qs).toSeq))
+          }
       }
       .toDF()
   }

@@ -21,8 +21,15 @@ import graft.functions.GraftFunctions.{detHash, DetHashPrime}
   * TakeOrdered distributed. Priorities are computed by the SAME
   * column expressions as the batch operator (ln(u)/w on the detHash
   * uniform), so a streamed corpus and its batch replay select
-  * IDENTICAL rows — spec-asserted, duplicates and batch boundaries
-  * included.
+  * IDENTICAL rows on a DEDUPED corpus — spec-asserted across batch
+  * boundaries. Scope of the parity claim (ADVICE r8): the stream's
+  * dedup-on-merge treats a re-arrival of the same (id, weight) as a
+  * RE-DELIVERY and keeps one candidate (at-least-once idempotency),
+  * while batch prioritySample ranks each physical duplicate row
+  * separately (limit(k) can return one id twice). A corpus with true
+  * duplicate rows therefore compares only after deduping ids on the
+  * batch side — the streaming form's id-keyed semantics are the
+  * at-least-once-safe ones.
   *
   * Sharding: the state key is detHash(id) mod shards, so hot ids
   * cannot skew one state partition and re-deliveries of the same id

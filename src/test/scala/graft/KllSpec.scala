@@ -114,6 +114,22 @@ class KllSpec extends SparkSpec {
     assert(math.abs(est(1) - 900.0) <= err + 1, s"p90=${est(1)} err=$err")
   }
 
+  test("kll_quantile accepts plain decimal literals from SQL (0.5, not just 0.5D)") {
+    // Spark's SQL parser types `0.5` as DECIMAL(1,1), not DOUBLE —
+    // the r8 builder only matched Double literals, so the undecorated
+    // spelling threw (ADVICE r8). Integer quantile literals (1 = max)
+    // and a LONG k must also bind.
+    val row = spark.sql(
+      "SELECT kll_quantile(CAST(id AS DOUBLE), 64, 0.5, 1) AS s " +
+        "FROM range(1, 1001)")
+      .select(col("s.n"), col("s.err_bound"), col("s.est")).head()
+    assert(row.getLong(0) == 1000L)
+    val err = row.getLong(1)
+    val est = row.getSeq[Double](2)
+    assert(math.abs(est(0) - 500.0) <= err + 1, s"p50=${est(0)} err=$err")
+    assert(math.abs(est(1) - 1000.0) <= err + 1, s"p100=${est(1)} err=$err")
+  }
+
   test("kll skips NULL and NaN but keeps ±Inf ordered") {
     val vals: Seq[java.lang.Double] =
       Seq[java.lang.Double](1.0, 2.0, null, Double.NaN, 3.0,

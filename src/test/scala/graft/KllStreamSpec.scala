@@ -62,6 +62,28 @@ class KllStreamSpec extends SparkSpec {
     }
   }
 
+  test("an all-NaN micro-batch emits nothing — (g, version) stays unique") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Obs]
+    val q = KllStream.kllStream(mem.toDS(), k = 64, qs)
+      .writeStream.format("memory").queryName("kllnan")
+      .outputMode("append").start()
+    mem.addData((1 to 10).map(i => Obs(0, i.toDouble)): _*)
+    q.processAllAvailable()
+    // every row NaN-filtered: the sketch absorbs nothing, so the
+    // group must NOT re-emit its unchanged version (ADVICE r8 — a
+    // duplicate (g, version) row breaks max-version consumers)
+    mem.addData(Obs(0, Double.NaN), Obs(0, Double.NaN))
+    q.processAllAvailable()
+    mem.addData(Obs(0, 11.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT g, version FROM kllnan")
+      .as[(Int, Long)].collect().toSeq
+    q.stop()
+    assert(rows.sorted == Seq((0, 10L), (0, 11L)),
+      s"expected exactly versions 10 and 11, got $rows")
+  }
+
   test("stream and batch aggregate share the envelope on the same rows") {
     val n = 5000
     val rows = (0 until n).map(i => Obs(7, (i * 37 % 1009).toDouble))

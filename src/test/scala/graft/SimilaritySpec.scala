@@ -499,6 +499,83 @@ class SimilaritySpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $cc")
   }
 
+  test("knnGraphClusters: hot-block cap bounds the pair stream; uncapped result unchanged") {
+    // a degenerate corpus: 60 IDENTICAL vectors — one sign-LSH bucket
+    // at any plane count, the shape subPlanes cannot split. With
+    // maxBlockSize = 10 the self-join must stay within id-hash
+    // sub-blocks: every vector still lands in a cluster (its
+    // sub-block mates are identical too), but no cluster can exceed
+    // a sub-block's population, which is ≪ 60 — the observable proof
+    // that no 60×60 block pair stream was formed.
+    val hot = (0L until 60L).map(i => (i, Array(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // UNCAPPED: one block, one mutual clique of the k+1 smallest ids
+    // (identical cosines tie-break by id, so everyone courts the
+    // smallest ids and only the first k+1 are mutual)
+    val uncapped = Similarity.knnGraphClusters(hot, "vec_id", "embedding",
+        k = 3, subPlanes = 2, maxBlockSize = 4096)
+      .as[(Long, Long)].collect()
+    assert(uncapped.map(_._2).distinct.length == 1 && uncapped.length == 4,
+      s"uncapped degenerate block should form one k+1 clique: ${uncapped.toSeq}")
+    // CAPPED at 10: ceil(60/10) = 6 id-hash sub-blocks, pairs emitted
+    // only within a sub-block — so MULTIPLE disjoint cliques appear
+    // (one per populated sub-block), the observable proof that the
+    // 60×60 block pair stream was never formed
+    val capped = Similarity.knnGraphClusters(hot, "vec_id", "embedding",
+        k = 3, subPlanes = 2, maxBlockSize = 10)
+      .as[(Long, Long)].collect()
+    val sizes = capped.groupBy(_._2).map(_._2.length)
+    assert(sizes.size >= 2, s"sub-blocks must not merge: ${capped.toSeq}")
+    assert(sizes.max <= 4, s"a cluster outgrew the mutual-kNN bound: $sizes")
+    // a corpus UNDER the cap takes the single-sub-block path and must
+    // reproduce the uncapped clustering bit-for-bit
+    val vecs = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(1.0, 0.0)), (12L, Array(1.0, 0.0)),
+      (20L, Array(0.0, 1.0)), (21L, Array(0.0, 1.0)), (22L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val under = Similarity.knnGraphClusters(vecs, "vec_id", "embedding",
+        k = 2, subPlanes = 1, maxBlockSize = 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(under == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $under")
+  }
+
+  test("semDedupIncremental matches plain semDedup on the union when corpus ids precede") {
+    // corpus ids 0..199 < batch ids 200..399, so the incremental rule
+    // ("corpus wins regardless of id") coincides with semDedup's
+    // lower-id pair dominance on the union — removed flags must agree
+    // exactly on the batch ids, including chains where the dominating
+    // vector is itself removed
+    def vec(i: Long): Array[Double] = {
+      val base = (i % 7).toInt
+      Array.tabulate(8)(d =>
+        (if (d == base) 1.0 else 0.05 * ((i + d) % 3)) + 0.001 * (i % 11))
+    }
+    // half the batch re-treads corpus directions (removed by the
+    // corpus rule), half points into dims the corpus never uses
+    // (negative base — survives the corpus, dedups only within the
+    // batch by the lower-id rule)
+    def novel(i: Long): Array[Double] =
+      Array.tabulate(8)(d =>
+        (if (d == (i % 4).toInt + 4) -1.0 else 0.03 * ((i + d) % 3)))
+    val corpus = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val batch = (200L until 400L)
+      .map(i => (i, if (i % 2 == 0) vec(i + 3) else novel(i)))
+      .toDF("vec_id", "embedding")
+    val cents = (0L until 6L).map(i => (i, vec(i * 31))).toDF("cid", "cemb")
+    val inc = Similarity.semDedupIncremental(batch, "vec_id", "embedding",
+        corpus, cents, minCos = 0.9, maxBlockSize = 50, subPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val full = Similarity.semDedup(corpus.union(batch), "vec_id", "embedding",
+        cents, minCos = 0.9, maxBlockSize = 50, subPlanes = 2)
+      .where(col("vec_id") >= 200L)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(inc.size == 200 && inc == full,
+      s"diff: ${(inc.toSet diff full.toSet).take(5)} / ${(full.toSet diff inc.toSet).take(5)}")
+    assert(inc.values.sum > 0, "stress the rule: some batch vector must be removed")
+    assert(inc.values.sum < 200, "and some must survive")
+  }
+
   test("dedupSurvivalCurve: monotone sweep, exact duplicate removed at every threshold") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val docs = Seq(
