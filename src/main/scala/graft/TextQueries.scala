@@ -1943,6 +1943,108 @@ object TextQueries {
         |  COALESCE(round(SUM(t)::DOUBLE, 6), 0.0) AS rbo
         |FROM terms""".stripMargin)),
 
+    // Retrieval quality metrics over the same lex/dense pools:
+    // nDCG@10 and MRR@10 per leg against a metadata pseudo-relevance
+    // oracle (graded: 2 = query doc's source AND lang, 1 = source
+    // only, 0 = else — the standard stand-in when no human qrels
+    // exist; a real qrels table drops in for `rel` unchanged). IDCG
+    // normalizes against the corpus-wide ideal top-10, so ndcg is
+    // comparable across legs and corpora. Determinism: DCG terms are
+    // numerator ∈ {0,1,3} over log2(rank+1) on integer ranks — fixed
+    // IEEE on both engines — each rounded to 12dp DECIMAL before the
+    // order-independent sum (the RBO discipline); ideal ranking ties
+    // break by doc_id. Scale shape: pools are bounded (RrfPool), the
+    // relevance scan is one corpus pass, the ideal top-10 is a
+    // TakeOrdered — nothing corpus² anywhere.
+    QueryDef("retrieval_eval_metrics",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"))
+        val qd = d.where(col("doc_id") === RrfQueryVec)
+          .select(col("source").as("qsrc"), col("lang").as("qlang"))
+        val rel = d.crossJoin(broadcast(qd))
+          .where(col("doc_id") =!= RrfQueryVec)
+          .select(col("doc_id").as("__rid"),
+            when(col("source") === col("qsrc") &&
+                col("lang") === col("qlang"), 2L)
+              .when(col("source") === col("qsrc"), 1L)
+              .otherwise(0L).as("rel"))
+          .localCheckpoint(true) // both legs + the ideal read it
+        val (lex, den) = retrievalPools(s, dir)
+        val lexRel = lex.where(col("lex_rank") <= 10)
+          .join(rel, col("doc_id") === col("__rid"), "left")
+          .select(lit("lex").as("leg"), col("lex_rank").as("rank"),
+            coalesce(col("rel"), lit(0L)).as("rel"))
+        val denRel = den.where(col("vec_rank") <= 10)
+          .join(rel, col("vec_id") === col("__rid"), "left")
+          .select(lit("dense").as("leg"), col("vec_rank").as("rank"),
+            coalesce(col("rel"), lit(0L)).as("rel"))
+        def gain = when(col("rel") === 2L, 3.0)
+          .when(col("rel") === 1L, 1.0).otherwise(0.0)
+        def term = round((gain / log2(col("rank") + 1))
+          .cast(DecimalType(18, 14)), 12)
+        val perLeg = lexRel.unionByName(denRel).groupBy(col("leg"))
+          .agg(sum(term).as("__dcg"),
+            coalesce(max(when(col("rel") >= 1L,
+              round(lit(1.0) / col("rank"), 6))), lit(0.0)).as("mrr_10"))
+        val ideal = rel.orderBy(desc("rel"), col("__rid")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("rel"), col("__rid"))))
+          .agg(coalesce(sum(term), lit(java.math.BigDecimal.ZERO)
+            .cast(DecimalType(18, 14))).as("__idcg"))
+        perLeg.crossJoin(broadcast(ideal))
+          .select(col("leg"),
+            round(col("__dcg").cast("double"), 6).as("dcg_10"),
+            round(col("__idcg").cast("double"), 6).as("idcg_10"),
+            when(col("__idcg") === 0, 0.0)
+              .otherwise(round((col("__dcg").cast("double") /
+                col("__idcg").cast("double")).cast(DecimalType(18, 8)), 6)
+                .cast("double")).as("ndcg_10"),
+            col("mrr_10"))
+          .orderBy(col("leg"))
+      },
+      Some(s"""$retrievalPoolsSql,
+        |qd AS (SELECT source AS qsrc, lang AS qlang FROM documents
+        |  WHERE doc_id = $RrfQueryVec),
+        |rel AS (
+        |  SELECT doc_id AS rid,
+        |    CASE WHEN source = qsrc AND lang = qlang THEN 2
+        |         WHEN source = qsrc THEN 1 ELSE 0 END AS rel
+        |  FROM documents CROSS JOIN qd WHERE doc_id <> $RrfQueryVec),
+        |legs AS (
+        |  SELECT 'lex' AS leg, l.lex_rank AS rank, COALESCE(r.rel, 0) AS rel
+        |  FROM lex l LEFT JOIN rel r ON r.rid = l.doc_id
+        |  WHERE l.lex_rank <= 10
+        |  UNION ALL
+        |  SELECT 'dense', d.vec_rank, COALESCE(r.rel, 0)
+        |  FROM den d LEFT JOIN rel r ON r.rid = d.vec_id
+        |  WHERE d.vec_rank <= 10),
+        |per AS (
+        |  SELECT leg,
+        |    SUM(round(CAST(
+        |      (CASE rel WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END)::DOUBLE
+        |        / log2(rank + 1) AS DECIMAL(18,14)), 12)) AS dcg,
+        |    COALESCE(MAX(CASE WHEN rel >= 1
+        |      THEN round(CAST(1.0 AS DOUBLE) / rank, 6) END), 0.0) AS mrr_10
+        |  FROM legs GROUP BY 1),
+        |itop AS (
+        |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, rid) AS rank
+        |  FROM rel ORDER BY rel DESC, rid LIMIT 10),
+        |ideal AS (
+        |  SELECT COALESCE(SUM(round(CAST(
+        |    (CASE rel WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END)::DOUBLE
+        |      / log2(rank + 1) AS DECIMAL(18,14)), 12)),
+        |    CAST(0 AS DECIMAL(18,14))) AS idcg
+        |  FROM itop)
+        |SELECT leg, round(dcg::DOUBLE, 6) AS dcg_10,
+        |  round(idcg::DOUBLE, 6) AS idcg_10,
+        |  CASE WHEN idcg = 0 THEN 0.0
+        |    ELSE CAST(round(CAST(dcg::DOUBLE / idcg::DOUBLE
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS ndcg_10,
+        |  mrr_10
+        |FROM per CROSS JOIN ideal ORDER BY leg""".stripMargin)),
+
     // Mixture × quality allocation matrix: for every (source, quality
     // bin) cell, the fraction of the FINAL α-tempered mixture drawn
     // from it — alloc_frac = temp_frac(source) × share-of-source — the

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding PCA + whitening — the standard conditioning step before
   * cosine/IVF work on learned embeddings (anisotropic dimensions
@@ -11,8 +10,9 @@ import org.apache.spark.sql.types.DecimalType
   * reason).
   *
   * Scale split: the d×d second-moment matrix is computed DISTRIBUTED
-  * (one explode of the upper triangle per row → hash aggregate on
-  * (i, j) — the shuffle carries d(d+1)/2 + d partial sums per
+  * (one mergeable imperative aggregate — [[graft.expressions.
+  * OuterProductSumAgg]] — whose partial state IS the d(d+1)/2 + d
+  * decimal sums, so the exchange carries one ~d²·17-byte buffer per
   * partition, never rows), while the eigendecomposition runs on the
   * DRIVER over the d×d matrix — d is the embedding width (64 here,
   * ≤ a few thousand in practice), so driver memory is d², bounded and
@@ -38,8 +38,6 @@ object Pca {
     def k: Int = eigenvalues.length
   }
 
-  private val SumDec = DecimalType(38, 18)
-
   /** Fit top-`k` principal components of `embCol` (array<double> or
     * castable). `powerIters` bounds each component's power iteration;
     * 100 is far past convergence for any spectral gap worth using.
@@ -51,34 +49,30 @@ object Pca {
       .where(col("__x").isNotNull && size(col("__x")) > 0)
     val d = e.select(size(col("__x"))).head().getInt(0)
     require(k <= d, s"k ($k) exceeds embedding dim ($d)")
-    // Upper triangle as a FLAT positional explode — no per-element
-    // struct construction (the named-struct form measured ~2× the
-    // whole fit); pos decodes to (i, j) on the driver. Mean sums ride
-    // a second, d-element explode of the raw vector.
-    def sumsByPos(df: DataFrame): Array[(Int, java.math.BigDecimal, Long)] =
-      df.groupBy(col("pos"))
-        .agg(sum(col("v").cast(SumDec)).as("s"), count(lit(1)).as("c"))
-        .collect()
-        .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2)))
-    val covSums = sumsByPos(e.select(posexplode(expr(
-      s"""flatten(transform(sequence(0, ${d - 1}), i ->
-         |  transform(sequence(i, ${d - 1}), j -> __x[i] * __x[j])))"""
-        .stripMargin)).as(Seq("pos", "v"))))
-    val meanSums = sumsByPos(
-      e.select(posexplode(col("__x")).as(Seq("pos", "v"))))
-    val n = meanSums.headOption.map(_._3).getOrElse(0L)
+    // ONE mergeable imperative aggregate carries all d + d(d+1)/2
+    // decimal sums as its partial state — the earlier posexplode
+    // formulation shuffled d(d+1)/2 rows per input row (4.3M exchange
+    // rows at sf0.1/d=64, a top-5 bench query); the exchange now
+    // ships one ~d²·17-byte buffer per partition. Per-term decimal
+    // arithmetic is identical (valueOf → setScale(18, HALF_UP) → add,
+    // matching sum(cast(v AS DECIMAL(38,18)))), so the fit stays
+    // bit-identical to the explode form under any partitioning —
+    // ragged dimensions throw inside the aggregate.
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val row = e.agg(
+      column(graft.expressions.OuterProductSumAgg(expression(col("__x"))))
+        .as("s")).head().getStruct(0)
+    val n = row.getLong(0)
     require(n > 0, "pcaFit: no rows")
-    require(meanSums.forall(_._3 == n) && covSums.forall(_._3 == n),
-      "pcaFit: ragged embedding dimensions")
+    val sums = row.getSeq[java.math.BigDecimal](1)
     val mean = new Array[Double](d)
-    meanSums.foreach { case (i, s, _) => mean(i) = s.doubleValue() / n }
+    (0 until d).foreach(i => mean(i) = sums(i).doubleValue() / n)
     val m2 = Array.ofDim[Double](d, d) // E[x xᵀ]
-    // pos → (i, j): row-major over the upper triangle
-    val posIJ = (for (i <- 0 until d; j <- i until d) yield (i, j)).toArray
-    covSums.foreach { case (pos, sDec, _) =>
-      val (i, j) = posIJ(pos)
-      val s = sDec.doubleValue() / n
+    var k2 = d
+    for (i <- 0 until d; j <- i until d) {
+      val s = sums(k2).doubleValue() / n
       m2(i)(j) = s; m2(j)(i) = s
+      k2 += 1
     }
     val cov = Array.tabulate(d, d)((i, j) => m2(i)(j) - mean(i) * mean(j))
     // driver-side deterministic power iteration with deflation
