@@ -683,6 +683,24 @@ object AdvancedQueries {
       },
       Some(pageRankOracleSql(PageRankIters))),
 
+    // Personalized PageRank from the 5 smallest part ids (the BFS
+    // seed set): teleport mass returns only to the seeds, so rank is
+    // seeded reachability — the trust-rank / quality-propagation
+    // reading. Same fixed-point BIGINT contract as
+    // graph_pagerank_parts; the oracle unrolls the identical rounds
+    // with the seed flag in both r0 and the restart term.
+    QueryDef("graph_ppr_parts",
+      (s, dir) => {
+        val e = coPurchasePairs(s, dir, directed = true).distinct()
+          .localCheckpoint(true) // seeds + the rank rounds both read it
+        val seeds = e.select(col("src").as("node")).distinct()
+          .orderBy(col("node")).limit(5)
+        graft.ops.Graph.personalizedPageRank(e, "src", "dst", seeds,
+            PageRankIters)
+          .orderBy(col("node")).select(col("node"), col("r"))
+      },
+      Some(pprOracleSql(PageRankIters))),
+
     // Exact triangle count of the same co-purchase graph —
     // Graph.triangleCount's degree-oriented wedge join (O(m^1.5)
     // worst-case work regardless of hub skew). The oracle counts with
@@ -895,6 +913,41 @@ object AdvancedQueries {
     * `//` is DuckDB's integer division (truncating, like Spark's
     * `div`, identical on the all-positive ranks here).
     */
+  /** Unrolled-CTE oracle for graph_ppr_parts — pageRankOracleSql
+    * with the seed flag in r0 and the restart term. Seeds = the 5
+    * smallest node ids, matching the Spark side's limit(5).
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val unit = 1000000000000L
+    val base = (unit * 15L) / 100L
+    val head = s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |sd AS (SELECT node, 1::BIGINT AS seed FROM (
+      |  SELECT node FROM nodes ORDER BY node LIMIT 5)),
+      |nf AS (SELECT n.node, COALESCE(sd.seed, 0) AS seed
+      |  FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+      |r0 AS (SELECT node, seed, CAST(seed * $unit AS BIGINT) AS r FROM nf)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+      |  SELECT n.node, n.seed,
+      |    CAST(n.seed * $base
+      |      + (COALESCE(CAST(sum(p.r // deg.deg) AS BIGINT), 0) * 85)
+      |      // 100 AS BIGINT) AS r
+      |  FROM nf n
+      |  LEFT JOIN e ON e.dst = n.node
+      |  LEFT JOIN deg ON deg.src = e.src
+      |  LEFT JOIN r${i - 1} p ON p.node = e.src
+      |  GROUP BY n.node, n.seed)""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"\nSELECT node, r FROM r$iters ORDER BY node"
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val unit = 1000000000000L
     val base = (unit * 15L) / 100L

@@ -58,7 +58,32 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampingNum: Long = 85, dampingDen: Long = 100,
-               unit: Long = 1000000000000L): DataFrame = {
+               unit: Long = 1000000000000L): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, None, iters, dampingNum,
+      dampingDen, unit)
+
+  /** PERSONALIZED PageRank: teleport mass returns only to `seeds`
+    * (one `node` column) instead of uniformly — rank becomes
+    * "importance as seen FROM the seed set", the standard
+    * quality-propagation / trust-rank tool (seed a few vetted
+    * documents, rank the corpus by seeded reachability). Same
+    * fixed-point BIGINT arithmetic and per-round shape as
+    * [[pageRank]]; the only changes are r₀ (unit on seeds, 0
+    * elsewhere) and the restart term (seeds only). Non-seed sinks
+    * lose their mass by truncation exactly as the uniform variant
+    * does.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame, iters: Int,
+                           dampingNum: Long = 85, dampingDen: Long = 100,
+                           unit: Long = 1000000000000L): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, Some(seeds), iters, dampingNum,
+      dampingDen, unit)
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String,
+                           dstCol: String, seedsOpt: Option[DataFrame],
+                           iters: Int, dampingNum: Long, dampingDen: Long,
+                           unit: Long): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampingNum > 0 && dampingNum < dampingDen,
       s"damping must be a proper fraction: $dampingNum/$dampingDen")
@@ -93,7 +118,20 @@ object Graph {
     // sum would wrap silently into a plausible-looking wrong rank.
     require(nNodes <= Long.MaxValue / unit,
       s"nNodes ($nNodes) × unit ($unit) exceeds Long range — shrink unit")
-    var r = root(nodes.withColumn("r", lit(unit)))
+    // Personalized variant: a seed flag rides the node frame — r₀ and
+    // the restart term are unit·[seed] instead of uniform. The seed
+    // set is |seeds| ids joined once onto the |nodes| frame, so the
+    // per-round shape is unchanged.
+    val nodesFlagged = materialize(seedsOpt match {
+      case None => nodes.withColumn("__seed", lit(1L))
+      case Some(s) =>
+        val sd = s.select(col("node").cast("long").as("node"))
+          .distinct().withColumn("__seed", lit(1L))
+        nodes.join(sd, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+    })
+    var r = root(nodesFlagged
+      .select(col("node"), (col("__seed") * lit(unit)).as("r")))
     for (_ <- 1 to iters) {
       // Per-node contribution r div deg is computed on the NODE-sized
       // frame first (one narrow join), so the edge set — the only
@@ -111,14 +149,15 @@ object Graph {
       val damped = s"(coalesce(s, 0L) div ${dampingDen}L) * ${dampingNum}L" +
         s" + ((coalesce(s, 0L) % ${dampingDen}L) * ${dampingNum}L)" +
         s" div ${dampingDen}L"
-      r = root(nodes.join(sums, Seq("node"), "left")
-        .select(col("node"), (lit(base) + expr(damped)).as("r")))
+      r = root(nodesFlagged.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (col("__seed") * lit(base) + expr(damped)).as("r")))
     }
     val out = r.persist(StorageLevel.MEMORY_AND_DISK)
     // force the full chain BEFORE dropping the shared inputs — an
     // early unpersist would recompute e/deg/nodes once per round
     out.count()
-    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    e.unpersist(); deg.unpersist(); nodes.unpersist(); nodesFlagged.unpersist()
     out
   }
 

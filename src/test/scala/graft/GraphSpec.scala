@@ -34,6 +34,37 @@ class GraphSpec extends SparkSpec {
     assert(leaves.map(ranks).toSet.size == 1)
   }
 
+  test("personalizedPageRank: all-nodes seed set equals uniform pageRank; seed locality holds") {
+    val leaves = (2L to 11L)
+    val und = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    // seeding EVERY node makes the restart term uniform — must
+    // reproduce plain pageRank bit-for-bit
+    val allNodes = (1L to 11L).toDF("node")
+    val uni = Graph.pageRank(und, "src", "dst", iters = 5)
+    val ppr = Graph.personalizedPageRank(und, "src", "dst", allNodes, iters = 5)
+    val u = uni.as[(Long, Long)].collect().toMap
+    val p = ppr.as[(Long, Long)].collect().toMap
+    uni.unpersist(); ppr.unpersist()
+    assert(p == u, s"all-seed PPR must equal uniform: ${p.toSeq.sorted} vs ${u.toSeq.sorted}")
+    // seed node 1 of a path 1-2-3-4 plus a DISJOINT pair 5-6: the
+    // disconnected component receives no restart and no flow, so its
+    // rank must be exactly 0 — the defining PPR locality property
+    // (uniform pageRank gives every node base mass); nearer-to-seed
+    // beats the far end (the path parity-oscillates, so compare
+    // endpoints, not the full chain)
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val seeded = Graph.personalizedPageRank(path, "src", "dst",
+      Seq(1L).toDF("node"), iters = 8)
+    val s = seeded.as[(Long, Long)].collect().toMap
+    seeded.unpersist()
+    assert(s(5L) == 0L && s(6L) == 0L,
+      s"mass must not reach a component without seeds: $s")
+    assert(s(1L) > s(4L) && s(3L) > s(4L) && s.values.forall(_ >= 0L),
+      s"seeded side must dominate the far end: $s")
+  }
+
   test("triangleCount: known counts on K4, K4 minus an edge, and a path") {
     def tri(pairs: Seq[(Long, Long)]): Long = {
       val r = Graph.triangleCount(pairs.toDF("src", "dst"), "src", "dst")

@@ -69,6 +69,46 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(out == Map(100L -> 0, 1L -> 1), s"got $out")
   }
 
+  test("seen-set state survives a checkpointed restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType))))
+    val src = Files.createTempDirectory("graft-semdd-src").toString
+    val ckpt = Files.createTempDirectory("graft-semdd-ckpt").toString
+    def writeVec(name: String, id: Long, e: Array[Double]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$src/$name"),
+        s"""{"vec_id": $id, "emb": [${e.mkString(", ")}]}\n""")
+    // file sink, not memory: the append-mode memory sink refuses
+    // checkpoint recovery (offsets would replay into a fresh table)
+    val out = Files.createTempDirectory("graft-semdd-out").toString
+    def startQuery() = SemDedupStream.semDedupStream(
+        spark.readStream.schema(schema).json(src).as[VecIn],
+        cents, minCos = 0.99)
+      .writeStream.format("json").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // phase 1: vector 1 enters the seen set, then the query dies
+    writeVec("a.json", 1L, vec(3))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: a fresh query on the same checkpoint must flag the
+    // duplicate of vector 1 — proof the cell's seen set was restored
+    writeVec("b.json", 2L, vec(3))
+    writeVec("c.json", 3L, vec(4)) // different dominant dim: novel
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val flags = spark.read.json(out)
+      .selectExpr("CAST(vec_id AS LONG)", "CAST(removed AS INT)")
+      .as[(Long, Int)].collect().toMap
+    assert(flags == Map(1L -> 0, 2L -> 1, 3L -> 0),
+      s"seen set did not survive restart: $flags")
+  }
+
   test("capped state: beyond maxState arrivals are compared but not remembered") {
     // maxState = 1: the first vector is remembered; the second (an
     // orthogonal-ish one) is NOT cached, so a later duplicate of it
