@@ -592,6 +592,76 @@ object EventQueries {
         |WHERE l.ts_us - r.c_us <= 3600000000
         |ORDER BY l.event_id""".stripMargin)),
 
+    // The same two as-of contracts through the NATIVE sort-merge
+    // physical operator (graft.plans.AsofJoinExec — custom LogicalPlan
+    // + planner strategy + SparkPlan, injected by GraftExtensions)
+    // instead of the union-timeline window. Each side shuffles at its
+    // own width and the merge is one O(1)-state forward pass; see the
+    // AsofJoinPlan scaladoc for the cost model. Hash-gating BOTH
+    // implementations against DuckDB's built-in ASOF JOIN pins them to
+    // the same semantics from two independent engine shapes.
+    QueryDef("events_asof_native",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = e.where(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_uid"), col("ts_us").as("c_us"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        graft.ops.Relational.asofJoinNative(purchases, clicks,
+            "user_id", "c_uid", "ts_us", "c_us", Seq("click_id"),
+            toleranceUs = Some(86400L * 1000000L))
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            (col("ts_us") - col("asof_time_us")).as("staleness_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id AS c_uid, epoch_us(ts) AS c_us,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN l.ts_us - r.c_us <= 86400000000 THEN r.click_id END
+        |    AS click_id,
+        |  CASE WHEN l.ts_us - r.c_us <= 86400000000 THEN l.ts_us - r.c_us END
+        |    AS staleness_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.c_uid AND l.ts_us >= r.c_us
+        |ORDER BY l.event_id""".stripMargin)),
+
+    QueryDef("events_asof_native_inner",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = e.where(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_uid"), col("ts_us").as("c_us"))
+          .agg(max(col("event_id")).as("click_id"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        graft.ops.Relational.asofJoinNative(purchases, clicks,
+            "user_id", "c_uid", "ts_us", "c_us", Seq("click_id"),
+            toleranceUs = Some(3600L * 1000000L), inner = true)
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            (col("ts_us") - col("asof_time_us")).as("staleness_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id AS c_uid, epoch_us(ts) AS c_us,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.click_id,
+        |  l.ts_us - r.c_us AS staleness_us
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.c_uid AND l.ts_us >= r.c_us
+        |WHERE l.ts_us - r.c_us <= 3600000000
+        |ORDER BY l.event_id""".stripMargin)),
+
     // Time-spine resample with forward fill: hourly grid × event_type,
     // each slot carrying the last observed `value` at or before the
     // slot (null before the first observation — the LEFT as-of carry).

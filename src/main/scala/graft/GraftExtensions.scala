@@ -170,5 +170,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // because approximation policy is a session decision about an
     // unchanged query, not a new operator the caller writes.
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+
+    // Plan-level capability: the native sort-merge as-of join. A
+    // planner strategy because the whole operator (not a scalar) is
+    // missing from Spark: graft.plans.AsofJoinPlan logical nodes —
+    // built by Relational.asofJoinNative — plan to AsofJoinExec.
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -17,6 +17,10 @@ object LocalSession {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     SparkSession.builder()
       .master(s"local[$cpus]")
+      // the full extension surface (native SQL functions, opt-in
+      // optimizer rules, the as-of planner strategy) is part of what
+      // Verify/Bench exercise — same wiring as SparkSpec's session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "16m")

@@ -507,4 +507,60 @@ object Relational {
         col("__m.__mt").as(matchedTimeCol)) ++
         rightVals.map(v => col(s"__m.$v").as(v)): _*)
   }
+
+  /** [[asofJoin]] through the native sort-merge physical operator
+    * ([[graft.plans.AsofJoinExec]]) instead of the union-timeline
+    * window — same signature, same output schema, same semantics for
+    * non-null keys (the native exec additionally never matches null
+    * keys, per SQL equi-join semantics; the union form groups them).
+    *
+    * Each side shuffles at its OWN width (the union form pads every
+    * row to the combined width), sorts separately, and merges in one
+    * O(1)-state forward pass — see the AsofJoinPlan scaladoc for the
+    * full cost comparison and when EnsureRequirements elides the
+    * exchange/sort (bucketed, time-sorted feature tables).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTimeUs: String, rightTimeUs: String,
+                     rightVals: Seq[String],
+                     toleranceUs: Option[Long] = None,
+                     inner: Boolean = false,
+                     matchedTimeCol: String = "asof_time_us"): DataFrame = {
+    require(rightVals.nonEmpty, "rightVals must name >= 1 right column")
+    val clash = rightVals.toSet ++ Set(matchedTimeCol) intersect left.columns.toSet
+    require(clash.isEmpty, s"right-value names collide with left columns: $clash")
+
+    val spark = left.sparkSession
+    // the strategy is normally injected by GraftExtensions
+    // (spark.sql.extensions); sessions built without it get the
+    // experimental-methods fallback, registered idempotently
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        graft.plans.AsofJoinStrategy +: spark.experimental.extraStrategies
+
+    val leftCols = left.columns.toSeq
+    // each side projected to its merge shape with FRESH aliases on the
+    // right (fresh exprIds — both sides may derive from one scan) and
+    // int64-µs time on both (exact tolerance arithmetic; see asofJoin)
+    val lp = left.select(leftCols.map(col) :+
+      col(leftTimeUs).cast("long").as("__lt"): _*)
+    val rp = right.select(col(rightKey).as("__rk") +:
+      col(rightTimeUs).cast("long").as("__rt") +:
+      rightVals.map(v => col(v).as(s"__rv_$v")): _*)
+
+    val lPlan = lp.queryExecution.analyzed
+    val rPlan = rp.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val plan = graft.plans.AsofJoinPlan(
+      lPlan, rPlan,
+      leftKeys = Seq(attr(lPlan, leftKey)), rightKeys = Seq(attr(rPlan, "__rk")),
+      leftTime = attr(lPlan, "__lt"), rightTime = attr(rPlan, "__rt"),
+      toleranceUs = toleranceUs, inner = inner)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark, plan)
+      .select((leftCols.map(col) :+ col("__rt").as(matchedTimeCol)) ++
+        rightVals.map(v => col(s"__rv_$v").as(v)): _*)
+  }
 }
