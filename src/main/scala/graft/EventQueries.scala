@@ -611,7 +611,8 @@ object EventQueries {
           .select(col("event_id"), col("user_id"), col("ts_us"))
         graft.ops.Relational.asofJoinNative(purchases, clicks,
             "user_id", "c_uid", "ts_us", "c_us", Seq("click_id"),
-            toleranceUs = Some(86400L * 1000000L))
+            toleranceUs = Some(86400L * 1000000L),
+            broadcastRight = Some(false)) // pin sort-merge: this gate tests THAT exec
           .select(col("event_id"), col("user_id"), col("click_id"),
             (col("ts_us") - col("asof_time_us")).as("staleness_us"))
           .orderBy(col("event_id"))
@@ -643,7 +644,8 @@ object EventQueries {
           .select(col("event_id"), col("user_id"), col("ts_us"))
         graft.ops.Relational.asofJoinNative(purchases, clicks,
             "user_id", "c_uid", "ts_us", "c_us", Seq("click_id"),
-            toleranceUs = Some(3600L * 1000000L), inner = true)
+            toleranceUs = Some(3600L * 1000000L), inner = true,
+            broadcastRight = Some(false)) // pin sort-merge: this gate tests THAT exec
           .select(col("event_id"), col("user_id"), col("click_id"),
             (col("ts_us") - col("asof_time_us")).as("staleness_us"))
           .orderBy(col("event_id"))
@@ -660,6 +662,43 @@ object EventQueries {
         |FROM l ASOF JOIN r
         |  ON l.user_id = r.c_uid AND l.ts_us >= r.c_us
         |WHERE l.ts_us - r.c_us <= 3600000000
+        |ORDER BY l.event_id""".stripMargin)),
+
+    // The BROADCAST physical form of the native as-of join: the right
+    // side (per-user signup timeline — dimension-sized at any SF) is
+    // collected + broadcast, and the fact side is enriched in place
+    // with ZERO shuffles and ZERO sorts of its own (AsofBroadcastExec;
+    // AsofBroadcastSpec asserts the no-exchange plan shape). At 100 TB
+    // this is the difference between shuffling the event log and
+    // shuffling nothing. Same DuckDB ASOF oracle as the merge form —
+    // three independent implementations pinned to one semantics.
+    QueryDef("events_asof_broadcast",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+        val signups = e.where(col("event_type") === "signup")
+          .groupBy(col("user_id").as("s_uid"), col("ts_us").as("s_us"))
+          .agg(max(col("event_id")).as("signup_id"))
+        val facts = e.where(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        graft.ops.Relational.asofJoinNative(facts, signups,
+            "user_id", "s_uid", "ts_us", "s_us", Seq("signup_id"),
+            broadcastRight = Some(true))
+          .select(col("event_id"), col("user_id"), col("signup_id"),
+            (col("ts_us") - col("asof_time_us")).as("account_age_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id AS s_uid, epoch_us(ts) AS s_us,
+        |    max(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type <> 'signup')
+        |SELECT l.event_id, l.user_id, r.signup_id,
+        |  l.ts_us - r.s_us AS account_age_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.s_uid AND l.ts_us >= r.s_us
         |ORDER BY l.event_id""".stripMargin)),
 
     // Time-spine resample with forward fill: hourly grid × event_type,

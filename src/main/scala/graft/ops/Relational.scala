@@ -519,6 +519,13 @@ object Relational {
     * O(1)-state forward pass — see the AsofJoinPlan scaladoc for the
     * full cost comparison and when EnsureRequirements elides the
     * exchange/sort (bucketed, time-sorted feature tables).
+    *
+    * `broadcastRight`: Some(true) pins the broadcast physical form
+    * (right timeline collected + broadcast, left enriched in place
+    * with NO shuffle and NO sort — the dimension-timeline shape);
+    * Some(false) pins sort-merge; None (default) selects by the right
+    * side's estimated size vs `autoBroadcastJoinThreshold`, like
+    * Spark's own equi-join planning.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
@@ -526,7 +533,8 @@ object Relational {
                      rightVals: Seq[String],
                      toleranceUs: Option[Long] = None,
                      inner: Boolean = false,
-                     matchedTimeCol: String = "asof_time_us"): DataFrame = {
+                     matchedTimeCol: String = "asof_time_us",
+                     broadcastRight: Option[Boolean] = None): DataFrame = {
     require(rightVals.nonEmpty, "rightVals must name >= 1 right column")
     val clash = rightVals.toSet ++ Set(matchedTimeCol) intersect left.columns.toSet
     require(clash.isEmpty, s"right-value names collide with left columns: $clash")
@@ -558,7 +566,7 @@ object Relational {
       lPlan, rPlan,
       leftKeys = Seq(attr(lPlan, leftKey)), rightKeys = Seq(attr(rPlan, "__rk")),
       leftTime = attr(lPlan, "__lt"), rightTime = attr(rPlan, "__rt"),
-      toleranceUs = toleranceUs, inner = inner)
+      toleranceUs = toleranceUs, inner = inner, broadcastRight = broadcastRight)
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark, plan)
       .select((leftCols.map(col) :+ col("__rt").as(matchedTimeCol)) ++
         rightVals.map(v => col(s"__rv_$v").as(v)): _*)

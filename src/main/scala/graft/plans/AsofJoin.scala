@@ -57,7 +57,8 @@ case class AsofJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long],
-    inner: Boolean) extends BinaryNode {
+    inner: Boolean,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     s"asof join needs matching key lists: ${leftKeys.size} vs ${rightKeys.size}")
@@ -79,16 +80,38 @@ case class AsofJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: [[AsofJoinPlan]] → [[AsofJoinExec]]. Stateless object
-  * — safe to register once per session via extensions and once more
-  * via `experimental.extraStrategies` (duplicate registrations plan
-  * identically; the planner takes the first non-empty result).
+/** Planner rule: [[AsofJoinPlan]] → [[AsofJoinExec]] (sort-merge) or
+  * [[AsofBroadcastExec]] (collect + broadcast the right timeline, left
+  * untouched). Physical selection mirrors Spark's equi-join choice:
+  * `broadcastRight = Some(x)` pins the operator; `None` goes by the
+  * right side's estimated size vs `autoBroadcastJoinThreshold` —
+  * exactly the dial users already tune for BroadcastHashJoin. At
+  * 100 TB the broadcast form is the difference between shuffling the
+  * fact table and shuffling NOTHING: a dimension-sized timeline
+  * (rates, configs, model rollouts) rides to the executors and the
+  * fact side is enriched in place, partitioning and order preserved.
+  *
+  * Stateless object — safe to register once per session via
+  * extensions and once more via `experimental.extraStrategies`
+  * (duplicate registrations plan identically; the planner takes the
+  * first non-empty result).
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsofJoinPlan =>
-      AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
-        p.toleranceUs, p.inner, planLater(p.left), planLater(p.right)) :: Nil
+      val doBroadcast = p.broadcastRight.getOrElse {
+        val threshold =
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        threshold > 0 && p.right.stats.sizeInBytes <= threshold
+      }
+      val exec: SparkPlan =
+        if (doBroadcast)
+          AsofBroadcastExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+            p.toleranceUs, p.inner, planLater(p.left), planLater(p.right))
+        else
+          AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+            p.toleranceUs, p.inner, planLater(p.left), planLater(p.right))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -242,5 +265,128 @@ case class AsofJoinExec(
         }
       }
     }
+  }
+}
+
+/** Broadcast as-of join exec: the right timeline is collected,
+  * grouped per key into a time-sorted array, and broadcast; each left
+  * partition enriches its rows in place by hash-lookup + binary
+  * search (rightmost time <= left time). Same semantics as
+  * [[AsofJoinExec]] — tolerance, inner/outer, null key/time rules,
+  * and the same tie rule (among equal (key, time) right rows the last
+  * in scan order wins: the per-key sort is STABLE, so later-collected
+  * duplicates land later and the rightmost-<= search returns them).
+  *
+  * Scale contract: the LEFT side requires no distribution and no
+  * ordering — zero exchanges, zero sorts; `outputPartitioning` and
+  * `outputOrdering` pass the left child's through, so an upstream
+  * bucketing or sort survives the join. Memory is bounded by the
+  * planner's broadcast threshold exactly as for BroadcastHashJoin:
+  * the build structure is O(|right|) per executor (keys are copied
+  * UnsafeRows, per-key times live in a primitive long array). The
+  * build itself is one pass + per-key sorts = O(|R| log maxGroup).
+  */
+case class AsofBroadcastExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long],
+    inner: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (inner) right.output
+                    else right.output.map(_.withNullability(true)))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "broadcast build rows"))
+
+  // no requirements on either side: the right is collected whole, the
+  // left streams wherever it already lives
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofBroadcastExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val buildRows = longMetric("buildRows")
+    val tol = toleranceUs
+    val isInner = inner
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val lTimeExpr = leftTime
+    val outAttrs = output
+
+    // driver-side build: one pass to group, stable per-key time sort
+    val rKeyProj = UnsafeProjection.create(rightKeys, rightOut)
+    val rTimeProj = UnsafeProjection.create(Seq(rightTime), rightOut)
+    val grouped = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+    right.executeCollect().foreach { r =>
+      val k = rKeyProj(r)
+      val t = rTimeProj(r)
+      if (!k.anyNull && !t.isNullAt(0)) {
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+          grouped.put(k.copy(), buf)
+        }
+        buf += ((t.getLong(0), r))
+        buildRows += 1
+      }
+    }
+    val table = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])](
+      grouped.size())
+    grouped.forEach { (k, buf) =>
+      val sorted = buf.sortBy(_._1) // stable: ties keep collect order
+      table.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    }
+    val bcast = sparkContext.broadcast(table)
+
+    left.execute().mapPartitions({ lIter =>
+      val tbl = bcast.value
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      lIter.flatMap { l =>
+        val lk = lKeyProj(l)
+        val ltRow = lTimeProj(l)
+        var m: InternalRow = null
+        if (!ltRow.isNullAt(0) && !lk.anyNull) {
+          val lt = ltRow.getLong(0)
+          val entry = tbl.get(lk)
+          if (entry != null) {
+            val times = entry._1
+            // rightmost index with times(i) <= lt
+            var lo = 0
+            var hi = times.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= lt) lo = mid + 1 else hi = mid
+            }
+            val idx = lo - 1
+            if (idx >= 0 && tol.forall(t => lt - times(idx) <= t))
+              m = entry._2(idx)
+          }
+        }
+        if (m != null) {
+          numOutputRows += 1
+          Iterator.single(outProj(joined(l, m)))
+        } else if (!isInner) {
+          numOutputRows += 1
+          Iterator.single(outProj(joined(l, nullRight)))
+        } else Iterator.empty
+      }
+    }, preservesPartitioning = true)
   }
 }

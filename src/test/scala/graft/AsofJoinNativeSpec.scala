@@ -30,7 +30,7 @@ class AsofJoinNativeSpec extends SparkSpec {
 
   test("native exec picks the latest right row at-or-before each left time") {
     val out = collectMap(Relational.asofJoinNative(
-      trades, quotes, "sym", "qsym", "t", "qt", Seq("px", "note")))
+      trades, quotes, "sym", "qsym", "t", "qt", Seq("px", "note"), broadcastRight = Some(false)))
     assert(out(1L) == (Some(90L), Some(10.0)))
     assert(out(2L) == (Some(200L), Some(11.0)))
     assert(out(3L) == (Some(300L), Some(12.0))) // equality matches (<=)
@@ -40,7 +40,7 @@ class AsofJoinNativeSpec extends SparkSpec {
 
   test("matched ROW is carried as a unit — null right value not backfilled") {
     val out = Relational.asofJoinNative(trades, quotes, "sym", "qsym",
-        "t", "qt", Seq("px", "note"))
+        "t", "qt", Seq("px", "note"), broadcastRight = Some(false))
       .where(col("trade_id") === 2L)
       .select("px", "note").as[(Option[Double], Option[String])].head()
     assert(out == (Some(11.0), None))
@@ -49,12 +49,12 @@ class AsofJoinNativeSpec extends SparkSpec {
   test("tolerance nulls stale matches; inner drops them; boundary is inclusive") {
     // trade 2 (t=205) matches qt=200 → staleness 5
     val tolOk = collectMap(Relational.asofJoinNative(trades, quotes,
-      "sym", "qsym", "t", "qt", Seq("px", "note"), toleranceUs = Some(5L)))
+      "sym", "qsym", "t", "qt", Seq("px", "note"), toleranceUs = Some(5L), broadcastRight = Some(false)))
     assert(tolOk(2L) == (Some(200L), Some(11.0))) // staleness == tol: fresh
     assert(tolOk(1L) == (None, None))             // staleness 10 > 5: nulled
 
     val inner = Relational.asofJoinNative(trades, quotes, "sym", "qsym",
-        "t", "qt", Seq("px", "note"), toleranceUs = Some(5L), inner = true)
+        "t", "qt", Seq("px", "note"), toleranceUs = Some(5L), inner = true, broadcastRight = Some(false))
       .select("trade_id").as[Long].collect().sorted
     assert(inner.sameElements(Array(2L, 3L))) // 3 matches exactly (staleness 0)
   }
@@ -78,7 +78,7 @@ class AsofJoinNativeSpec extends SparkSpec {
         .select("lid", "asof_time_us", "rv")
         .as[(Long, Option[Long], Option[Long])].collect().sorted
       val b = Relational.asofJoinNative(left, right, "k", "rk", "lt", "rt",
-          Seq("rv"), toleranceUs = tol, inner = inner)
+          Seq("rv"), toleranceUs = tol, inner = inner, broadcastRight = Some(false))
         .select("lid", "asof_time_us", "rv")
         .as[(Long, Option[Long], Option[Long])].collect().sorted
       assert(a.sameElements(b), s"mismatch at tol=$tol inner=$inner")
@@ -90,7 +90,7 @@ class AsofJoinNativeSpec extends SparkSpec {
       (3L, Option("A"), None)).toDF("lid", "k", "lt")
     val r = Seq((Option("A"), Option(50L), 7L), (None: Option[String], Option(40L), 8L),
       (Option("A"), None: Option[Long], 9L)).toDF("rk", "rt", "rv")
-    val out = Relational.asofJoinNative(l, r, "k", "rk", "lt", "rt", Seq("rv"))
+    val out = Relational.asofJoinNative(l, r, "k", "rk", "lt", "rt", Seq("rv"), broadcastRight = Some(false))
       .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
     assert(out(1L) == Some(7L))  // the null-key/null-time right rows are ignored
     assert(out(2L) == None)      // null left key
@@ -99,7 +99,7 @@ class AsofJoinNativeSpec extends SparkSpec {
 
   test("plan contains AsofJoinExec with one exchange+sort per side") {
     val df = Relational.asofJoinNative(trades, quotes, "sym", "qsym",
-      "t", "qt", Seq("px"))
+      "t", "qt", Seq("px"), broadcastRight = Some(false))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
@@ -113,7 +113,7 @@ class AsofJoinNativeSpec extends SparkSpec {
     val sortedLeft = trades.repartition(col("sym"))
       .sortWithinPartitions(col("sym"), col("t"))
     val df = Relational.asofJoinNative(sortedLeft, quotes, "sym", "qsym",
-      "t", "qt", Seq("px"))
+      "t", "qt", Seq("px"), broadcastRight = Some(false))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan)
     // 2 sorts total: the user's own sortWithinPartitions + the right
@@ -130,10 +130,10 @@ class AsofJoinNativeSpec extends SparkSpec {
   test("empty right side: outer keeps all left rows nulled, inner drops all") {
     val empty = quotes.where(lit(false))
     val outer = Relational.asofJoinNative(trades, empty, "sym", "qsym",
-      "t", "qt", Seq("px"))
+      "t", "qt", Seq("px"), broadcastRight = Some(false))
     assert(outer.count() == 5 && outer.where(col("px").isNotNull).count() == 0)
     val inner = Relational.asofJoinNative(trades, empty, "sym", "qsym",
-      "t", "qt", Seq("px"), inner = true)
+      "t", "qt", Seq("px"), inner = true, broadcastRight = Some(false))
     assert(inner.count() == 0)
   }
 
