@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Relational, Similarity}
 
 /** Dev tool: adversarial duplication-stress benchmark (SCALING.md).
   * Unions the corpus N times with shifted ids so EVERY doc sits in an
@@ -20,13 +20,18 @@ object StressBench {
     val stressed = (0 until copies).map(i =>
         d.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
       .reduce(_ union _)
-    val n = stressed.count()
+    // dev-only row filter (comma-separated op names) for isolated A/Bs
+    // — the SCALING.md measurement discipline on this noisy VM
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val n = if (only.isEmpty) stressed.count() else -1L
 
-    def timed(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      println(f"""{"op":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
-    }
+    def timed(name: String)(body: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"""{"op":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+      }
 
     timed("minhashDedup")(
       Similarity.minhashDedup(stressed, "doc_id", "text").count())
@@ -164,6 +169,33 @@ object StressBench {
       sink(graft.ops.Quantile.winsorizedStats(repVals, "g", "v", 0.05, 0.95)))
     timed("madOutliers50M")(
       sink(graft.ops.Quantile.robustOutliers(repVals, "g", "v", 5.1891)))
+
+    // as-of join at the 100 TB shape: a 50M-row fact side against a
+    // 100k-row dimension timeline (1000 keys × ~100 epochs). The three
+    // implementations bound the design space: the union-timeline
+    // window shuffles |L|+|R| rows PADDED TO COMBINED WIDTH and sorts
+    // them in one run; the native merge exec shuffles each side at its
+    // own width and sorts separately; the broadcast exec shuffles and
+    // sorts NOTHING on the fact side — its wall is one scan + hash
+    // probe + binary search, i.e. the scan floor. The broadcast-vs-
+    // merge gap here is exactly the exchange cost a 1000-executor
+    // cluster would pay to shuffle the fact table (SCALING.md).
+    val fact = spark.range(50L * 1000 * 1000)
+      .select((col("id") % 1000L).as("k"),
+        ((col("id") * 2654435761L) % 1000000000L).as("lt"),
+        col("id").as("lid"))
+    val timeline = spark.range(100000)
+      .select((col("id") % 1000L).as("rk"),
+        ((col("id") * 40503L) % 1000000000L).as("rt"),
+        (col("id") * 7L).as("rv"))
+    timed("asofWindow50M")(
+      sink(Relational.asofJoin(fact, timeline, "k", "rk", "lt", "rt", Seq("rv"))))
+    timed("asofMerge50M")(
+      sink(Relational.asofJoinNative(fact, timeline, "k", "rk", "lt", "rt",
+        Seq("rv"), broadcastRight = Some(false))))
+    timed("asofBroadcast50M")(
+      sink(Relational.asofJoinNative(fact, timeline, "k", "rk", "lt", "rt",
+        Seq("rv"), broadcastRight = Some(true))))
 
     println(s"""{"corpus_rows":$n,"copies":$copies,"sf":"$sfDir"}""")
     spark.stop()
