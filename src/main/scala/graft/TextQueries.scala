@@ -2438,6 +2438,60 @@ object TextQueries {
         |  CAST(round(CAST(CAST(sum(tok_kept) AS DOUBLE) * max(m.weight)
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS weighted_tokens
         |FROM p2 CROSS JOIN tot2 JOIN mix m ON m.source = p2.source
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // DSIR importance resampling (Xie et al. 2023): select the 100
+    // docs whose hashed-unigram profile is most English-like, by
+    // Gumbel-top-k over bucketed log-likelihood-ratio weights
+    // (target = lang='en' slice, proposal = full corpus, B=1024
+    // buckets, add-1 smoothing, seed 7). Spark: ONE bounded (≤B-row)
+    // counting aggregate, then one codegen'd scan scoring every doc
+    // via the broadcast ratio table (expressions.BucketScore) — no
+    // explode/join/shuffle in the scoring pass — and a TakeOrdered
+    // top-k. The oracle recomputes the whole pipeline relationally
+    // (explode → count → join → sum), pinning table, weights, Gumbel
+    // perturbation and selection.
+    QueryDef("dsir_select_english",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Dsir.select(d, "doc_id", "text",
+            col("lang") === "en", buckets = 1024, alpha = 1.0,
+            k = 100, gumbelSeed = Some(7L))
+          .select("doc_id", "lang", "source", "dsir_weight", "sel_key")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) t WHERE w <> ''),
+        |b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 1024 AS bkt,
+        |    lang
+        |  FROM tok),
+        |agg AS (
+        |  SELECT bkt, count(*) AS cp,
+        |    count(*) FILTER (WHERE lang = 'en') AS ct
+        |  FROM b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |    CAST(sum(ct) AS BIGINT) AS tt FROM agg),
+        |ratio AS (
+        |  SELECT bkt,
+        |    ln((ct + 1.0) / (tt + 1024.0)) - ln((cp + 1.0) / (tp + 1024.0)) AS r
+        |  FROM agg CROSS JOIN tot),
+        |w AS (
+        |  SELECT b.doc_id, sum(r) AS lw
+        |  FROM b JOIN ratio USING (bkt) GROUP BY 1),
+        |g AS (
+        |  SELECT d.doc_id, d.lang, d.source, coalesce(w.lw, 0.0) AS lw,
+        |    (('0x' || substring(md5('7:' || d.doc_id), 1, 15))::BIGINT
+        |       % 4503599627370496 + 0.5) / 4503599627370496.0 AS u
+        |  FROM documents d LEFT JOIN w USING (doc_id))
+        |SELECT doc_id, lang, source,
+        |  round(lw, 6) AS dsir_weight,
+        |  round(lw - ln(-ln(u)), 6) AS sel_key
+        |FROM g
+        |ORDER BY sel_key DESC, doc_id
+        |LIMIT 100""".stripMargin))
   )
 }
