@@ -2492,6 +2492,70 @@ object TextQueries {
         |  round(lw - ln(-ln(u)), 6) AS sel_key
         |FROM g
         |ORDER BY sel_key DESC, doc_id
-        |LIMIT 100""".stripMargin))
+        |LIMIT 100""".stripMargin)),
+
+    // Hashed-vocabulary multinomial Naive Bayes (the fastText/CCNet-
+    // style corpus labeler): train language ID on the 80% hash-split
+    // (doc_id % 5 <> 0), predict the held-out 20%, report the
+    // actual × predicted confusion matrix. Spark: training is ONE
+    // bounded (≤ classes×buckets-row) aggregate — the hashed
+    // vocabulary IS the model, no iterative fit — and prediction is
+    // ONE codegen'd scan (per-class BucketScore tables + struct-max
+    // argmax; ties on the rounded score break toward the greater
+    // class name, mirrored by ORDER BY sc DESC, cls DESC). The
+    // oracle re-derives train, likelihoods, posteriors and argmax
+    // relationally.
+    QueryDef("nb_lang_confusion",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val train = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val test = d.where(pmod(col("doc_id"), lit(5)) === 0)
+        val model = graft.ops.NaiveBayes.train(train, "text", "lang",
+          buckets = 1024, alpha = 1.0)
+        graft.ops.NaiveBayes.predict(model, test, "text")
+          .groupBy(col("lang").as("actual_lang"),
+            col("predicted").as("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("actual_lang", "predicted_lang")
+      },
+      Some("""WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |tok_tr AS (
+        |  SELECT lang AS cls,
+        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 1024 AS bkt
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM train) t
+        |  WHERE w <> ''),
+        |cnt AS (SELECT cls, bkt, count(*) AS c FROM tok_tr GROUP BY 1, 2),
+        |tc AS (SELECT cls, CAST(count(*) AS BIGINT) AS n FROM tok_tr GROUP BY 1),
+        |prior AS (SELECT lang AS cls, count(*) AS nd FROM train GROUP BY 1),
+        |ptot AS (SELECT count(*) AS n FROM train),
+        |classes AS (SELECT DISTINCT lang AS cls FROM train),
+        |tok_te AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(w), 1, 15))::BIGINT % 1024 AS bkt
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM test) t
+        |  WHERE w <> ''),
+        |contrib AS (
+        |  SELECT t.doc_id, c.cls,
+        |    ln((coalesce(cnt.c, 0) + 1.0) / (coalesce(tc.n, 0) + 1024.0)) AS r
+        |  FROM tok_te t CROSS JOIN classes c
+        |  LEFT JOIN tc ON tc.cls = c.cls
+        |  LEFT JOIN cnt ON cnt.cls = c.cls AND cnt.bkt = t.bkt),
+        |score AS (SELECT doc_id, cls, sum(r) AS sr FROM contrib GROUP BY 1, 2),
+        |posterior AS (
+        |  SELECT d.doc_id, d.lang, c.cls,
+        |    round(coalesce(s.sr, 0.0) + ln(CAST(p.nd AS DOUBLE) / pt.n), 6) AS sc
+        |  FROM test d CROSS JOIN classes c
+        |  LEFT JOIN score s ON s.doc_id = d.doc_id AND s.cls = c.cls
+        |  JOIN prior p ON p.cls = c.cls CROSS JOIN ptot pt),
+        |pred AS (
+        |  SELECT doc_id, lang, cls,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY sc DESC, cls DESC) AS rn
+        |  FROM posterior)
+        |SELECT lang AS actual_lang, cls AS predicted_lang, count(*) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
