@@ -41,6 +41,10 @@ object TextQueries {
     */
   private val VocabK = 10000
   private val OovNll = 20.0
+  private val BestOfN = 4        // rejection-sampling keep per group
+  private val DpoPairsPerSource = 8
+  private val DpoMargin = 0.05   // min chosen−rejected reward gap
+  private val DoremiEta = 1.0    // mixture multiplicative-weights step
   // bigram model size: the pair space is quadratically larger than
   // the unigram vocab, so the cap is 3× — still broadcast-trivial
   private val BigramVocabK = 30000
@@ -2556,6 +2560,317 @@ object TextQueries {
         |      ORDER BY sc DESC, cls DESC) AS rn
         |  FROM posterior)
         |SELECT lang AS actual_lang, cls AS predicted_lang, count(*) AS n_docs
-        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // GRPO group-relative advantage (Shao et al. 2024 §4.1): reward =
+    // the 6-decimal quality score, groups = sources; A = (r − μ_g) /
+    // (σ_g + 1e-4). Moments are DECIMAL sums of the rounded reward —
+    // exact and order-independent, so μ/σ are bit-identical across
+    // engines — aggregated to ≤|sources| rows and broadcast-joined
+    // back: the corpus itself never shuffles.
+    QueryDef("reward_group_advantage",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val q = d.select(col("doc_id"), col("source"),
+          round(Text.qualityScore(col("text")), 6).as("reward"))
+        graft.ops.Reward.groupNormalizedAdvantage(q, "source", "reward")
+          .select("doc_id", "source", "reward", "advantage")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS ($QualityBySourceSql),
+        |m AS (SELECT source, count(*) AS n,
+        |    sum(CAST(reward AS DECIMAL(18,6))) AS s1,
+        |    sum(CAST(reward AS DECIMAL(18,6))
+        |      * CAST(reward AS DECIMAL(18,6))) AS s2
+        |  FROM q GROUP BY 1),
+        |mm AS (SELECT source, CAST(s1 AS DOUBLE)/n AS mu,
+        |    sqrt(greatest(CAST(s2 AS DOUBLE)/n
+        |      - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 0.0)) AS sigma
+        |  FROM m)
+        |SELECT doc_id, q.source AS source, reward,
+        |  round((reward - mu)/(sigma + 0.0001), 6) AS advantage
+        |FROM q JOIN mm ON q.source = mm.source
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Bradley–Terry source ranking from pairwise quality preferences
+    // (Bradley & Terry 1952; MM fit per Hunter 2004, 10 fixed
+    // iterations). The full pairwise win matrix — every doc of source
+    // a vs every doc of source b, ties ½ — is computed WITHOUT the
+    // O(n²) pair stream, via per-(source, value) counts + per-source
+    // prefix sums over the shared value grid (the Mann–Whitney U
+    // identity); wins are integer-and-half valued, so the matrix is
+    // exact in both engines, and the G×G MM solve runs on the driver
+    // (bounded state, the BPE-merge precedent). The oracle unrolls
+    // the same 10 MM iterations as chained CTEs.
+    QueryDef("source_bt_ranking",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val q = d.select(col("source"),
+          round(Text.qualityScore(col("text")), 6).as("reward"))
+        val winRows = graft.ops.Reward.pairwiseWins(q, "source", "reward")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+          .toSeq // ≤ G² rows
+        val winTot = winRows.groupBy(_._1)
+          .map { case (a, rs) => a -> rs.map(_._3).sum }
+        val bt = graft.ops.Reward.btStrengths(winRows, iters = 10)
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val ranked = bt.map { case (src, p) => (src, r6(p)) }
+          .sortBy { case (src, p) => (-p, src) }
+          .zipWithIndex
+          .map { case ((src, p), i) =>
+            (src, winTot(src), p, (i + 1).toLong) }
+        s.createDataFrame(ranked)
+          .toDF("source", "wins", "bt_strength", "bt_rank")
+          .orderBy("bt_rank", "source")
+      },
+      Some {
+        val mmIters = (1 to 10).map { k =>
+          val prev = if (k == 1) "it0" else s"it${k - 1}"
+          s"""it${k}r AS MATERIALIZED (
+             |  SELECT n.i, wt.w / sum(n.nij / (c1.p + c2.p)) AS praw
+             |  FROM n JOIN $prev c1 ON c1.i = n.i JOIN $prev c2 ON c2.i = n.j
+             |  JOIN wt ON wt.a = n.i GROUP BY n.i, wt.w),
+             |it$k AS MATERIALIZED (
+             |  SELECT i, praw / (SELECT sum(praw) FROM it${k}r) AS p
+             |  FROM it${k}r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS ($QualityBySourceSql),
+        |cnts AS MATERIALIZED (SELECT source, reward AS r, count(*) AS c FROM q GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT r FROM cnts),
+        |grps AS (SELECT DISTINCT source FROM cnts),
+        |grid AS (SELECT v.r, g.source, coalesce(c.c, 0) AS c
+        |  FROM vals v CROSS JOIN grps g
+        |  LEFT JOIN cnts c ON c.r = v.r AND c.source = g.source),
+        |pre AS (SELECT r, source, c,
+        |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM grid),
+        |wm AS MATERIALIZED (SELECT a.source AS a, b.source AS b,
+        |    sum(a.c * (b.below + 0.5 * b.c)) AS wins
+        |  FROM cnts a JOIN pre b ON a.r = b.r AND a.source <> b.source
+        |  GROUP BY 1, 2),
+        |wt AS MATERIALIZED (SELECT a, sum(wins) AS w FROM wm GROUP BY 1),
+        |n AS MATERIALIZED (SELECT w1.a AS i, w1.b AS j, w1.wins + w2.wins AS nij
+        |  FROM wm w1 JOIN wm w2 ON w1.a = w2.b AND w1.b = w2.a),
+        |it0 AS MATERIALIZED (SELECT a AS i, 1.0 / (SELECT count(*) FROM grps) AS p FROM wt),
+        |$mmIters
+        |SELECT wt.a AS source, CAST(wt.w AS DOUBLE) AS wins,
+        |  round(it10.p, 6) AS bt_strength,
+        |  row_number() OVER (ORDER BY round(it10.p, 6) DESC, wt.a) AS bt_rank
+        |FROM wt JOIN it10 ON it10.i = wt.a
+        |ORDER BY bt_rank, source""".stripMargin
+      }),
+
+    // Best-of-n rejection sampling report (the RLHF/RFT selection
+    // step: keep the top-n completions per group by reward and
+    // measure the selection uplift). Groups = sources, reward = the
+    // 6-decimal quality score, deterministic tie-break on doc_id.
+    // Plan: one wide exchange — the row_number window hash-partitions
+    // on source and the groupBy reuses that partitioning (the only
+    // other exchange is the ≤|sources|-row output sort); means are
+    // DECIMAL sums so they are bit-identical across engines.
+    QueryDef("reward_best_of_n",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+        val q = d.select(col("doc_id"), col("source"),
+          round(Text.qualityScore(col("text")), 6).as("reward"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("reward").desc, col("doc_id"))
+        val dec = col("reward").cast(DecimalType(18, 6))
+        val keep = col("rn") <= BestOfN
+        q.withColumn("rn", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round((sum(dec) / count(lit(1))).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mean_reward"),
+            round((sum(when(keep, dec)) / sum(when(keep, 1L).otherwise(0L)))
+              .cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mean_best"))
+          .withColumn("uplift",
+            round(col("mean_best") - col("mean_reward"), 6))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH q AS ($QualityBySourceSql),
+        |r AS (SELECT source, reward, row_number() OVER (
+        |    PARTITION BY source ORDER BY reward DESC, doc_id) AS rn
+        |  FROM q),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |  CAST(round(CAST(sum(CAST(reward AS DECIMAL(18,6))) / count(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_reward,
+        |  CAST(round(CAST(
+        |      sum(CASE WHEN rn <= $BestOfN
+        |          THEN CAST(reward AS DECIMAL(18,6)) END)
+        |      / sum(CASE WHEN rn <= $BestOfN THEN 1 ELSE 0 END)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_best
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, mean_reward, mean_best,
+        |  round(mean_best - mean_reward, 6) AS uplift
+        |FROM agg ORDER BY source""".stripMargin)),
+
+    // DPO preference-pair construction (Rafailov et al. 2023: the
+    // training rows are (prompt, chosen, rejected) with chosen
+    // preferred): per group, pair the rank-i best with the rank-i
+    // worst completion by reward, keep pairs whose reward gap clears
+    // the margin — the standard "max-margin pairing" that yields the
+    // most-separated pairs first. Determinism: rewards are 6-decimal
+    // doubles identical across engines, so the double subtraction in
+    // the margin test is bit-identical (IEEE ops are deterministic
+    // given equal inputs); ties break on doc_id. Plan: both
+    // row_number windows hash-partition on source and the rank
+    // self-join stays in that partitioning — one exchange per side,
+    // pair stream capped at $DpoPairsPerSource per group.
+    QueryDef("dpo_pairs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val q = d.select(col("doc_id"), col("source"),
+          round(Text.qualityScore(col("text")), 6).as("reward"))
+        val wTop = Window.partitionBy(col("source"))
+          .orderBy(col("reward").desc, col("doc_id"))
+        val wBot = Window.partitionBy(col("source"))
+          .orderBy(col("reward").asc, col("doc_id"))
+        // long, matching the oracle's BIGINT row_number
+        val top = q.withColumn("pair_rank",
+            row_number().over(wTop).cast("long"))
+          .where(col("pair_rank") <= DpoPairsPerSource)
+          .select(col("source"), col("pair_rank"),
+            col("doc_id").as("chosen_id"), col("reward").as("chosen_reward"))
+        val bot = q.withColumn("pair_rank",
+            row_number().over(wBot).cast("long"))
+          .where(col("pair_rank") <= DpoPairsPerSource)
+          .select(col("source"), col("pair_rank"),
+            col("doc_id").as("rejected_id"), col("reward").as("rejected_reward"))
+        top.join(bot, Seq("source", "pair_rank"))
+          .where(col("chosen_id") =!= col("rejected_id") &&
+            col("chosen_reward") - col("rejected_reward") >= DpoMargin)
+          .withColumn("reward_margin",
+            round(col("chosen_reward") - col("rejected_reward"), 6))
+          .select("source", "pair_rank", "chosen_id", "chosen_reward",
+            "rejected_id", "rejected_reward", "reward_margin")
+          .orderBy("source", "pair_rank")
+      },
+      Some(s"""WITH q AS ($QualityBySourceSql),
+        |top AS (SELECT source, doc_id AS chosen_id, reward AS chosen_reward,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY reward DESC, doc_id) AS pair_rank
+        |  FROM q QUALIFY pair_rank <= $DpoPairsPerSource),
+        |bot AS (SELECT source, doc_id AS rejected_id, reward AS rejected_reward,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY reward ASC, doc_id) AS pair_rank
+        |  FROM q QUALIFY pair_rank <= $DpoPairsPerSource)
+        |SELECT source, pair_rank, chosen_id, chosen_reward,
+        |  rejected_id, rejected_reward,
+        |  round(chosen_reward - rejected_reward, 6) AS reward_margin
+        |FROM top JOIN bot USING (source, pair_rank)
+        |WHERE chosen_id <> rejected_id
+        |  AND chosen_reward - rejected_reward >= $DpoMargin
+        |ORDER BY source, pair_rank""".stripMargin)),
+
+    // One DoReMi-style multiplicative-weights step on the domain
+    // mixture (Xie et al. 2023, simplified to a single exponentiated-
+    // gradient update with the corpus's own unigram LM standing in
+    // for the proxy-model loss): domains whose mean token NLL exceeds
+    // the corpus mean get up-weighted by exp(η·excess) over their
+    // token-share base weight, then renormalized. Shape at 100 TB:
+    // two column-pruned corpus scans (vocab counts, scoring) with the
+    // top-K model BROADCAST back, a ≤|sources|-row rollup, and all
+    // reweight math on that tiny aggregate. Determinism: NLL and the
+    // per-source means are 6-decimal DECIMAL sums; exp() runs on
+    // identical 6-decimal inputs; the re-normalization sums 6-decimal
+    // DECIMALs so it is addition-order-independent.
+    QueryDef("mix_doremi_step",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+        val words = d.select(col("source"),
+          explode(split(col("text"), " ")).as("t"))
+        val vocab = words.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        val topv = vocab.orderBy(col("cnt").desc, col("t")).limit(VocabK)
+        val total = d.agg(
+          sum(size(split(col("text"), " "))).as("tot"))
+        val scored = words
+          .join(broadcast(topv), Seq("t"), "left")
+          .crossJoin(broadcast(total))
+          .withColumn("nlp", round(
+            coalesce(-log(col("cnt").cast("double") / col("tot")),
+              lit(OovNll)), 6))
+        // ≤|sources| rows consumed by three downstream branches
+        // (global mean, step, normalizer) — localCheckpoint so the
+        // corpus scan + rollup runs ONCE, not once per consumer (the
+        // events_anomaly_mad lesson; checkpoint blocks are
+        // executor-local and aggregate-sized)
+        val perSrc = scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("nlp").cast(DecimalType(18, 8))).as("s"))
+          .withColumn("mean_nll",
+            round((col("s") / col("n_tokens")).cast(DecimalType(18, 8)), 6)
+              .cast("double"))
+          .localCheckpoint(true)
+        val glob = perSrc.agg(
+          round((sum(col("s")) / sum(col("n_tokens")))
+            .cast(DecimalType(18, 8)), 6).cast("double").as("g_nll"),
+          sum(col("n_tokens")).as("g_tok"))
+        val stepped = perSrc.crossJoin(broadcast(glob))
+          .withColumn("excess", round(col("mean_nll") - col("g_nll"), 6))
+          .withColumn("raw", round(
+            (col("n_tokens").cast("double") / col("g_tok"))
+              * exp(lit(DoremiEta) * col("excess")), 6)
+            .cast(DecimalType(18, 6)))
+        val z = stepped.agg(sum(col("raw")).as("z"))
+        stepped.crossJoin(broadcast(z))
+          .select(col("source"), col("n_tokens"), col("mean_nll"),
+            col("excess"),
+            round((col("raw") / col("z")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("weight"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS cnt FROM w GROUP BY t),
+        |topv AS (SELECT t, cnt FROM v ORDER BY cnt DESC, t LIMIT $VocabK),
+        |tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT AS tot
+        |        FROM documents),
+        |sc AS (SELECT source,
+        |    round(coalesce(-ln(cnt::DOUBLE / tot), $OovNll), 6) AS nlp
+        |  FROM w LEFT JOIN topv USING (t), tot),
+        |per AS (SELECT source, count(*) AS n_tokens,
+        |    sum(CAST(nlp AS DECIMAL(18,8))) AS s
+        |  FROM sc GROUP BY source),
+        |per2 AS (SELECT source, n_tokens, s,
+        |    CAST(round(CAST(s / n_tokens AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |      AS mean_nll FROM per),
+        |g AS (SELECT CAST(round(CAST(sum(s) / sum(n_tokens)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS g_nll,
+        |    sum(n_tokens) AS g_tok FROM per),
+        |st AS (SELECT source, n_tokens, mean_nll,
+        |    round(mean_nll - g_nll, 6) AS excess,
+        |    CAST(round((n_tokens::DOUBLE / g_tok)
+        |      * exp($DoremiEta * round(mean_nll - g_nll, 6)), 6)
+        |      AS DECIMAL(18,6)) AS raw
+        |  FROM per2, g),
+        |z AS (SELECT sum(raw) AS z FROM st)
+        |SELECT source, n_tokens, mean_nll, excess,
+        |  CAST(round(CAST(raw / z AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
+        |FROM st, z ORDER BY source""".stripMargin))
   )
+
+  /** (doc_id, source, reward) — the 6-decimal quality score, shared by
+    * the reward queries' oracles (mirrors Text.qualityScore exactly).
+    */
+  private lazy val QualityBySourceSql: String =
+    s"""SELECT doc_id, source, round(
+    |  (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+    |  + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
+    |  + (CASE WHEN np / len <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+    |  + least(sw / nw * 5.0, 1.0) * 0.3, 6) AS reward
+    |FROM (SELECT doc_id, source,
+    |    len(string_split(text, ' '))::DOUBLE AS nw,
+    |    length(text)::DOUBLE AS len,
+    |    (length(text) - length(regexp_replace(text, '$punctSql', '', 'g')))::DOUBLE AS np,
+    |    len(list_filter(string_split(lower(text), ' '), w -> w IN ($swAll)))::DOUBLE AS sw
+    |  FROM documents) t""".stripMargin
 }
