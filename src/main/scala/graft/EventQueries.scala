@@ -17,6 +17,7 @@ object EventQueries {
   private val QSampleDiv = 16L
 
   private val SessionGapUs = 1800L * 1000000L // 30 min in microseconds
+  private val EpisodeHorizon = 12 // truncated-return steps; γ = 0.1
 
   /** events_anomaly_dow flag threshold: |z| above this flags the day.
     * 1.5 (not the textbook 2/3) because the synthetic daily volumes
@@ -2110,6 +2111,76 @@ object EventQueries {
         |  CAST(round(CAST(ov.user_overlap::DOUBLE / per.n_users::DOUBLE
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS overlap_frac
         |FROM per CROSS JOIN ov
-        |ORDER BY split""".stripMargin))
+        |ORDER BY split""".stripMargin)),
+
+    // Discounted episode returns — the RL view of the event log: each
+    // (user, session) is an episode, each event's value a step
+    // reward, and the report is the truncated discounted return
+    // G = Σ_{k≤H} γᵏ·r_k with γ = 0.1, H = 12. γ = 1/10 is chosen so
+    // γᵏ is EXACT in scaled-integer arithmetic: each term is the
+    // ×10⁶-scaled reward times 10^(H−k) — a BIGINT — summed as
+    // DECIMAL(38,0), so the return is bit-identical across engines
+    // and partitionings (a double Σγᵏr_k would be addition-order-
+    // dependent); γ and H are dials in real use. Plan: the session
+    // counter and the step index come from the SAME per-user window
+    // (step = row_number − running max of session-start row_number —
+    // no second exchange), then one rollup on (user, session) and the
+    // output sort. Horizon pruning (k ≤ H) happens before the rollup,
+    // so a hot user's month-long session contributes ≤ H+1 rows.
+    QueryDef("events_episode_returns",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val newSession = when(
+          unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byUser)) > SessionGapUs, 1)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0)
+        val stepped = e
+          .withColumn("__new", newSession)
+          .withColumn("session_seq", sum(col("__new")).over(run))
+          .withColumn("__rn", row_number().over(byUser).cast("long"))
+          .withColumn("__k", col("__rn") -
+            max(when(col("__new") === 1, col("__rn"))).over(run))
+          .where(col("__k") <= EpisodeHorizon)
+          .withColumn("__v6",
+            round(round(col("value"), 6) * lit(1e6), 0).cast("long"))
+          .withColumn("__term",
+            col("__v6").cast(DecimalType(20, 0)) *
+              pow(lit(10.0), lit(EpisodeHorizon) - col("__k"))
+                .cast(DecimalType(13, 0)))
+        stepped.groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_steps"),
+            round(sum(col("__term")).cast("double")
+              / lit(math.pow(10.0, 6 + EpisodeHorizon)), 6).as("ret"))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      Some(s"""WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+        |           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (
+        |  SELECT user_id, value,
+        |    SUM(new_session) OVER w2 AS session_seq,
+        |    rn - max(CASE WHEN new_session = 1 THEN rn END) OVER w2 AS k
+        |  FROM g
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |t AS (
+        |  SELECT user_id, session_seq,
+        |    CAST(round(round(value, 6) * 1e6, 0) AS HUGEINT)
+        |      * CAST(10 ** ($EpisodeHorizon - k) AS HUGEINT) AS term
+        |  FROM st WHERE k <= $EpisodeHorizon)
+        |SELECT user_id, session_seq::BIGINT AS session_seq,
+        |  count(*) AS n_steps,
+        |  round(CAST(sum(term) AS DOUBLE) / 1e${6 + EpisodeHorizon}, 6) AS ret
+        |FROM t GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin))
   )
 }
