@@ -197,6 +197,25 @@ object StressBench {
       sink(Relational.asofJoinNative(fact, timeline, "k", "rk", "lt", "rt",
         Seq("rv"), broadcastRight = Some(true))))
 
+    // reward post-processing at scale: 50M (group, reward) rows over
+    // 20 groups × 101 distinct 2-decimal rewards. pairwiseWins' rank-
+    // statistic identity (Mann–Whitney) makes the pair stream
+    // V·G²-bounded (~40k rows here) REGARDLESS of corpus size — the
+    // naive pairwise formulation is 2.5e15 comparisons at this n —
+    // so the wall is one (group, value) count over the corpus.
+    // groupNormalizedAdvantage's wall is one scan + a 20-row moment
+    // aggregate broadcast back (no corpus shuffle).
+    val rw = spark.range(50L * 1000 * 1000)
+      .select(concat(lit("s"), (col("id") % 20L)).as("g"),
+        (((col("id") * 2654435761L) % 101L).cast("double") / 100.0).as("r"))
+    timed("pairwiseWins50M") {
+      val out = graft.ops.Reward.pairwiseWins(rw, "g", "r")
+      out.write.format("noop").mode("overwrite").save()
+      380L // G·(G−1) win-matrix rows
+    }
+    timed("groupAdvantage50M")(
+      sink(graft.ops.Reward.groupNormalizedAdvantage(rw, "g", "r")))
+
     println(s"""{"corpus_rows":$n,"copies":$copies,"sf":"$sfDir"}""")
     spark.stop()
   }
