@@ -249,6 +249,51 @@ object JudgeQueries {
         |  CASE WHEN $pe < 1.0 THEN ${r6(s"(($pbar - $pe) / (1.0 - $pe))")} END
         |    AS kappa
         |FROM it CROSS JOIN sck""".stripMargin
-      })
+      }),
+
+    // Reward-model calibration against the LLM-judge panel: bin the
+    // cheap proxy reward (the 6-decimal quality score) into five
+    // fixed-width bins and report the judge panel's mean factuality
+    // per bin — the reliability curve that says whether the proxy
+    // reward actually tracks judged quality before it gates a
+    // training mix. Plan: one corpus pass (the judge mapPartitions
+    // operator + a scan-local reward expression), then a ≤5-row
+    // aggregate; means are DECIMAL sums (judge scores are exact
+    // halves, rewards 6-decimal) so bins hash bit-identical.
+    QueryDef("judge_reward_calibration",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val in = judgeInput(s, dir)
+        val judged = Judge.judgeScores(in, Template,
+          Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+          judges, "factuality")
+        val rdec = col("reward").cast(DecimalType(18, 6))
+        val jdec = col("factuality").cast(DecimalType(18, 6))
+        judged
+          .withColumn("reward",
+            round(graft.ops.Text.qualityScore(col("src_text")), 6))
+          .withColumn("bin",
+            least(floor(col("reward") * 5), lit(4)).cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            round((sum(rdec) / count(lit(1))).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mean_reward"),
+            round((sum(jdec) / count(lit(1))).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mean_judge"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, $promptSql AS prompt FROM j),
+        |js AS (SELECT doc_id, $factualitySql AS factuality FROM p),
+        |q AS (${TextQueries.QualityBySourceSql}),
+        |b AS (SELECT js.factuality, q.reward,
+        |    CAST(least(floor(q.reward * 5), 4) AS BIGINT) AS bin
+        |  FROM js JOIN q USING (doc_id))
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(round(CAST(sum(CAST(reward AS DECIMAL(18,6))) / count(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_reward,
+        |  CAST(round(CAST(sum(CAST(factuality AS DECIMAL(18,6))) / count(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_judge
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }

@@ -2861,7 +2861,7 @@ object TextQueries {
   /** (doc_id, source, reward) — the 6-decimal quality score, shared by
     * the reward queries' oracles (mirrors Text.qualityScore exactly).
     */
-  private lazy val QualityBySourceSql: String =
+  private[graft] lazy val QualityBySourceSql: String =
     s"""SELECT doc_id, source, round(
     |  (CASE WHEN nw >= 20 AND nw <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
     |  + (CASE WHEN (len - (nw - 1)) / nw >= 3 AND (len - (nw - 1)) / nw <= 12 THEN 1.0 ELSE 0.0 END) * 0.2
