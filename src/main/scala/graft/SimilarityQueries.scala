@@ -18,6 +18,8 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumPlanes = 6
   private val NumCells = 8 // IVF coarse-quantizer size
+  private val JlDims = 64L // source embedding dims
+  private val JlK = 16L    // JL target dims; 16 = 4² so 1/√k is /4
 
   // PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords
   // per subspace (NumCells doubles as k so the deterministic fallback
@@ -1152,6 +1154,109 @@ object SimilarityQueries {
         |SELECT cluster_size, n_clusters FROM (
         |  SELECT * FROM hist
         |  UNION ALL SELECT * FROM sing WHERE n_clusters > 0) u
-        |ORDER BY cluster_size""".stripMargin))
+        |ORDER BY cluster_size""".stripMargin)),
+
+    // Johnson–Lindenstrauss random projection 64→16 dims with a
+    // measured distance-distortion report — the embedding-compression
+    // dial (store k dims instead of d) evaluated on its own corpus
+    // before it ships. The projection matrix is NEVER materialized
+    // client-side randomness: sign(i,j) = ±1 from the shared 60-bit
+    // md5 hash of "i:j", so any engine (and any future shard of a
+    // 100 TB corpus) maps vectors identically with zero coordination —
+    // the feature_hash_vectors determinism contract applied to dense
+    // projection. k = 16 = 4² so the 1/√k normalization is the EXACT
+    // double division by 4. Plan: one posexplode + broadcast of the
+    // d×k sign matrix + a (vec, j) rollup for the projection; the
+    // distortion audit runs on a deterministic 1-in-10 vector sample
+    // (pairs are quadratic — the audit is a sampled diagnostic by
+    // design, the projection itself is corpus-linear). All sums are
+    // DECIMAL so both distances and the report hash bit-identical.
+    QueryDef("embedding_jl_distortion",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.load(s, dir, "embeddings")
+          .where(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val dims = e.select(col("vec_id"),
+          posexplode(col("emb")).as(Seq("i", "x")))
+        val signs = s.range(JlDims * JlK)
+          .select((col("id") / JlK).cast("long").as("i"),
+            (col("id") % JlK).as("j"))
+          .select(col("i"), col("j"),
+            (pmod(hash60(concat(col("i").cast("string"), lit(":"),
+              col("j").cast("string"))), lit(2L)) * 2L - 1L).as("sgn"))
+        val proj = dims.join(broadcast(signs), "i")
+          .groupBy(col("vec_id"), col("j"))
+          .agg(sum((col("x") * col("sgn")).cast(DecimalType(18, 8))).as("s"))
+          .select(col("vec_id"), col("j"),
+            (round(col("s"), 6).cast("double") / 4.0).as("y"))
+        def pairDist(df: org.apache.spark.sql.DataFrame, dimCol: String,
+                     valCol: String) = {
+          val a = df.select(col("vec_id").as("ia"), col(dimCol).as("d"),
+            col(valCol).as("va"))
+          val b = df.select(col("vec_id").as("ib"), col(dimCol).as("d"),
+            col(valCol).as("vb"))
+          a.join(b, Seq("d")).where(col("ia") < col("ib"))
+            .groupBy(col("ia"), col("ib"))
+            .agg(sum(round((col("va") - col("vb"))
+              * (col("va") - col("vb")), 12).cast(DecimalType(28, 12)))
+              .as("d2"))
+        }
+        val dOrig = pairDist(dims, "i", "x")
+          .select(col("ia"), col("ib"), sqrt(col("d2").cast("double")).as("do_"))
+        val dProj = pairDist(proj, "j", "y")
+          .select(col("ia"), col("ib"), sqrt(col("d2").cast("double")).as("dp"))
+        dOrig.join(dProj, Seq("ia", "ib"))
+          .where(col("do_") > 0)
+          .select(round(col("dp") / col("do_"), 6).as("ratio"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round((sum(col("ratio").cast(DecimalType(18, 6))) / count(lit(1)))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("mean_ratio"),
+            min(col("ratio")).as("min_ratio"),
+            max(col("ratio")).as("max_ratio"),
+            round((sum(when(abs(col("ratio") - 1.0) <= 0.3, 1L).otherwise(0L))
+              .cast("double") / count(lit(1))
+              ).cast(DecimalType(18, 8)), 6).cast("double")
+              .as("frac_within_30pct"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |dims AS (
+        |  SELECT vec_id, unnest(range(len(emb)))::BIGINT AS i,
+        |    unnest(emb) AS x FROM e),
+        |signs AS (
+        |  SELECT (v // $JlK)::BIGINT AS i, (v % $JlK)::BIGINT AS j,
+        |    ((('0x' || substring(md5((v // $JlK)::VARCHAR || ':' ||
+        |      (v % $JlK)::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1) AS sgn
+        |  FROM (SELECT unnest(range(${JlDims * JlK})) AS v)),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    CAST(round(SUM(CAST(x * sgn AS DECIMAL(18,8))), 6) AS DOUBLE)
+        |      / 4.0 AS y
+        |  FROM dims JOIN signs USING (i) GROUP BY vec_id, j),
+        |dorig AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    sqrt(CAST(SUM(CAST(round((a.x - b.x) * (a.x - b.x), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE)) AS do_
+        |  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |dproj AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    sqrt(CAST(SUM(CAST(round((a.y - b.y) * (a.y - b.y), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE)) AS dp
+        |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT round(dp / do_, 6) AS ratio
+        |  FROM dorig JOIN dproj USING (ia, ib) WHERE do_ > 0)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(round(CAST(SUM(CAST(ratio AS DECIMAL(18,6))) / count(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_ratio,
+        |  min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+        |  CAST(round(CAST(SUM(CASE WHEN abs(ratio - 1.0) <= 0.3
+        |      THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS frac_within_30pct
+        |FROM r""".stripMargin))
   )
 }
