@@ -294,6 +294,88 @@ object JudgeQueries {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_reward,
         |  CAST(round(CAST(sum(CAST(factuality AS DECIMAL(18,6))) / count(*)
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_judge
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Judge length-bias audit: Pearson correlation of the judge
+    // panel's score with document length, next to the proxy reward's
+    // length correlation — the standard LLM-judge failure mode
+    // (verbosity bias) caught BEFORE the judge gates a training mix,
+    // and the comparison that says whether the cheap reward is more
+    // or less length-confounded than the panel. One corpus pass into
+    // a single-row moment aggregate. Determinism: Pearson is
+    // scale-invariant, so every input is first scaled to an EXACT
+    // integer (length already is; judge panel scores are quarters,
+    // ×4; reward is 6-decimal, ×10⁶), products stay in BIGINT, and
+    // the moment sums run in DECIMAL(38,0) — a DECIMAL(38,s) ×
+    // DECIMAL(38,s) product would overflow 38 digits and each engine
+    // degrades precision differently (measured: a last-ulp corr
+    // divergence). The final double formula then sees identical
+    // exact inputs in both engines.
+    QueryDef("judge_length_bias",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val in = judgeInput(s, dir)
+        val judged = Judge.judgeScores(in, Template,
+          Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+          judges, "factuality")
+          .withColumn("len", length(col("src_text")).cast("long"))
+          .withColumn("j4", round(col("factuality") * 4, 0).cast("long"))
+          .withColumn("r6", round(
+            round(graft.ops.Text.qualityScore(col("src_text")), 6) * 1e6, 0)
+            .cast("long"))
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(38, 0)))
+        val m = judged.agg(
+          count(lit(1)).as("n"),
+          dsum(col("len")).as("sx"),
+          dsum(col("len") * col("len")).as("sxx"),
+          dsum(col("j4")).as("sj"),
+          dsum(col("j4") * col("j4")).as("sjj"),
+          dsum(col("len") * col("j4")).as("sxj"),
+          dsum(col("r6")).as("sr"),
+          dsum(col("r6") * col("r6")).as("srr"),
+          dsum(col("len") * col("r6")).as("sxr"))
+        def corr(sy: String, syy: String, sxy: String) = {
+          val n = col("n").cast("double")
+          val sx = col("sx").cast("double")
+          val num = n * col(sxy).cast("double") - sx * col(sy).cast("double")
+          val den = sqrt(n * col("sxx").cast("double") - sx * sx) *
+            sqrt(n * col(syy).cast("double")
+              - col(sy).cast("double") * col(sy).cast("double"))
+          round(num / den, 6)
+        }
+        m.select(col("n"),
+          corr("sj", "sjj", "sxj").as("corr_len_judge"),
+          corr("sr", "srr", "sxr").as("corr_len_reward"))
+      },
+      Some(s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, $promptSql AS prompt,
+        |    length(src_text)::BIGINT AS len FROM j),
+        |js AS (SELECT doc_id, len, $factualitySql AS factuality FROM p),
+        |q AS (${TextQueries.QualityBySourceSql}),
+        |b AS (SELECT js.len,
+        |    CAST(round(js.factuality * 4, 0) AS BIGINT) AS j4,
+        |    CAST(round(q.reward * 1e6, 0) AS BIGINT) AS r6
+        |  FROM js JOIN q USING (doc_id)),
+        |m AS (SELECT count(*) AS n,
+        |    SUM(CAST(len AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(len * len AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(j4 AS DECIMAL(38,0))) AS sj,
+        |    SUM(CAST(j4 * j4 AS DECIMAL(38,0))) AS sjj,
+        |    SUM(CAST(len * j4 AS DECIMAL(38,0))) AS sxj,
+        |    SUM(CAST(r6 AS DECIMAL(38,0))) AS sr,
+        |    SUM(CAST(r6 * r6 AS DECIMAL(38,0))) AS srr,
+        |    SUM(CAST(len * r6 AS DECIMAL(38,0))) AS sxr
+        |  FROM b)
+        |SELECT n,
+        |  round((n::DOUBLE * sxj::DOUBLE - sx::DOUBLE * sj::DOUBLE)
+        |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |     * sqrt(n::DOUBLE * sjj::DOUBLE - sj::DOUBLE * sj::DOUBLE)), 6)
+        |    AS corr_len_judge,
+        |  round((n::DOUBLE * sxr::DOUBLE - sx::DOUBLE * sr::DOUBLE)
+        |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |     * sqrt(n::DOUBLE * srr::DOUBLE - sr::DOUBLE * sr::DOUBLE)), 6)
+        |    AS corr_len_reward
+        |FROM m""".stripMargin))
   )
 }
