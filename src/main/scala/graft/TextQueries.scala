@@ -2855,7 +2855,74 @@ object TextQueries {
         |z AS (SELECT sum(raw) AS z FROM st)
         |SELECT source, n_tokens, mean_nll, excess,
         |  CAST(round(CAST(raw / z AS DECIMAL(18,8)), 6) AS DOUBLE) AS weight
-        |FROM st, z ORDER BY source""".stripMargin))
+        |FROM st, z ORDER BY source""".stripMargin)),
+
+    // Leave-one-source-out NLL: for each domain, the corpus mean
+    // token NLL (same top-K unigram LM as mix_doremi_step) WITHOUT
+    // that domain, and the delta vs the full-corpus mean — the
+    // cheapest "which source drags the mix" attribution. No per-source
+    // re-scan: LOSO is algebraic over the per-source DECIMAL sums —
+    // loso_i = (S − s_i)/(N − n_i) — so the whole report is the ONE
+    // scoring pass plus arithmetic on the ≤|sources|-row aggregate
+    // (contrast with literal ablation, which re-runs the corpus per
+    // source: |sources|× the work for identical numbers).
+    QueryDef("mix_loso_nll",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+        val words = d.select(col("source"),
+          explode(split(col("text"), " ")).as("t"))
+        val vocab = words.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        val topv = vocab.orderBy(col("cnt").desc, col("t")).limit(VocabK)
+        val total = d.agg(
+          sum(size(split(col("text"), " "))).as("tot"))
+        val scored = words
+          .join(broadcast(topv), Seq("t"), "left")
+          .crossJoin(broadcast(total))
+          .withColumn("nlp", round(
+            coalesce(-log(col("cnt").cast("double") / col("tot")),
+              lit(OovNll)), 6))
+        val perSrc = scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("nlp").cast(DecimalType(18, 8))).as("s"))
+          .localCheckpoint(true)
+        val glob = perSrc.agg(sum(col("s")).as("gs"),
+          sum(col("n_tokens")).as("gn"))
+        // quotients in DOUBLE from exact-decimal terms: engine decimal-
+        // division scale rules differ (measured: a 6th-decimal LOSO
+        // divergence at sf0.001); decimal→double then IEEE divide is
+        // bit-identical everywhere
+        perSrc.crossJoin(broadcast(glob))
+          .select(col("source"), col("n_tokens"),
+            round((col("gs") - col("s")).cast("double")
+              / (col("gn") - col("n_tokens")).cast("double"), 6)
+              .as("loso_nll"),
+            round(col("gs").cast("double") / col("gn").cast("double"), 6)
+              .as("corpus_nll"))
+          .withColumn("delta", round(col("loso_nll") - col("corpus_nll"), 6))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS cnt FROM w GROUP BY t),
+        |topv AS (SELECT t, cnt FROM v ORDER BY cnt DESC, t LIMIT $VocabK),
+        |tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT AS tot
+        |        FROM documents),
+        |sc AS (SELECT source,
+        |    round(coalesce(-ln(cnt::DOUBLE / tot), $OovNll), 6) AS nlp
+        |  FROM w LEFT JOIN topv USING (t), tot),
+        |per AS (SELECT source, count(*) AS n_tokens,
+        |    sum(CAST(nlp AS DECIMAL(18,8))) AS s
+        |  FROM sc GROUP BY source),
+        |g AS (SELECT sum(s) AS gs, sum(n_tokens) AS gn FROM per),
+        |r AS (SELECT source, n_tokens,
+        |    round(CAST(gs - s AS DOUBLE) / CAST(gn - n_tokens AS DOUBLE), 6)
+        |      AS loso_nll,
+        |    round(CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE), 6) AS corpus_nll
+        |  FROM per, g)
+        |SELECT source, n_tokens, loso_nll, corpus_nll,
+        |  round(loso_nll - corpus_nll, 6) AS delta
+        |FROM r ORDER BY source""".stripMargin))
   )
 
   /** (doc_id, source, reward) — the 6-decimal quality score, shared by
