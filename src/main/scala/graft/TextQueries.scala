@@ -2922,7 +2922,99 @@ object TextQueries {
         |  FROM per, g)
         |SELECT source, n_tokens, loso_nll, corpus_nll,
         |  round(loso_nll - corpus_nll, 6) AS delta
-        |FROM r ORDER BY source""".stripMargin))
+        |FROM r ORDER BY source""".stripMargin)),
+
+    // Exact ROC-AUC of the unigram-LM perplexity filter against the
+    // quality heuristic's high band (reward ≥ 0.5) — the threshold-
+    // free eval of a corpus filter BEFORE picking its cutoff. AUC is
+    // a rank statistic: P(nll_pos < nll_neg) + ½·P(=) — so, like
+    // pairwiseWins and the Mann–Whitney trick, it needs NO pair
+    // stream and NO global sort of the corpus: per-(score value)
+    // pos/neg counts + one prefix sum over the value grid (bounded by
+    // the 6-decimal score granularity) give U exactly; wins are
+    // integer-and-half valued so AUC hashes bit-identically. The
+    // corpus-side cost is the one LM scoring pass.
+    QueryDef("quality_auc_nll",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val d = Tables.load(s, dir, "documents")
+        val words = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("t"))
+        val vocab = words.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        val topv = vocab.orderBy(col("cnt").desc, col("t")).limit(VocabK)
+        val total = d.agg(sum(size(split(col("text"), " "))).as("tot"))
+        val nll = words
+          .join(broadcast(topv), Seq("t"), "left")
+          .crossJoin(broadcast(total))
+          .withColumn("nlp", round(
+            coalesce(-log(col("cnt").cast("double") / col("tot")),
+              lit(OovNll)), 6))
+          .groupBy(col("doc_id"))
+          .agg(round((sum(col("nlp").cast(DecimalType(18, 8)))
+            / count(lit(1))).cast(DecimalType(18, 8)), 6)
+            .cast("double").as("score"))
+        val lab = d.select(col("doc_id"),
+          (round(Text.qualityScore(col("text")), 6) >= 0.5).as("pos"))
+        // consumed by BOTH the prefix-sum window and the totals agg —
+        // checkpoint so the corpus scoring pass runs once; the frame
+        // is ≤2·10⁷ rows (6-decimal scores in [0, OovNll])
+        val counts = nll.join(lab, "doc_id")
+          .groupBy(col("score"))
+          .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+            sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+          .localCheckpoint(true)
+        // 2U keeps the tie term integral: U2 = Σ np·(2·above_nn + nn),
+        // AUC = U2 / (2·tp·tn) — everything exact until one division
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val u = counts
+          .withColumn("below_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .crossJoin(broadcast(counts.agg(sum(col("np")).as("tp"),
+            sum(col("nn")).as("tn"))))
+          .select((col("np").cast(DecimalType(38, 0))
+            * (lit(2L) * (col("tn") - col("below_nn") - col("nn"))
+              + col("nn"))).as("u2"),
+            col("tp"), col("tn"))
+        u.groupBy(col("tp"), col("tn"))
+          .agg(sum(col("u2")).as("su"))
+          .select(col("tp").as("n_pos"), col("tn").as("n_neg"),
+            round(col("su").cast("double")
+              / (lit(2.0) * col("tp").cast("double")
+                * col("tn").cast("double")), 6).as("auc"))
+      },
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS cnt FROM w GROUP BY t),
+        |topv AS (SELECT t, cnt FROM v ORDER BY cnt DESC, t LIMIT $VocabK),
+        |tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT AS tot
+        |        FROM documents),
+        |sc AS (SELECT doc_id,
+        |    round(coalesce(-ln(cnt::DOUBLE / tot), $OovNll), 6) AS nlp
+        |  FROM w LEFT JOIN topv USING (t), tot),
+        |nll AS (SELECT doc_id,
+        |    CAST(round(CAST(sum(nlp::DECIMAL(18,8)) / count(*)
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) AS score
+        |  FROM sc GROUP BY doc_id),
+        |lab AS (SELECT doc_id, reward >= 0.5 AS pos
+        |  FROM ($QualityBySourceSql) q),
+        |counts AS (SELECT score,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+        |  FROM nll JOIN lab USING (doc_id) GROUP BY score),
+        |pre AS (SELECT score, np, nn,
+        |    coalesce(SUM(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_nn
+        |  FROM counts),
+        |t AS (SELECT (SELECT sum(np) FROM counts) AS tp,
+        |    (SELECT sum(nn) FROM counts) AS tn),
+        |u AS (SELECT SUM(CAST(np AS DECIMAL(38,0))
+        |    * (2 * (t.tn - below_nn - nn) + nn)) AS su, t.tp, t.tn
+        |  FROM pre, t GROUP BY t.tp, t.tn)
+        |SELECT tp::BIGINT AS n_pos, tn::BIGINT AS n_neg,
+        |  round(CAST(su AS DOUBLE) / (2.0 * tp::DOUBLE * tn::DOUBLE), 6) AS auc
+        |FROM u""".stripMargin))
   )
 
   /** (doc_id, source, reward) — the 6-decimal quality score, shared by
