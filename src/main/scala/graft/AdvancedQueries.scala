@@ -484,6 +484,63 @@ object AdvancedQueries {
         |  CAST(round(CAST(sum(term) AS DECIMAL(18,8)), 6) AS DOUBLE) AS chi2
         |FROM terms CROSS JOIN tot""".stripMargin)),
 
+    // Multi-epoch reshuffle plan: training wants every epoch to be a
+    // complete pass over the corpus in a DIFFERENT, uncorrelated
+    // order, decided with zero coordination across 1000 writers —
+    // shard(doc, epoch) = md5("epoch:doc") mod S gives exactly that
+    // (deterministic, any executor computes any doc's placement for
+    // any epoch scan-locally; no shuffle of state between epochs, no
+    // stored permutation). The census proves the plan: per (epoch,
+    // shard) doc/token counts show balance, and stay_frac — the
+    // fraction of a shard's docs that sat in the SAME shard last
+    // epoch — sits at ≈1/S, the independence a learning-order
+    // curriculum needs (a mod-hash on doc_id alone would pin every
+    // doc to one shard forever: stay_frac 1). One explode(E) + one
+    // aggregate; E× the scan, never a join.
+    QueryDef("epoch_shard_plan",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val nSh = 8L
+        val nEp = 3
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("did"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        val epochs = s.range(nEp).select(col("id").as("epoch"))
+        def shardAt(e: org.apache.spark.sql.Column) =
+          pmod(md5Long(concat(e.cast("string"), lit(":"), col("did"))),
+            lit(nSh))
+        d.crossJoin(broadcast(epochs))
+          .withColumn("shard", shardAt(col("epoch")))
+          .withColumn("stay",
+            when(col("epoch") > 0,
+              (shardAt(col("epoch") - 1) === col("shard")).cast("long")))
+          .groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("n_tokens"),
+            round((sum(col("stay")).cast("double") /
+              count(col("stay")).cast("double")).cast(dec), 6)
+              .cast("double").as("stay_frac"))
+          .orderBy(col("epoch"), col("shard"))
+      },
+      Some("""WITH ep AS (SELECT unnest(range(3)) AS epoch),
+        |x AS (
+        |  SELECT epoch,
+        |    ('0x' || substring(md5(epoch::VARCHAR || ':' || doc_id::VARCHAR),
+        |      1, 15))::BIGINT % 8 AS shard,
+        |    CASE WHEN epoch > 0 THEN
+        |      (('0x' || substring(md5((epoch - 1)::VARCHAR || ':' ||
+        |        doc_id::VARCHAR), 1, 15))::BIGINT % 8
+        |       = ('0x' || substring(md5(epoch::VARCHAR || ':' ||
+        |        doc_id::VARCHAR), 1, 15))::BIGINT % 8)::BIGINT END AS stay,
+        |    len(string_split(text, ' '))::BIGINT AS toks
+        |  FROM documents CROSS JOIN ep)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        |  sum(toks)::BIGINT AS n_tokens,
+        |  CAST(round(CAST(sum(stay)::DOUBLE / count(stay)::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS stay_frac
+        |FROM x GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin)),
+
     // Data-contract gate (ops/Contract): the whole rule set costs ONE
     // scan — each rule is a conditional sum in a single aggregate,
     // unpivoted to a report row; the uniqueness rule is a count −
