@@ -3014,7 +3014,139 @@ object TextQueries {
         |  FROM pre, t GROUP BY t.tp, t.tn)
         |SELECT tp::BIGINT AS n_pos, tn::BIGINT AS n_neg,
         |  round(CAST(su AS DOUBLE) / (2.0 * tp::DOUBLE * tn::DOUBLE), 6) AS auc
-        |FROM u""".stripMargin))
+        |FROM u""".stripMargin)),
+
+    // Good–Turing unseen-mass estimate over word trigrams: the
+    // count-of-counts histogram N_r answers "how much probability
+    // mass does the corpus NOT cover yet" (p0 = N1/N, Good 1953) and
+    // gives the discounted counts r* = (r+1)·N_{r+1}/N_r that
+    // smoothed LMs (Katz, SGT) actually use — the vocabulary-coverage
+    // planning number next to vocab_heaps_fit's growth slope. Cost:
+    // one explode + one |types|-sized hash aggregate (map-side
+    // partials) + one 1-row rollup; nothing driver-side, nothing
+    // corpus²-shaped, so the plan is identical at 100 TB. Counts stay
+    // exact BIGINT end-to-end; ratios are DECIMAL-rounded IEEE
+    // doubles; the r*>0 guards return NULL (not Inf) when a count
+    // class is empty, identically on both engines.
+    QueryDef("vocab_good_turing",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val tris = d.select(split(col("text"), " ").as("__w"))
+          .where(size(col("__w")) >= 3)
+          .select(explode(expr(
+            "transform(slice(__w, 1, size(__w) - 2), " +
+              "(x, i) -> concat(x, ' ', __w[i + 1], ' ', __w[i + 2]))"))
+            .as("tri"))
+        val cc = tris.groupBy(col("tri")).agg(count(lit(1)).as("c"))
+        cc.agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("c") === 3L, 1L).otherwise(0L)).as("n3"))
+          .select(col("n_tokens"), col("n_types"), col("n1"), col("n2"),
+            col("n3"),
+            round((col("n1").cast("double") / col("n_tokens").cast("double"))
+              .cast(dec), 6).cast("double").as("p0_unseen"),
+            when(col("n1") > 0L,
+              round((lit(2.0) * col("n2").cast("double") /
+                col("n1").cast("double")).cast(dec), 6).cast("double"))
+              .as("rstar_1"),
+            when(col("n2") > 0L,
+              round((lit(3.0) * col("n3").cast("double") /
+                col("n2").cast("double")).cast(dec), 6).cast("double"))
+              .as("rstar_2"))
+      },
+      Some("""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT array_to_string(w[i:i+2], ' ') AS tri
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM ws WHERE len(w) >= 3)),
+        |c AS (SELECT tri, count(*) AS c FROM g GROUP BY 1),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum((c = 1)::INT) AS BIGINT) AS n1,
+        |    CAST(sum((c = 2)::INT) AS BIGINT) AS n2,
+        |    CAST(sum((c = 3)::INT) AS BIGINT) AS n3
+        |  FROM c)
+        |SELECT n_tokens, n_types, n1, n2, n3,
+        |  CAST(round(CAST(n1::DOUBLE / n_tokens::DOUBLE AS DECIMAL(18,8)),
+        |    6) AS DOUBLE) AS p0_unseen,
+        |  CASE WHEN n1 > 0 THEN CAST(round(CAST(2.0 * n2::DOUBLE / n1::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS rstar_1,
+        |  CASE WHEN n2 > 0 THEN CAST(round(CAST(3.0 * n3::DOUBLE / n2::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS rstar_2
+        |FROM m""".stripMargin)),
+
+    // KMV accuracy curve — the sketch-tuning dial measured, like
+    // ann_nprobe_curve for IVF and lsh_band_curve for LSH: distinct
+    // trigram count estimated at k ∈ {64, 256, 1024} against the
+    // exact count, with the analytic 1/sqrt(k−2) error bar alongside
+    // the observed relative error. This is the number a user sizing
+    // COUNT(DISTINCT)→KMV (plans/ApproxDistinctRewrite) reads before
+    // picking k. Cost: ONE corpus scan — all three sketches and the
+    // exact count run in the same aggregate (each sketch is O(k)
+    // mergeable state; the exact count is the expensive leg, present
+    // only because the curve needs ground truth). The estimator is
+    // pure IEEE double (see expressions.KmvDistinct), so DuckDB
+    // replays it bit-exactly from the k-th smallest md5 hash.
+    QueryDef("sketch_kmv_error_curve",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val tris = d.select(split(col("text"), " ").as("__w"))
+          .where(size(col("__w")) >= 3)
+          .select(explode(expr(
+            "transform(slice(__w, 1, size(__w) - 2), " +
+              "(x, i) -> concat(x, ' ', __w[i + 1], ' ', __w[i + 2]))"))
+            .as("tri"))
+        val a = tris.agg(
+          kmvDistinct(col("tri"), 64).as("k64"),
+          kmvDistinct(col("tri"), 256).as("k256"),
+          kmvDistinct(col("tri"), 1024).as("k1024"),
+          countDistinct(col("tri")).as("exact"))
+        a.select(expr(
+            "stack(3, 64L, k64, 256L, k256, 1024L, k1024) AS (k, est)"),
+            col("exact"))
+          .select(col("k"), col("est"), col("exact"),
+            round((abs(col("est") - col("exact")).cast("double") /
+              col("exact").cast("double")).cast(dec), 6).cast("double")
+              .as("rel_err"),
+            round((lit(1.0) / sqrt(col("k").cast("double") - 2.0))
+              .cast(dec), 6).cast("double").as("theory_err"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS tri
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM ws WHERE len(w) >= 3)),
+        |h AS (SELECT ('0x' || substring(md5(tri), 1, 15))::BIGINT AS h
+        |      FROM g),
+        |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+        |             count(*) OVER () AS nd
+        |      FROM h),
+        |ks AS (SELECT unnest([64, 256, 1024]) AS k),
+        |kth AS (
+        |  SELECT ks.k::BIGINT AS k, max(r.nd) AS nd,
+        |    max(CASE WHEN r.rn = ks.k THEN r.h END) AS hk
+        |  FROM ks JOIN r ON r.rn <= ks.k
+        |  GROUP BY ks.k)
+        |SELECT k,
+        |  CASE WHEN nd < k THEN nd
+        |       ELSE CAST(floor((k - 1)::DOUBLE * 1152921504606846976::DOUBLE
+        |                       / hk::DOUBLE) AS BIGINT)
+        |  END AS est,
+        |  nd AS exact,
+        |  CAST(round(CAST(abs(CASE WHEN nd < k THEN nd
+        |       ELSE CAST(floor((k - 1)::DOUBLE * 1152921504606846976::DOUBLE
+        |                       / hk::DOUBLE) AS BIGINT) END
+        |      - nd)::DOUBLE / nd::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS rel_err,
+        |  CAST(round(CAST(1.0 / sqrt(k::DOUBLE - 2.0) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS theory_err
+        |FROM kth ORDER BY k""".stripMargin))
   )
 
   /** (doc_id, source, reward) — the 6-decimal quality score, shared by
