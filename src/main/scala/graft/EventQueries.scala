@@ -2181,6 +2181,142 @@ object EventQueries {
         |  count(*) AS n_steps,
         |  round(CAST(sum(term) AS DOUBLE) / 1e${6 + EpisodeHorizon}, 6) AS ret
         |FROM t GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin))
+        |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // CUSUM changepoint per event type: the day where the cumulative
+    // deviation of the daily-total series from its mean peaks — the
+    // classic single-changepoint location statistic, and the offline
+    // mirror of a drift monitor's "WHEN did this stream shift"
+    // (drift_psi_events answers "did it shift", this answers "where").
+    // Scale shape: one aggregate to days × types, then windows over
+    // that tiny frame — the raw event scan never sorts. Exactness:
+    // the mean-free statistic is computed cleared of division —
+    // n·S_t − t·S_n in DECIMAL (days and daily totals exact) — so the
+    // argmax and its earliest-day tiebreak are deterministic on both
+    // engines; only the reported normalized peak divides, in one
+    // rounded double.
+    QueryDef("events_cusum_changepoint",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DecimalType(24, 6)).as("y"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val wAll = Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val scored = daily
+          .withColumn("t", row_number().over(wOrd).cast(DecimalType(8, 0)))
+          .withColumn("cum", sum(col("y")).over(wOrd).cast(DecimalType(24, 6)))
+          .withColumn("tot", sum(col("y")).over(wAll).cast(DecimalType(24, 6)))
+          .withColumn("nd", count(lit(1)).over(wAll).cast(DecimalType(8, 0)))
+          .withColumn("stat", col("nd") * col("cum") - col("t") * col("tot"))
+        val pick = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("stat")).desc, col("day"))
+        scored.withColumn("rn", row_number().over(pick))
+          .where(col("rn") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            col("nd").cast("long").as("n_days"),
+            round(col("stat").cast("double") / col("nd").cast("double"), 6)
+              .as("cusum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    SUM(value::DECIMAL(18,6))::DECIMAL(24,6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day,
+        |    (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day))
+        |      ::DECIMAL(8,0) AS t,
+        |    (SUM(y) OVER (PARTITION BY event_type ORDER BY day))
+        |      ::DECIMAL(24,6) AS cum,
+        |    (SUM(y) OVER (PARTITION BY event_type))::DECIMAL(24,6) AS tot,
+        |    (COUNT(*) OVER (PARTITION BY event_type))::DECIMAL(8,0) AS nd
+        |  FROM daily),
+        |sc AS (SELECT *, nd*cum - t*tot AS stat FROM w),
+        |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY abs(stat) DESC, day) AS rn
+        |      FROM sc)
+        |SELECT event_type, day AS cp_day, nd::BIGINT AS n_days,
+        |  round(stat::DOUBLE / nd::DOUBLE, 6) AS cusum
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // Watermark-lateness audit: how out-of-order is each event stream,
+    // measured as event-time regression against the running maximum in
+    // arrival order (event_id — the per-shard arrival sequence, the
+    // order a Kafka partition would deliver) — the data-driven answer
+    // to "what watermark delay keeps loss under x%" BEFORE wiring a
+    // streaming job (every withWatermark in graft.streaming takes this
+    // number on faith; this query measures it). Per event_type =
+    // per shard, so the arrival-order window partitions — no global
+    // sort. p95 is an integer-rank order statistic (ceil(0.95n) =
+    // (19n+19) div 20), not an interpolated percentile — exact on
+    // both engines.
+    QueryDef("events_watermark_audit",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val wArr = Window.partitionBy(col("event_type"))
+          .orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val late = e.select(col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("late_us", max(col("us")).over(wArr) - col("us"))
+        val wRank = Window.partitionBy(col("event_type"))
+          .orderBy(col("late_us"), col("event_id"))
+        val ranked = late.withColumn("rn", row_number().over(wRank))
+        val agg = late.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_events"),
+          (max(col("late_us")) / lit(1000000L)).cast("long").as("max_late_s"),
+          sum(when(col("late_us") > 60L * 1000000L, 1L).otherwise(0L))
+            .as("c1m"),
+          sum(when(col("late_us") > 600L * 1000000L, 1L).otherwise(0L))
+            .as("c10m"),
+          sum(when(col("late_us") > 3600L * 1000000L, 1L).otherwise(0L))
+            .as("c1h"))
+        val aggK = agg.withColumn("k95",
+          expr("(n_events * 19 + 19) DIV 20"))
+        aggK.join(ranked.select(col("event_type").as("et2"),
+            col("rn").cast("long").as("rn2"),
+            (col("late_us") / lit(1000000L)).cast("long").as("p95_late_s")),
+            col("rn2") === col("k95") && col("et2") === col("event_type"))
+          .select(col("event_type"), col("n_events"), col("max_late_s"),
+            col("p95_late_s"),
+            round(col("c1m").cast("double") / col("n_events").cast("double"), 6)
+              .as("pct_late_1m"),
+            round(col("c10m").cast("double") / col("n_events").cast("double"), 6)
+              .as("pct_late_10m"),
+            round(col("c1h").cast("double") / col("n_events").cast("double"), 6)
+              .as("pct_late_1h"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH l AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id ROWS UNBOUNDED PRECEDING) - epoch_us(ts)
+        |      AS late_us
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, late_us,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY late_us, event_id) AS rn
+        |  FROM l),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |    (MAX(late_us) // 1000000)::BIGINT AS max_late_s,
+        |    SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)::BIGINT AS c1m,
+        |    SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS c10m,
+        |    SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS c1h
+        |  FROM l GROUP BY 1)
+        |SELECT a.event_type, a.n_events, a.max_late_s,
+        |  (r.late_us // 1000000)::BIGINT AS p95_late_s,
+        |  round(a.c1m::DOUBLE / a.n_events::DOUBLE, 6) AS pct_late_1m,
+        |  round(a.c10m::DOUBLE / a.n_events::DOUBLE, 6) AS pct_late_10m,
+        |  round(a.c1h::DOUBLE / a.n_events::DOUBLE, 6) AS pct_late_1h
+        |FROM a JOIN r ON r.event_type = a.event_type
+        |  AND r.rn = (a.n_events * 19 + 19) // 20
+        |ORDER BY a.event_type""".stripMargin))
   )
 }

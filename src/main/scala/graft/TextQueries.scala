@@ -3146,8 +3146,310 @@ object TextQueries {
         |    AS rel_err,
         |  CAST(round(CAST(1.0 / sqrt(k::DOUBLE - 2.0) AS DECIMAL(18,8)), 6)
         |    AS DOUBLE) AS theory_err
-        |FROM kth ORDER BY k""".stripMargin))
+        |FROM kth ORDER BY k""".stripMargin)),
+
+    // In-engine linear quality-probe training (ops/LinearProbe): learn
+    // a cheap "is this English" surface from 4 scan-computable text
+    // features + bias — the quality-classifier step of a curation
+    // pipeline done scale-correctly: ONE corpus pass collects the
+    // decimal-exact sufficient statistics (A = Σxxᵀ, b = Σxy, Σy²),
+    // and every gradient step is then driver algebra on the 5×5
+    // moments (∇ = (Aw−b)/n — re-scanning the corpus per step, the
+    // naive formulation, is pure waste). The oracle unrolls the SAME
+    // descent as chained 1-row CTEs over the same decimal moments;
+    // both engines run identical left-associated IEEE expression
+    // trees, so weights and MSE agree before the defensive round(6).
+    // The emitted MSE column is the training curve — monotone descent
+    // is spec-pinned (ProbeSpec) and visible in the gated rows.
+    QueryDef("quality_linear_probe",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.LinearProbe.fit(s, d, probeFeatsSpark,
+          expr("CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(18,6))"),
+          ProbeWeightNames, ProbeEta, ProbeSteps)
+      },
+      Some(linearProbeOracle)),
+
+    // Vocabulary coverage curve: what fraction of all corpus tokens
+    // the top-k types cover, for k on a doubling grid — the
+    // tokenizer/vocab-sizing census (how big a vocab buys how much of
+    // the token mass; the Zipf complement to vocab_heaps_fit's
+    // type-growth view). Scale shape: the only wide state is the
+    // distinct-type frame (vocabulary-bounded, same contract as
+    // vocab_topk/vocab_zipf_fit); the single-partition rank window
+    // runs over types, never tokens. k saturates at V via
+    // least(k, V) — at sf0.01 V ≈ 31, so the 64-row reads the whole
+    // mass; the saturation rows are kept (coverage = 1) because the
+    // curve's flat tail IS the sizing answer.
+    QueryDef("vocab_coverage_curve",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val vocab = d.select(explode(split(col("text"), " ")).as("token"))
+          .where(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val wRank = Window.orderBy(desc("cnt"), col("token"))
+        val ranked = vocab
+          .withColumn("rnk", row_number().over(wRank).cast("long"))
+          .withColumn("cum", sum(col("cnt")).over(wRank))
+        val totals = vocab.agg(sum(col("cnt")).as("total_tokens"),
+          count(lit(1)).as("types_total"))
+        val ks = s.range(0, 7).select(
+          expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("k"))
+        ks.crossJoin(broadcast(totals))
+          .withColumn("rank_used", least(col("k"), col("types_total")))
+          .join(broadcast(ranked.select(col("rnk"), col("cum"))),
+            col("rank_used") === col("rnk"))
+          .select(col("k"), col("rank_used"), col("types_total"),
+            round(col("cum").cast("double") /
+              col("total_tokens").cast("double"), 6).as("coverage"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH v AS MATERIALIZED (
+        |  SELECT token, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |r AS (
+        |  SELECT (ROW_NUMBER() OVER (ORDER BY cnt DESC, token))::BIGINT
+        |      AS rnk,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, token) AS cum
+        |  FROM v),
+        |t AS (SELECT SUM(cnt) AS total_tokens, COUNT(*) AS types_total
+        |      FROM v),
+        |k AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64])::BIGINT AS k)
+        |SELECT k.k, LEAST(k.k, t.types_total) AS rank_used,
+        |  t.types_total,
+        |  round(r.cum::DOUBLE / t.total_tokens::DOUBLE, 6) AS coverage
+        |FROM k, t, r
+        |WHERE r.rnk = LEAST(k.k, t.types_total)
+        |ORDER BY k.k""".stripMargin)),
+
+    // Per-source novelty (unique-gram saturation) curve: order each
+    // source's docs by doc_id, cut into 4 equal prefixes, and count
+    // how many DISTINCT 3-grams each additional quartile contributes
+    // — the measured diminishing-returns answer to "does buying more
+    // of this source buy new content, or repeats" (the
+    // data-constrained-scaling question, answered from the corpus
+    // itself rather than a decay formula). Scale shape: quartile
+    // assignment is pure integer window math on doc counts; the only
+    // wide shuffle is the (source, gram) first-occurrence aggregate —
+    // same bound as ngram_diversity_report's distinct-gram frame. A
+    // gram counts for the EARLIEST quartile containing it (min), so
+    // the curve is monotone and its total matches the source's
+    // distinct-gram count by construction.
+    QueryDef("source_novelty_curve",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val wRank = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val wCnt = Window.partitionBy(col("source"))
+        val q = d.select(col("source"), col("doc_id"),
+            split(col("text"), " ").as("w"))
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("cnt", count(lit(1)).over(wCnt))
+          .withColumn("q", expr("((rn - 1) * 4) DIV cnt + 1"))
+        val grams = q.select(col("source"), col("q"),
+          explode(when(size(col("w")) >= 3,
+            transform(sequence(lit(1), size(col("w")) - lit(2)),
+              i => concat_ws(" ", slice(col("w"), i, lit(3)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        val first = grams.groupBy(col("source"), col("g"))
+          .agg(min(col("q")).as("quartile"))
+        val perQ = first.groupBy(col("source"), col("quartile"))
+          .agg(count(lit(1)).as("new_grams"))
+        val wCum = Window.partitionBy(col("source")).orderBy(col("quartile"))
+        val wTot = Window.partitionBy(col("source"))
+        perQ
+          .withColumn("cum_grams", sum(col("new_grams")).over(wCum))
+          .withColumn("tot", sum(col("new_grams")).over(wTot))
+          .select(col("source"), col("quartile"), col("new_grams"),
+            col("cum_grams"),
+            round(col("cum_grams").cast("double") /
+              col("tot").cast("double"), 6).as("cum_frac"))
+          .orderBy(col("source"), col("quartile"))
+      },
+      Some("""WITH d AS MATERIALIZED (
+        |  SELECT source, doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, w,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM d),
+        |qd AS (SELECT source, ((rn - 1) * 4) // cnt + 1 AS q, w FROM r),
+        |g AS (
+        |  SELECT source, q, array_to_string(w[i:i+2], ' ') AS g
+        |  FROM (SELECT source, q, w,
+        |          unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM qd WHERE len(w) >= 3)),
+        |f AS (SELECT source, g, MIN(q) AS quartile
+        |      FROM g GROUP BY source, g),
+        |p AS (SELECT source, quartile, COUNT(*) AS new_grams
+        |      FROM f GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, quartile, new_grams,
+        |    (SUM(new_grams) OVER (PARTITION BY source ORDER BY quartile))
+        |      ::BIGINT AS cum_grams,
+        |    (SUM(new_grams) OVER (PARTITION BY source))::BIGINT AS tot
+        |  FROM p)
+        |SELECT source, quartile, new_grams, cum_grams,
+        |  round(cum_grams::DOUBLE / tot::DOUBLE, 6) AS cum_frac
+        |FROM c ORDER BY source, quartile""".stripMargin)),
+
+    // Split-conformal calibration of the quality gate: pick the
+    // threshold as the ⌊(n+1)/10⌋-th smallest calibration-split
+    // reward, guaranteeing ≥90% of exchangeable future docs clear it
+    // (distribution-free), then AUDIT the guarantee on the held-out
+    // split per source — the "deploy the quality filter with a
+    // coverage promise" step after quality_linear_probe learns a
+    // score. Splits are doc_id parity (deterministic, the
+    // group_split_customers convention). Exactness: the order
+    // statistic is an integer-rank row over round-6 doubles with a
+    // doc_id tiebreak — no quantile interpolation to diverge on. The
+    // k-th-smallest is found via a global sort-limit (TakeOrdered) —
+    // the exact-gate choice for oracle parity; at 100 TB the KLL
+    // sketch path (sketch_quantile_kll) answers the same question
+    // with bounded state and a known rank-error bar.
+    QueryDef("quality_conformal_gate",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val scored = d.select(col("doc_id"), col("source"),
+          round(Text.qualityScore(col("text")), 6).as("reward"))
+        val calib = scored.where(pmod(col("doc_id"), lit(2)) === 0)
+        val nCalib = calib.count()
+        val k = (nCalib + 1L) / 10L
+        val thr = calib.orderBy(col("reward"), col("doc_id")).limit(k.toInt)
+          .agg(max(col("reward")).as("threshold"))
+          // k = 0 (tiny calib split): no order statistic exists — emit
+          // zero rows, exactly like the oracle's empty kth CTE
+          .where(col("threshold").isNotNull)
+        scored.where(pmod(col("doc_id"), lit(2)) === 1)
+          .crossJoin(broadcast(thr))
+          .groupBy(col("source"), col("threshold"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("reward") >= col("threshold"), 1L).otherwise(0L))
+              .as("n_pass"))
+          .select(col("source"), lit(nCalib).as("n_calib"), lit(k).as("k"),
+            col("threshold"), col("n_test"), col("n_pass"),
+            round(col("n_pass").cast("double") /
+              col("n_test").cast("double"), 6).as("pass_rate"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH q AS MATERIALIZED ($QualityBySourceSql),
+        |cal AS (SELECT reward, doc_id FROM q WHERE doc_id % 2 = 0),
+        |n AS (SELECT COUNT(*) AS n_calib FROM cal),
+        |kth AS (
+        |  SELECT r.reward AS threshold
+        |  FROM (SELECT reward,
+        |          ROW_NUMBER() OVER (ORDER BY reward, doc_id) AS rn
+        |        FROM cal) r, n
+        |  WHERE r.rn = (n.n_calib + 1) // 10),
+        |t AS (
+        |  SELECT source, kth.threshold, COUNT(*) AS n_test,
+        |    (SUM(CASE WHEN reward >= kth.threshold THEN 1 ELSE 0 END))
+        |      ::BIGINT AS n_pass
+        |  FROM q, kth WHERE doc_id % 2 = 1 GROUP BY source, kth.threshold)
+        |SELECT t.source, n.n_calib, (n.n_calib + 1) // 10 AS k,
+        |  t.threshold, t.n_test, t.n_pass,
+        |  round(t.n_pass::DOUBLE / t.n_test::DOUBLE, 6) AS pass_rate
+        |FROM t, n ORDER BY t.source""".stripMargin))
   )
+
+  /** Linear-probe hyperparameters, shared by the Spark query and the
+    * oracle generator. η = 0.2 is safely under the 2/λmax(A/n) bound
+    * for these normalized features (trace(A/n) ≈ 1.7 on this corpus).
+    */
+  private val ProbeEta = 0.2
+  private val ProbeSteps = 3
+  private val ProbeWeightNames =
+    Seq("w_bias", "w_words", "w_chars", "w_stop", "w_distinct")
+
+  /** Probe features, DECIMAL(18,6)-exact per row: bias, words/100,
+    * chars/1000, stopwords/10, distinct-words/100. The rational
+    * rescale keeps weights O(0.1–1) (so round-6 output carries
+    * signal) and stays exact: integer × exact decimal literal at
+    * scale 6, no division anywhere.
+    */
+  private def probeFeatsSpark: Seq[org.apache.spark.sql.Column] = Seq(
+    expr("CAST(1 AS DECIMAL(18,6))"),
+    expr("CAST(CAST(size(split(text, ' ')) AS DECIMAL(20,0)) " +
+      "* CAST(0.01 AS DECIMAL(8,6)) AS DECIMAL(18,6))"),
+    expr("CAST(CAST(length(text) AS DECIMAL(20,0)) " +
+      "* CAST(0.001 AS DECIMAL(8,6)) AS DECIMAL(18,6))"),
+    expr("CAST(CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a'))) " +
+      "AS DECIMAL(20,0)) * CAST(0.1 AS DECIMAL(8,6)) AS DECIMAL(18,6))"),
+    expr("CAST(CAST(size(array_distinct(split(text, ' '))) " +
+      "AS DECIMAL(20,0)) * CAST(0.01 AS DECIMAL(8,6)) AS DECIMAL(18,6))"))
+
+  /** Oracle for quality_linear_probe: the same moments aggregate and
+    * the same descent, unrolled as chained 1-row CTEs. Every dot
+    * product is emitted left-associated (`a0*w0 + a1*w1 + …`), the
+    * exact shape LinearProbe.dotL evaluates, so the doubles match
+    * bit-for-bit. Moment CTEs are MATERIALIZED per the standing rule
+    * for multiply-referenced CTEs (SCALING.md, unrolled-oracle
+    * lesson).
+    */
+  private def linearProbeOracle: String = {
+    val d = ProbeWeightNames.size
+    def aN(j: Int, k: Int) = if (j <= k) s"a$j$k" else s"a$k$j"
+    def dot(j: Int) = (0 until d).map(k => s"${aN(j, k)}*w$k").mkString(" + ")
+    val momCols = (for (j <- 0 until d; k <- j until d) yield s"a$j$k") ++
+      (0 until d).map(j => s"b$j") :+ "syy"
+    val carry = ("n" +: momCols).mkString(", ")
+    val feats = Seq(
+      "CAST(1 AS DECIMAL(18,6))",
+      "CAST(len(string_split(text, ' '))::DECIMAL(20,0) " +
+        "* 0.01::DECIMAL(8,6) AS DECIMAL(18,6))",
+      "CAST(length(text)::DECIMAL(20,0) " +
+        "* 0.001::DECIMAL(8,6) AS DECIMAL(18,6))",
+      "CAST(len(list_filter(string_split(text, ' '), " +
+        "w -> w IN ('the', 'a')))::DECIMAL(20,0) " +
+        "* 0.1::DECIMAL(8,6) AS DECIMAL(18,6))",
+      "CAST(len(list_distinct(string_split(text, ' ')))::DECIMAL(20,0) " +
+        "* 0.01::DECIMAL(8,6) AS DECIMAL(18,6))")
+    val fCols = feats.zipWithIndex
+      .map { case (e, i) => s"$e AS f$i" }.mkString(",\n    ")
+    val mAggs = (
+      Seq("COUNT(*)::DOUBLE AS n") ++
+        (for (j <- 0 until d; k <- j until d)
+          yield s"SUM(f$j*f$k)::DOUBLE AS a$j$k") ++
+        (0 until d).map(j => s"SUM(f$j*y)::DOUBLE AS b$j") :+
+        "SUM(y*y)::DOUBLE AS syy").mkString(",\n    ")
+    def mseExpr = {
+      val wAw = (0 until d).map(j => s"w$j*(${dot(j)})").mkString(" + ")
+      val wb = (0 until d).map(j => s"w$j*b$j").mkString(" + ")
+      s"(($wAw) - 2*($wb) + syy) / n"
+    }
+    val zeroW = (0 until d).map(j => s"0.0::DOUBLE AS w$j").mkString(", ")
+    val stepCtes = (1 to ProbeSteps).map { t =>
+      val upd = (0 until d).map(j =>
+        s"w$j - $ProbeEta::DOUBLE * ((${dot(j)} - b$j) / n) AS v$j")
+        .mkString(",\n    ")
+      val rename = (0 until d).map(j => s"v$j AS w$j").mkString(", ")
+      s"""u$t AS (
+         |  SELECT $carry,
+         |    $upd
+         |  FROM s${t - 1}),
+         |s$t AS (SELECT $carry, $rename FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    val arms = (0 to ProbeSteps).map { t =>
+      val ws = ProbeWeightNames.zipWithIndex
+        .map { case (nm, j) => s"round(w$j, 6) AS $nm" }.mkString(", ")
+      s"SELECT $t::BIGINT AS step, $ws, round($mseExpr, 6) AS mse FROM s$t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT
+       |    $fCols,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(18,6)) AS y
+       |  FROM documents),
+       |m AS MATERIALIZED (
+       |  SELECT
+       |    $mAggs
+       |  FROM f),
+       |s0 AS (SELECT *, $zeroW FROM m),
+       |$stepCtes
+       |$arms
+       |ORDER BY step""".stripMargin
+  }
 
   /** (doc_id, source, reward) — the 6-decimal quality score, shared by
     * the reward queries' oracles (mirrors Text.qualityScore exactly).

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine linear quality-probe training — the "train a cheap
+  * classifier over the corpus" step of a curation pipeline (the
+  * fastText/logreg quality-filter recipe), done the way it must be
+  * done at 100 TB: the corpus is touched by ONE aggregation pass that
+  * collects the sufficient statistics (the Gram matrix A = Σxxᵀ, the
+  * moment vector b = Σxy, and Σy²) as decimal-exact sums, and the
+  * optimization itself runs on the driver over the d×d moments —
+  * O(d²) state, zero additional scans, any number of steps. Compare
+  * the naive formulation (one gradient pass over the data PER STEP):
+  * for squared loss the gradient is algebraic in the moments,
+  * ∇ = (Aw − b)/n, so re-scanning is pure waste. The same pattern as
+  * [[Pca.pcaFit]] (covariance moments + driver eigensolve).
+  *
+  * Cross-engine determinism: features and labels are DECIMAL(18,6)
+  * per row, products DECIMAL(37,12), sums exact — both engines see
+  * bit-identical moments after the final cast to double. The descent
+  * arithmetic is fixed-shape IEEE double (left-associated dot
+  * products, the exact expression trees mirrored by the SQL oracle
+  * generator in TextQueries), so weights and MSE agree bit-for-bit
+  * before the defensive round(6).
+  *
+  * Reference behavior: quality scoring/filtering over corpus tables
+  * (ref `apps/dataproc/filter.go:15-60` gates on hand-set thresholds;
+  * this operator LEARNS the threshold surface from labels instead).
+  */
+object LinearProbe {
+
+  /** One GD iterate: weights after `step` updates plus the training
+    * MSE at those weights (computed algebraically from the moments).
+    */
+  final case class ProbeStep(step: Int, w: Seq[Double], mse: Double)
+
+  /** Left-associated dot product — the ONE evaluation order shared
+    * with the SQL oracle's `a0*w0 + a1*w1 + …` (SQL `+` parses
+    * left-associative), so double rounding is identical.
+    */
+  private def dotL(a: IndexedSeq[Double], w: IndexedSeq[Double]): Double = {
+    var acc = a(0) * w(0)
+    var k = 1
+    while (k < w.length) { acc = acc + a(k) * w(k); k += 1 }
+    acc
+  }
+
+  /** Aggregate the sufficient statistics for a linear probe with the
+    * given per-row feature columns (must be DECIMAL(18,6) — the
+    * caller owns exactness) and label column: returns
+    * (n, A full d×d, b, Σy²) as doubles cast from exact decimal sums.
+    * One scan, one aggregate row collected — bounded driver state.
+    */
+  def moments(df: DataFrame, feats: Seq[Column], label: Column)
+      : (Double, Array[Array[Double]], Array[Double], Double) = {
+    val d = feats.size
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        (for (j <- 0 until d; k <- j until d)
+          yield sum(feats(j) * feats(k)).cast("double").as(s"a$j$k")) ++
+        (0 until d).map(j => sum(feats(j) * label).cast("double").as(s"b$j")) :+
+        sum(label * label).cast("double").as("syy")
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getDouble(0)
+    val a = Array.ofDim[Double](d, d)
+    var i = 1
+    for (j <- 0 until d; k <- j until d) {
+      a(j)(k) = row.getDouble(i); a(k)(j) = a(j)(k); i += 1
+    }
+    val b = Array.tabulate(d)(j => row.getDouble(i + j))
+    val syy = row.getDouble(i + d)
+    (n, a, b, syy)
+  }
+
+  /** Fixed-step gradient descent on the moments: w ← w − η(Aw − b)/n
+    * from w = 0, emitting (step, w, mse) for step 0..steps where
+    * mse = (wᵀAw − 2wᵀb + Σy²)/n. Pure driver arithmetic — expression
+    * shapes mirrored exactly by the SQL oracle.
+    */
+  def gdSteps(a: Array[Array[Double]], b: Array[Double], syy: Double,
+              n: Double, eta: Double, steps: Int): Seq[ProbeStep] = {
+    val d = b.length
+    def mseOf(w: Array[Double]): Double = {
+      val dots = Array.tabulate(d)(j => dotL(a(j), w))
+      val wAw = dotL(w, dots)
+      val wb = dotL(w, b)
+      ((wAw - 2 * wb) + syy) / n
+    }
+    var w = Array.fill(d)(0.0)
+    val out = Seq.newBuilder[ProbeStep]
+    out += ProbeStep(0, w.toSeq, mseOf(w))
+    for (t <- 1 to steps) {
+      w = Array.tabulate(d)(j => w(j) - eta * ((dotL(a(j), w) - b(j)) / n))
+      out += ProbeStep(t, w.toSeq, mseOf(w))
+    }
+    out.result()
+  }
+
+  /** One-scan fit: moments + driver GD, returned as a DataFrame of
+    * (step, one column per weight name, mse), all rounded through the
+    * session's round(_, 6) for cross-engine display parity.
+    */
+  def fit(spark: SparkSession, df: DataFrame, feats: Seq[Column],
+          label: Column, weightNames: Seq[String], eta: Double,
+          steps: Int): DataFrame = {
+    require(weightNames.size == feats.size, "one name per feature")
+    val (n, a, b, syy) = moments(df, feats, label)
+    val rows = gdSteps(a, b, syy, n, eta, steps)
+      .map(s => Row.fromSeq(s.step.toLong +: s.w :+ s.mse))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (weightNames :+ "mse").map(c => org.apache.spark.sql.types
+          .StructField(c, org.apache.spark.sql.types.DoubleType,
+            nullable = false)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    raw.select(col("step") +:
+      (weightNames :+ "mse").map(c => round(col(c), 6).as(c)): _*)
+      .orderBy(col("step"))
+  }
+}
