@@ -843,7 +843,92 @@ object AdvancedQueries {
         |SELECT count(*) AS n_triangles
         |FROM e e1
         |JOIN e e2 ON e2.u = e1.v
-        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin))
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+
+    // Degree-distribution power-law fit over the co-purchase graph:
+    // log-log OLS of (degree, #nodes at that degree) — the "is this
+    // graph scale-free" census that decides whether the iterative
+    // graph ops above need skew handling (a heavy power-law tail means
+    // hub nodes, which is exactly what the salting/AQE-skew machinery
+    // is for; a flat fit means uniform partitioning is safe). Scale
+    // shape: degree = one count per node off the edge list (one
+    // shuffle), the distribution is ≤ max-degree rows, and the OLS
+    // runs on THAT tiny frame — the vocab_zipf_fit recipe applied to
+    // graph structure. Exactness: ln() rounds to 6dp into DECIMAL
+    // before the exact-decimal moment sums (the zipf discipline);
+    // degree counts are exact BIGINTs on both engines.
+    QueryDef("graph_degree_powerlaw",
+      (s, dir) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+        val e = coPurchasePairs(s, dir, directed = true).distinct()
+        // two consumers (distribution + node totals) — checkpoint so
+        // the order-pair self-join runs once, not per consumer
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("nd"))
+        val r = dist.select(
+          round(log(col("deg").cast("double")), 6).cast(dec6).as("x"),
+          round(log(col("nd").cast("double")), 6).cast(dec6).as("y"))
+        val m = r.agg(
+          count(lit(1)).as("n_degrees"),
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(dec38)).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(dec38)).cast("double").as("sxy"),
+          sum((col("y") * col("y")).cast(dec38)).cast("double").as("syy"))
+        val tot = deg.agg(count(lit(1)).as("n_nodes"),
+          max(col("deg")).as("max_degree"))
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+        m.crossJoin(broadcast(tot))
+          .select(col("n_nodes"), col("max_degree"), col("n_degrees"),
+            when(den === 0.0, lit(null).cast("double"))
+              .otherwise(round(slope, 6)).as("slope"),
+            when(den === 0.0, lit(null).cast("double"))
+              .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
+              .as("intercept"),
+            when(den === 0.0, lit(null).cast("double"))
+              .otherwise(round(
+                (col("n") * col("sxy") - col("sx") * col("sy")) *
+                  (col("n") * col("sxy") - col("sx") * col("sy")) /
+                  (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+              .as("r2"))
+      },
+      Some("""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+        |dist AS (SELECT deg, COUNT(*) AS nd FROM deg GROUP BY 1),
+        |r AS (
+        |  SELECT round(ln(deg::DOUBLE), 6)::DECIMAL(18,6) AS x,
+        |    round(ln(nd::DOUBLE), 6)::DECIMAL(18,6) AS y
+        |  FROM dist),
+        |m AS (
+        |  SELECT COUNT(*) AS n_degrees, COUNT(*)::DOUBLE AS n,
+        |    SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+        |    SUM((x * x)::DECIMAL(38,12))::DOUBLE AS sxx,
+        |    SUM((x * y)::DECIMAL(38,12))::DOUBLE AS sxy,
+        |    SUM((y * y)::DECIMAL(38,12))::DOUBLE AS syy
+        |  FROM r),
+        |t AS (SELECT COUNT(*) AS n_nodes, MAX(deg) AS max_degree FROM deg)
+        |SELECT t.n_nodes, t.max_degree, m.n_degrees,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |      * sx) / n, 6)
+        |  END AS intercept,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  END AS r2
+        |FROM m, t""".stripMargin))
   )
 
   /** Co-purchase part pairs built in ONE shuffle: group each order's

@@ -2317,6 +2317,77 @@ object EventQueries {
         |  round(a.c1h::DOUBLE / a.n_events::DOUBLE, 6) AS pct_late_1h
         |FROM a JOIN r ON r.event_type = a.event_type
         |  AND r.rn = (a.n_events * 19 + 19) // 20
-        |ORDER BY a.event_type""".stripMargin))
+        |ORDER BY a.event_type""".stripMargin)),
+
+    // Theil–Sen robust daily trend per event type: the median of all
+    // pairwise day-to-day slopes — the outlier-immune complement to
+    // events_trend_ols (one anomalous day, the kind events_anomaly_mad
+    // flags, can drag OLS arbitrarily; it moves the pairwise-slope
+    // median by at most one rank). Scale shape: the raw scan reduces
+    // to the daily frame first; the O(days²) pair join and the rank
+    // window run on THAT bounded frame (days × types rows — never the
+    // events), so corpus size only enters through the one daily
+    // aggregate. Exactness: each slope is ONE IEEE division of
+    // exact-decimal differences, identical on both engines; the
+    // median is an integer-rank order statistic (lower median,
+    // (n+1) div 2) with a (slope, xa, xb) total order — no
+    // interpolation, no ties ambiguity.
+    QueryDef("events_theil_sen",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)).as("y"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              .cast(DecimalType(10, 0)).as("x"),
+            col("y"))
+          // pairs + n_days both read it; the daily frame is bounded
+          .localCheckpoint(true)
+        val b = daily.select(col("event_type").as("et_b"),
+          col("x").as("xb"), col("y").as("yb"))
+        val pairs = daily
+          .join(b, col("event_type") === col("et_b") && col("x") < col("xb"))
+          .select(col("event_type"), col("x").as("xa"), col("xb"),
+            ((col("yb") - col("y")).cast("double") /
+              (col("xb") - col("x")).cast("double")).as("slope"))
+        val wRank = Window.partitionBy(col("event_type"))
+          .orderBy(col("slope"), col("xa"), col("xb"))
+        val wN = Window.partitionBy(col("event_type"))
+        val nd = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"))
+        pairs.withColumn("rn", row_number().over(wRank))
+          .withColumn("np", count(lit(1)).over(wN))
+          .where(col("rn") === expr("(np + 1) DIV 2"))
+          .join(broadcast(nd), "event_type")
+          .select(col("event_type"), col("n_days"),
+            col("np").as("n_pairs"),
+            round(col("slope").cast(DecimalType(28, 8)), 6)
+              .cast("double").as("ts_slope"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS MATERIALIZED (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', ts::DATE)::DECIMAL(10,0)
+        |      AS x,
+        |    SUM(value::DECIMAL(18,6))::DECIMAL(18,6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, a.x AS xa, b.x AS xb,
+        |    (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (
+        |  SELECT event_type, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope, xa, xb) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p),
+        |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1)
+        |SELECT r.event_type, nd.n_days, r.np AS n_pairs,
+        |  CAST(round(slope::DECIMAL(28,8), 6) AS DOUBLE) AS ts_slope
+        |FROM r JOIN nd ON nd.event_type = r.event_type
+        |WHERE rn = (np + 1) // 2
+        |ORDER BY r.event_type""".stripMargin))
   )
 }

@@ -3351,8 +3351,112 @@ object TextQueries {
         |SELECT t.source, n.n_calib, (n.n_calib + 1) // 10 AS k,
         |  t.threshold, t.n_test, t.n_pass,
         |  round(t.n_pass::DOUBLE / t.n_test::DOUBLE, 6) AS pass_rate
-        |FROM t, n ORDER BY t.source""".stripMargin))
+        |FROM t, n ORDER BY t.source""".stripMargin)),
+
+    // Deterministic Poisson bootstrap CI for the per-source mean
+    // quality — the uncertainty bar every corpus metric in this file
+    // reports WITHOUT (a point estimate over a sampled corpus slice is
+    // uninterpretable until you know its spread). Each of the 16
+    // replicates reweights every doc by an integer Poisson(1) draw
+    // keyed on detHash(doc_id, replicate) — integer THRESHOLD
+    // comparisons against precomputed floor(CDF·10⁶) constants, so
+    // both engines draw bit-identical weights with no floating-point
+    // CDF anywhere. Scale shape: replicate weighted sums are
+    // partial-aggregated map-side (the 16× explode never reaches the
+    // shuffle as raw rows — sources × 16 partial rows per task), and
+    // the CI is an integer-rank order statistic over the ≤16 replicate
+    // means per source: rank 2 / rank n−1, the ~87.5% interval.
+    QueryDef("metric_bootstrap_ci",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val scored = d.select(col("doc_id"), col("source"),
+          round(Text.qualityScore(col("text")), 6)
+            .cast(DecimalType(18, 6)).as("reward"))
+        val reps = scored.select(col("doc_id"), col("source"), col("reward"),
+            explode(sequence(lit(0L), lit(BootReps - 1L))).as("r"))
+          .withColumn("h", detHash(BootM, col("doc_id"), col("r")))
+          .withColumn("w", BootCdfThresholds
+            .map(t => when(col("h") >= t, 1L).otherwise(0L))
+            .reduce(_ + _))
+        val rm = reps.groupBy(col("source"), col("r"))
+          .agg(sum(col("w") * col("reward")).as("sw"),
+            sum(col("w")).as("nw"))
+          .where(col("nw") > 0)
+          .select(col("source"), col("r"),
+            round((col("sw").cast("double") / col("nw").cast("double"))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("m"))
+        val wRank = Window.partitionBy(col("source"))
+          .orderBy(col("m"), col("r"))
+        val ranked = rm.withColumn("rn", row_number().over(wRank))
+          .withColumn("nr",
+            count(lit(1)).over(Window.partitionBy(col("source"))))
+        val cis = ranked.groupBy(col("source")).agg(
+          count(lit(1)).as("n_reps"),
+          max(when(col("rn") === 2, col("m"))).as("ci_lo"),
+          max(when(col("rn") === col("nr") - 1, col("m"))).as("ci_hi"))
+        val pt = scored.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round((sum(col("reward")).cast("double") /
+            count(lit(1)).cast("double")).cast(DecimalType(18, 8)), 6)
+            .cast("double").as("mean_reward"))
+        pt.join(cis, "source")
+          .select(col("source"), col("n_docs"), col("mean_reward"),
+            col("n_reps"), col("ci_lo"), col("ci_hi"),
+            round((col("ci_hi") - col("ci_lo")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("ci_width"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val wExpr = BootCdfThresholds
+          .map(t => s"CASE WHEN h >= $t THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")::BIGINT")
+        s"""WITH q AS MATERIALIZED ($QualityBySourceSql),
+        |g AS (SELECT doc_id, source, reward::DECIMAL(18,6) AS reward
+        |      FROM q),
+        |reps AS (
+        |  SELECT source, reward, r,
+        |    ${detHashSql(BootM, Seq("doc_id", "r"))} AS h
+        |  FROM g, unnest(generate_series(0, ${BootReps - 1})) AS t(r)),
+        |rm AS (
+        |  SELECT source, r,
+        |    CAST(round((SUM($wExpr * reward)::DOUBLE /
+        |      SUM($wExpr)::DOUBLE)::DECIMAL(18,8), 6) AS DOUBLE) AS m
+        |  FROM reps GROUP BY 1, 2 HAVING SUM($wExpr) > 0),
+        |rk AS (
+        |  SELECT source, r, m,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, r) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS nr
+        |  FROM rm),
+        |ci AS (
+        |  SELECT source, COUNT(*) AS n_reps,
+        |    MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+        |    MAX(CASE WHEN rn = nr - 1 THEN m END) AS ci_hi
+        |  FROM rk GROUP BY 1),
+        |pt AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(round((SUM(reward)::DOUBLE / COUNT(*)::DOUBLE)
+        |      ::DECIMAL(18,8), 6) AS DOUBLE) AS mean_reward
+        |  FROM g GROUP BY 1)
+        |SELECT pt.source, pt.n_docs, pt.mean_reward, ci.n_reps,
+        |  ci.ci_lo, ci.ci_hi,
+        |  CAST(round((ci.ci_hi - ci.ci_lo)::DECIMAL(18,8), 6) AS DOUBLE)
+        |    AS ci_width
+        |FROM pt JOIN ci ON ci.source = pt.source
+        |ORDER BY pt.source""".stripMargin
+      })
   )
+
+  /** Poisson(1) bootstrap constants shared by metric_bootstrap_ci's
+    * Spark query and oracle: 16 replicates; a draw is the count of CDF
+    * thresholds at or below detHash(doc_id, r) ∈ [0, 10⁶). Thresholds
+    * are floor(P(X≤k)·10⁶) for k = 0..4 (P(X≤4) ≈ 0.9963; draws cap
+    * at 5) — precomputed integers, so the weight is pure integer
+    * comparison on both engines.
+    */
+  private val BootReps = 16L
+  private val BootM = 1000000L
+  private val BootCdfThresholds =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L)
 
   /** Linear-probe hyperparameters, shared by the Spark query and the
     * oracle generator. η = 0.2 is safely under the 2/λmax(A/n) bound
