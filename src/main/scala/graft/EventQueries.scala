@@ -2388,6 +2388,63 @@ object EventQueries {
         |  CAST(round(slope::DECIMAL(28,8), 6) AS DOUBLE) AS ts_slope
         |FROM r JOIN nd ON nd.event_type = r.event_type
         |WHERE rn = (np + 1) // 2
-        |ORDER BY r.event_type""".stripMargin))
+        |ORDER BY r.event_type""".stripMargin)),
+
+    // Page–Hinkley online drift series per event type (ops/Drift
+    // .pageHinkley): PH_t = m_t − min m over the prefix, where
+    // m_t = Σ round6(y_i − prefix-mean_i) — the ONLINE "has this
+    // metric drifted upward" monitor whose whole recursion fits in
+    // four numbers of per-group state, which is exactly why
+    // streaming/PageHinkleyStream can replay this identical series
+    // over an unbounded stream (parity spec-pinned). Offline
+    // complement: events_cusum_changepoint locates a shift with the
+    // GLOBAL mean in hand; PH only ever sees the prefix. Scale shape:
+    // one aggregate to the daily frame, then one sorted window pass
+    // per group over it. λ = 2000 against daily totals ~3.4k flags
+    // sustained upward drift but not single-day noise.
+    QueryDef("events_page_hinkley",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)).as("y"))
+        graft.ops.Drift.pageHinkley(daily, "event_type", "day", "y",
+            lambda = PageHinkleyLambda)
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    SUM(value::DECIMAL(18,6))::DECIMAL(18,6) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day, y,
+        |    (ROW_NUMBER() OVER w)::BIGINT AS i,
+        |    (SUM(y) OVER w)::DECIMAL(28,6) AS s
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |t AS (
+        |  SELECT event_type, day, i,
+        |    CAST(round((y::DOUBLE - s::DOUBLE / i::DOUBLE)
+        |      ::DECIMAL(18,8), 6) AS DECIMAL(18,6)) AS term
+        |  FROM b),
+        |m AS (
+        |  SELECT event_type, day, i,
+        |    (SUM(term) OVER w)::DECIMAL(28,6) AS m
+        |  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |p AS (
+        |  SELECT event_type, day, i,
+        |    (m - MIN(m) OVER w)::DECIMAL(28,6) AS ph
+        |  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, day, i, ph::DOUBLE AS ph,
+        |  ph::DOUBLE > $PageHinkleyLambda AS alarm
+        |FROM p ORDER BY event_type, day""".stripMargin))
   )
+
+  /** Page–Hinkley alarm threshold, shared by the query and its oracle
+    * (daily totals at this corpus run ~3.4k ± 0.8k; 2000 of cumulative
+    * positive deviation is sustained drift, not one noisy day).
+    */
+  private val PageHinkleyLambda = 2000.0
 }

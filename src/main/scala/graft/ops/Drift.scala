@@ -110,4 +110,44 @@ object Drift {
           .cast(DecimalType(18, 8)), 6).cast("double").as("d_term"))
       .orderBy(col("bin"))
   }
+
+  /** Page–Hinkley online drift statistic per group over an ordered
+    * metric series (the ONLINE counterpart of the offline CUSUM
+    * changepoint: the PH recursion only ever sees the prefix, which is
+    * why [[graft.streaming.PageHinkleyStream]] can replay it with
+    * O(1) state per group and emit bit-identical rows). Definition:
+    *   term_t = y_t − mean(y_1..y_t)   (δ = 0)
+    *   m_t    = Σ_{i≤t} term_i,   PH_t = m_t − min_{s≤t} m_s
+    * alarm when PH_t > λ. Scale shape: windows over the PRE-AGGREGATED
+    * series frame (groups × points, bounded), all sharing one
+    * (group, order) sort. Exactness: the prefix sums are exact
+    * DECIMAL; the one division per row (S_t/t) happens in IEEE double
+    * and its result is immediately re-quantized to DECIMAL(18,6)
+    * through the standard (18,8) guard, so m/PH accumulate exactly on
+    * both engines and in the sequential stream replay.
+    *
+    * `yCol` must be DECIMAL(18,6) (the caller owns exactness).
+    */
+  def pageHinkley(series: DataFrame, gCol: String, orderCol: String,
+                  yCol: String, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(gCol)).orderBy(col(orderCol))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = series
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__s", sum(col(yCol)).over(wRows).cast(DecimalType(28, 6)))
+      .withColumn("__term",
+        round((col(yCol).cast("double") -
+          col("__s").cast("double") / col("__i").cast("double"))
+          .cast(DecimalType(18, 8)), 6).cast(DecimalType(18, 6)))
+    val withM = base
+      .withColumn("__m", sum(col("__term")).over(wRows)
+        .cast(DecimalType(28, 6)))
+    withM
+      .withColumn("__ph", (col("__m") - min(col("__m")).over(wRows))
+        .cast(DecimalType(28, 6)))
+      .select(col(gCol), col(orderCol), col("__i").as("i"),
+        col("__ph").cast("double").as("ph"),
+        (col("__ph").cast("double") > lit(lambda)).as("alarm"))
+  }
 }
