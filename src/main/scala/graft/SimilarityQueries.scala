@@ -1257,6 +1257,164 @@ object SimilarityQueries {
         |  CAST(round(CAST(SUM(CASE WHEN abs(ratio - 1.0) <= 0.3
         |      THEN 1 ELSE 0 END)::DOUBLE / count(*)
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS frac_within_30pct
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+
+    // MMR diversified top-k (Carbonell–Goldstein maximal marginal
+    // relevance): greedily pick k results maximizing
+    // λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s) — the de-duplicating
+    // re-rank every RAG retriever needs (pure cosine top-k returns
+    // near-identical neighbors; MMR trades rank-2 redundancy for
+    // coverage). Scale shape: the ONLY corpus-sized work is the pool
+    // cut (broadcast queries × one scan, rank window) — the pairwise
+    // sim frame and all k greedy rounds run on the pooled frame
+    // (queries × pool² rows, bounded by constants), exactly the
+    // retrieval_rrf_hybrid pool-first discipline. Exactness: rel and
+    // sims are round-6 DECIMAL, the MMR score is pure decimal
+    // arithmetic (0.7·rel − 0.3·maxsim, exact at scale 7), so every
+    // argmax and its neighbor_id tiebreak is deterministic; the
+    // oracle unrolls the identical greedy rounds as CTEs.
+    QueryDef("retrieval_mmr_topk",
+      (s, dir) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val q = e.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("emb"), col("nrm"),
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).cast(dec6).as("rel"))
+        val wPool = Window.partitionBy(col("query_id"))
+          .orderBy(desc("rel"), col("neighbor_id"))
+        // pool + pair sims are read by every greedy round — checkpoint
+        // so the corpus scan runs once, not once per round
+        val pool = scored.withColumn("rn", row_number().over(wPool))
+          .where(col("rn") <= MmrPool).drop("rn")
+          .localCheckpoint(true)
+        val pa = pool.select(col("query_id"), col("neighbor_id").as("a_id"),
+          col("emb").as("ea"), col("nrm").as("na"))
+        val pb = pool.select(col("query_id").as("q2"),
+          col("neighbor_id").as("b_id"), col("emb").as("eb"),
+          col("nrm").as("nb"))
+        val ps = pa.join(pb,
+            col("query_id") === col("q2") && col("a_id") =!= col("b_id"))
+          .select(col("query_id"), col("a_id"), col("b_id"),
+            round(dotProduct(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 6).cast(dec6).as("sim"))
+          .localCheckpoint(true)
+        val cand0 = pool.select(col("query_id"), col("neighbor_id"),
+          col("rel"))
+        val lam = expr("CAST(0.7 AS DECIMAL(2,1))")
+        val oneMinusLam = expr("CAST(0.3 AS DECIMAL(2,1))")
+        var selected = cand0
+          .withColumn("rn", row_number().over(wPool.orderBy(
+            desc("rel"), col("neighbor_id"))))
+          .where(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rel").cast("double").as("rel"),
+            lit(null).cast("double").as("mmr"), lit(1L).as("step"))
+        for (t <- 2 to MmrK) {
+          val selIds = selected.select(col("query_id").as("sq"),
+            col("neighbor_id").as("sid"))
+          val cands = cand0.join(selIds,
+            col("query_id") === col("sq") &&
+              col("neighbor_id") === col("sid"), "left_anti")
+          val simToSel = ps.join(selIds,
+              col("query_id") === col("sq") && col("b_id") === col("sid"))
+            .groupBy(col("query_id").as("mq"), col("a_id"))
+            .agg(max(col("sim")).as("ms"))
+          val stepPick = cands.join(simToSel,
+              col("query_id") === col("mq") &&
+                col("neighbor_id") === col("a_id"))
+            .withColumn("mmr_d", lam * col("rel") - oneMinusLam * col("ms"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(desc("mmr_d"), col("neighbor_id"))))
+            .where(col("rn") === 1)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rel").cast("double").as("rel"),
+              col("mmr_d").cast("double").as("mmr"),
+              lit(t.toLong).as("step"))
+          selected = selected.unionByName(stepPick)
+        }
+        selected
+          .select(col("query_id"), col("step"), col("neighbor_id"),
+            col("rel"), col("mmr"))
+          .orderBy(col("query_id"), col("step"))
+      },
+      Some(mmrOracle))
   )
+
+  /** MMR constants shared by retrieval_mmr_topk and its oracle. */
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  /** Unrolled greedy MMR oracle: pool and pairwise-sim CTEs, then one
+    * (candidates → max-sim-to-picked → decimal argmax) block per
+    * round — the same expression shapes as the Spark rounds.
+    */
+  private def mmrOracle: String = {
+    val lam = "0.7::DECIMAL(2,1)"
+    val olam = "0.3::DECIMAL(2,1)"
+    val steps = (2 to MmrK).map { t =>
+      s"""c$t AS (
+      |  SELECT p.query_id, p.neighbor_id, p.rel,
+      |    ($lam * p.rel - $olam * MAX(ps.sim)) AS mmr
+      |  FROM pool p
+      |  JOIN sel${t - 1} s ON s.query_id = p.query_id
+      |  JOIN ps ON ps.query_id = p.query_id AND ps.a_id = p.neighbor_id
+      |    AND ps.b_id = s.neighbor_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+      |    WHERE x.query_id = p.query_id
+      |      AND x.neighbor_id = p.neighbor_id)
+      |  GROUP BY 1, 2, 3),
+      |pick$t AS (
+      |  SELECT query_id, neighbor_id, rel, mmr FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY mmr DESC, neighbor_id) AS rn FROM c$t)
+      |  WHERE rn = 1),
+      |sel$t AS (SELECT query_id, neighbor_id FROM sel${t - 1}
+      |  UNION ALL SELECT query_id, neighbor_id FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    val arms = (2 to MmrK).map { t =>
+      s"SELECT query_id, $t::BIGINT AS step, neighbor_id, " +
+        s"rel::DOUBLE AS rel, mmr::DOUBLE AS mmr FROM pick$t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+    |  SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+    |  WHERE vec_id < $NumQueryVecs),
+    |pool AS MATERIALIZED (
+    |  SELECT query_id, neighbor_id, emb, rel FROM (
+    |    SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS emb,
+    |      round(list_cosine_similarity(q.qemb::DOUBLE[],
+    |        e.embedding::DOUBLE[]), 6)::DECIMAL(18,6) AS rel,
+    |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+    |        ORDER BY round(list_cosine_similarity(q.qemb::DOUBLE[],
+    |          e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rn
+    |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+    |  WHERE rn <= $MmrPool),
+    |ps AS MATERIALIZED (
+    |  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+    |    round(list_cosine_similarity(a.emb::DOUBLE[], b.emb::DOUBLE[]),
+    |      6)::DECIMAL(18,6) AS sim
+    |  FROM pool a JOIN pool b ON a.query_id = b.query_id
+    |    AND a.neighbor_id <> b.neighbor_id),
+    |pick1 AS (
+    |  SELECT query_id, neighbor_id, rel FROM (
+    |    SELECT query_id, neighbor_id, rel, ROW_NUMBER() OVER (
+    |      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+    |    FROM pool)
+    |  WHERE rn = 1),
+    |sel1 AS (SELECT query_id, neighbor_id FROM pick1),
+    |$steps
+    |SELECT query_id, 1::BIGINT AS step, neighbor_id,
+    |  rel::DOUBLE AS rel, NULL::DOUBLE AS mmr FROM pick1
+    |UNION ALL
+    |$arms
+    |ORDER BY query_id, step""".stripMargin
+  }
 }

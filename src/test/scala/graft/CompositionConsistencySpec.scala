@@ -57,4 +57,31 @@ class CompositionConsistencySpec extends SparkSpec {
       assert(mrr >= 0.0 && mrr <= 1.0, s"mrr out of range: $r")
     }
   }
+
+  test("retrieval_mmr_topk: unique picks per query, rank-1 is the cosine argmax, and diversification reorders at least one query") {
+    val mmr = SparkEntry.queries("retrieval_mmr_topk")(spark, sfDir)
+      .select(col("query_id"), col("step"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val perQuery = mmr.groupBy(_._1)
+    perQuery.foreach { case (q, picks) =>
+      assert(picks.map(_._3).distinct.size == picks.size,
+        s"query $q re-picked a neighbor: $picks")
+      assert(picks.map(_._2).sorted == (1L to picks.size), s"steps 1..k: $picks")
+    }
+    val brute = SparkEntry.queries("ann_bruteforce_topk")(spark, sfDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val bruteTop = brute.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    perQuery.foreach { case (q, picks) =>
+      assert(picks.find(_._2 == 1L).map(_._3) == bruteTop.get(q),
+        s"MMR step 1 must be the pure-relevance argmax for query $q")
+    }
+    // λ < 1 must actually trade relevance for diversity somewhere:
+    // at least one query's MMR pick-set differs from its cosine top-k
+    val bruteSets = brute.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._3).toSet }
+    val diverged = perQuery.exists { case (q, picks) =>
+      bruteSets.get(q).exists(_ != picks.map(_._3).toSet) }
+    assert(diverged, "MMR never diverged from pure top-k on any query")
+  }
 }
