@@ -38,17 +38,27 @@ object Pca {
     def k: Int = eigenvalues.length
   }
 
-  /** Fit top-`k` principal components of `embCol` (array<double> or
-    * castable). `powerIters` bounds each component's power iteration;
-    * 100 is far past convergence for any spectral gap worth using.
+  /** The sufficient statistics of a PCA fit: row count plus the d
+    * first-moment and d(d+1)/2 upper-triangle second-moment EXACT
+    * decimal sums. Because they are exact sums, moments are MERGEABLE
+    * with plain addition — a corpus split any way and re-merged yields
+    * bit-identical moments, hence a bit-identical model
+    * ([[mergeMoments]]; spec-pinned). That is the incremental
+    * contract: each ingest batch computes its own buffer (one scan),
+    * and the corpus model refreshes by merging buffers — the
+    * embedding-space form of `incremental_agg_merge`.
     */
-  def pcaFit(emb: DataFrame, embCol: String, k: Int,
-             powerIters: Int = 100): PcaModel = {
-    require(k >= 1, s"k must be >= 1: $k")
+  final case class PcaMoments(n: Long, d: Int,
+                              sums: IndexedSeq[java.math.BigDecimal])
+
+  /** One-scan moment aggregate over `embCol` (array<double> or
+    * castable): the distributed half of the fit, reusable as an
+    * incremental buffer.
+    */
+  def pcaMoments(emb: DataFrame, embCol: String): PcaMoments = {
     val e = emb.select(col(embCol).cast("array<double>").as("__x"))
       .where(col("__x").isNotNull && size(col("__x")) > 0)
     val d = e.select(size(col("__x"))).head().getInt(0)
-    require(k <= d, s"k ($k) exceeds embedding dim ($d)")
     // ONE mergeable imperative aggregate carries all d + d(d+1)/2
     // decimal sums as its partial state — the earlier posexplode
     // formulation shuffled d(d+1)/2 rows per input row (4.3M exchange
@@ -62,9 +72,41 @@ object Pca {
     val row = e.agg(
       column(graft.expressions.OuterProductSumAgg(expression(col("__x"))))
         .as("s")).head().getStruct(0)
-    val n = row.getLong(0)
+    PcaMoments(row.getLong(0), d,
+      row.getSeq[java.math.BigDecimal](1).toIndexedSeq)
+  }
+
+  /** Exact decimal merge: moments(A ∪ B) = merge(moments(A),
+    * moments(B)) bit-for-bit (decimal addition is associative and
+    * commutative — no floating point anywhere in the buffer).
+    */
+  def mergeMoments(a: PcaMoments, b: PcaMoments): PcaMoments = {
+    require(a.d == b.d, s"dimension mismatch: ${a.d} vs ${b.d}")
+    require(a.sums.size == b.sums.size, "moment buffer size mismatch")
+    PcaMoments(a.n + b.n, a.d,
+      a.sums.zip(b.sums).map { case (x, y) => x.add(y) })
+  }
+
+  /** Fit top-`k` principal components of `embCol` (array<double> or
+    * castable). `powerIters` bounds each component's power iteration;
+    * 100 is far past convergence for any spectral gap worth using.
+    */
+  def pcaFit(emb: DataFrame, embCol: String, k: Int,
+             powerIters: Int = 100): PcaModel =
+    pcaFromMoments(pcaMoments(emb, embCol), k, powerIters)
+
+  /** The driver half of the fit: eigensolve over a moment buffer —
+    * rescanned or merged, the model is the same function of the exact
+    * sums.
+    */
+  def pcaFromMoments(mom: PcaMoments, k: Int,
+                     powerIters: Int = 100): PcaModel = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val d = mom.d
+    require(k <= d, s"k ($k) exceeds embedding dim ($d)")
+    val n = mom.n
     require(n > 0, "pcaFit: no rows")
-    val sums = row.getSeq[java.math.BigDecimal](1)
+    val sums = mom.sums
     val mean = new Array[Double](d)
     (0 until d).foreach(i => mean(i) = sums(i).doubleValue() / n)
     val m2 = Array.ofDim[Double](d, d) // E[x xᵀ]

@@ -72,4 +72,23 @@ class PcaSpec extends SparkSpec {
     assert(a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq)
     assert(a.mean.toSeq == b.mean.toSeq)
   }
+
+  test("incremental maintenance: merged batch moments equal the full rescan fit bit-for-bit") {
+    val all = rows(3000)
+    val (h1, h2) = all.splitAt(1700) // deliberately uneven batches
+    val full = Pca.pcaFit(all.toDF("id", "emb"), "emb", k = 3)
+    val m1 = Pca.pcaMoments(h1.toDF("id", "emb"), "emb")
+    val m2 = Pca.pcaMoments(h2.toDF("id", "emb"), "emb")
+    val merged = Pca.pcaFromMoments(Pca.mergeMoments(m1, m2), k = 3)
+    // exact decimal sums are associative: merge ≡ rescan, no epsilon
+    assert(merged.n == full.n)
+    assert(merged.mean.toSeq == full.mean.toSeq)
+    assert(merged.eigenvalues.toSeq == full.eigenvalues.toSeq)
+    assert(merged.components.map(_.toSeq).toSeq ==
+      full.components.map(_.toSeq).toSeq)
+    // merge is symmetric
+    val swapped = Pca.pcaFromMoments(Pca.mergeMoments(m2, m1), k = 3)
+    assert(swapped.components.map(_.toSeq).toSeq ==
+      full.components.map(_.toSeq).toSeq)
+  }
 }
