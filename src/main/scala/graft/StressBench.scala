@@ -216,6 +216,21 @@ object StressBench {
     timed("groupAdvantage50M")(
       sink(graft.ops.Reward.groupNormalizedAdvantage(rw, "g", "r")))
 
+    // bootstrap uncertainty at scale: 50M rows × 64 groups × 16
+    // Poisson replicates. The explode is map-side partial-aggregated
+    // (64×16 partial rows per task reach the exchange), so the wall is
+    // ~one pass of integer weight arithmetic over the corpus — NOT 16
+    // corpus shuffles, which is what a naive per-replicate resample
+    // would pay.
+    val bt = spark.range(50L * 1000 * 1000)
+      .select((col("id") % 64L).as("g"), col("id"),
+        (((col("id") * 2654435761L) % 1000001L).cast("double") / 1000000.0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v"))
+    timed("bootstrapMeans50M")(
+      sink(Relational.bootstrapMeans(bt, "g", "v", "id", reps = 16L,
+        m = 1000000L,
+        cdfThresholds = Seq(367879L, 735758L, 919698L, 981011L, 996340L))))
+
     println(s"""{"corpus_rows":$n,"copies":$copies,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -3372,19 +3372,8 @@ object TextQueries {
         val scored = d.select(col("doc_id"), col("source"),
           round(Text.qualityScore(col("text")), 6)
             .cast(DecimalType(18, 6)).as("reward"))
-        val reps = scored.select(col("doc_id"), col("source"), col("reward"),
-            explode(sequence(lit(0L), lit(BootReps - 1L))).as("r"))
-          .withColumn("h", detHash(BootM, col("doc_id"), col("r")))
-          .withColumn("w", BootCdfThresholds
-            .map(t => when(col("h") >= t, 1L).otherwise(0L))
-            .reduce(_ + _))
-        val rm = reps.groupBy(col("source"), col("r"))
-          .agg(sum(col("w") * col("reward")).as("sw"),
-            sum(col("w")).as("nw"))
-          .where(col("nw") > 0)
-          .select(col("source"), col("r"),
-            round((col("sw").cast("double") / col("nw").cast("double"))
-              .cast(DecimalType(18, 8)), 6).cast("double").as("m"))
+        val rm = graft.ops.Relational.bootstrapMeans(scored, "source",
+          "reward", "doc_id", BootReps, BootM, BootCdfThresholds)
         val wRank = Window.partitionBy(col("source"))
           .orderBy(col("m"), col("r"))
         val ranked = rm.withColumn("rn", row_number().over(wRank))

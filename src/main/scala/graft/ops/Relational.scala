@@ -571,4 +571,50 @@ object Relational {
       .select((leftCols.map(col) :+ col("__rt").as(matchedTimeCol)) ++
         rightVals.map(v => col(s"__rv_$v").as(v)): _*)
   }
+
+  /** Deterministic Poisson-bootstrap replicate means of a DECIMAL(18,6)
+    * metric per group: for each replicate r < `reps`, every row gets
+    * an integer Poisson(1) weight — the count of `cdfThresholds`
+    * (floor(CDF·m) integers) at or below detHash(idCol, r) ∈ [0, m) —
+    * and the replicate mean is the exact weighted decimal sum over the
+    * weighted count. Output: (gCol, r, m(double, round-6)).
+    *
+    * Scale shape: the reps× explode is partial-aggregated MAP-SIDE
+    * (groups × reps partial rows per task reach the exchange, never
+    * reps× raw rows — plan-asserted in the registered query), so the
+    * bootstrap costs ~one pass of weight arithmetic over the corpus
+    * regardless of reps. The CI itself is an order statistic over the
+    * ≤reps replicate means per group — driver-free, bounded.
+    */
+  def bootstrapMeans(df: DataFrame, gCol: String, valueCol: String,
+                     idCol: String, reps: Long, m: Long,
+                     cdfThresholds: Seq[Long]): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val base = df.select(col(gCol), col(idCol).as("__id"),
+      col(valueCol).as("__v"))
+    // EXPLODE form, deliberately: the reps× exploded rows partial-
+    // aggregate map-side ((groups × reps) partial rows per task reach
+    // the exchange), and a (g, r)-keyed hashmap with TWO accumulators
+    // stays in fast HashAggregate code. The tempting "one probe per
+    // input row" column form (2·reps decimal accumulators per group +
+    // per-replicate weight expressions in a projection) measured 4–5×
+    // SLOWER in an interleaved same-JVM A/B at 50M×16 (explode 12.1 s
+    // warm vs column 53–60 s — SCALING.md, r9): wide decimal
+    // aggregation buffers evict the fast-path and the when-chains
+    // don't CSE. Negative result kept here so nobody re-does it.
+    val exploded = base
+      .select(col(gCol), col("__id"), col("__v"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("r"))
+      .withColumn("__h", detHash(m, col("__id"), col("r")))
+      .withColumn("__w", cdfThresholds
+        .map(t => when(col("__h") >= t, 1L).otherwise(0L))
+        .reduce(_ + _))
+    exploded.groupBy(col(gCol), col("r"))
+      .agg(sum(col("__w") * col("__v")).as("__sw"),
+        sum(col("__w")).as("__nw"))
+      .where(col("__nw") > 0)
+      .select(col(gCol), col("r"),
+        round((col("__sw").cast("double") / col("__nw").cast("double"))
+          .cast(dec8), 6).cast("double").as("m"))
+  }
 }
