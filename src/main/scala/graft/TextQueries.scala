@@ -3170,6 +3170,55 @@ object TextQueries {
       },
       Some(linearProbeOracle)),
 
+    // Out-of-sample probe evaluation — the half of classifier training
+    // that quality_linear_probe's training curve cannot show: train on
+    // the even-doc_id split (the conformal-gate split convention),
+    // score the HELD-OUT odd split with the raw step-N weights, and
+    // report per-source MSE + thresholded accuracy. Train→eval→deploy
+    // is now one gated arc: probe (train) → this (eval) →
+    // quality_conformal_gate (deploy with a coverage promise). Scale
+    // shape: training is the probe's one moments pass over the train
+    // split; scoring is a pure scan-time dot product (weights ride the
+    // plan as literals) + one per-source aggregate. Exactness: the
+    // prediction is the same left-associated double dot product on
+    // both engines; per-row squared error re-quantizes to
+    // DECIMAL(18,6) before the exact sum; accuracy counts integer
+    // comparisons of bit-identical doubles.
+    QueryDef("quality_probe_holdout",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val label = expr(
+          "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(18,6))")
+        val train = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        val (n, a, b, syy) = graft.ops.LinearProbe.moments(
+          train, probeFeatsSpark, label)
+        val w = graft.ops.LinearProbe
+          .gdSteps(a, b, syy, n, ProbeEta, ProbeSteps).last.w
+        val pred = probeFeatsSpark.map(_.cast("double")).zip(w)
+          .map { case (f, wi) => f * lit(wi) }
+          .reduce(_ + _) // left fold = the oracle's left-assoc `+`
+        d.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("source"), pred.as("p"),
+            label.cast("double").as("yd"))
+          .withColumn("sq",
+            round(((col("p") - col("yd")) * (col("p") - col("yd")))
+              .cast(DecimalType(18, 8)), 6).cast(DecimalType(18, 6)))
+          .withColumn("correct",
+            when(when(col("p") >= 0.5, 1.0).otherwise(0.0) === col("yd"),
+              1L).otherwise(0L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_test"),
+            round((sum(col("sq")).cast("double") /
+              count(lit(1)).cast("double")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("mse"),
+            sum(col("correct")).as("n_correct"),
+            round((sum(col("correct")).cast("double") /
+              count(lit(1)).cast("double")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("accuracy"))
+          .orderBy(col("source"))
+      },
+      Some(probeHoldoutOracle)),
+
     // Vocabulary coverage curve: what fraction of all corpus tokens
     // the top-k types cover, for k on a doubling grid — the
     // tokenizer/vocab-sizing census (how big a vocab buys how much of
@@ -3481,41 +3530,50 @@ object TextQueries {
     * for multiply-referenced CTEs (SCALING.md, unrolled-oracle
     * lesson).
     */
-  private def linearProbeOracle: String = {
+  /** The probe features in DuckDB SQL — the exact mirrors of
+    * [[probeFeatsSpark]], shared by the train and holdout oracles.
+    */
+  private val probeFeatsSql = Seq(
+    "CAST(1 AS DECIMAL(18,6))",
+    "CAST(len(string_split(text, ' '))::DECIMAL(20,0) " +
+      "* 0.01::DECIMAL(8,6) AS DECIMAL(18,6))",
+    "CAST(length(text)::DECIMAL(20,0) " +
+      "* 0.001::DECIMAL(8,6) AS DECIMAL(18,6))",
+    "CAST(len(list_filter(string_split(text, ' '), " +
+      "w -> w IN ('the', 'a')))::DECIMAL(20,0) " +
+      "* 0.1::DECIMAL(8,6) AS DECIMAL(18,6))",
+    "CAST(len(list_distinct(string_split(text, ' ')))::DECIMAL(20,0) " +
+      "* 0.01::DECIMAL(8,6) AS DECIMAL(18,6))")
+
+  private val probeLabelSql =
+    "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(18,6))"
+
+  private def probeDot(j: Int): String = {
     val d = ProbeWeightNames.size
-    def aN(j: Int, k: Int) = if (j <= k) s"a$j$k" else s"a$k$j"
-    def dot(j: Int) = (0 until d).map(k => s"${aN(j, k)}*w$k").mkString(" + ")
+    def aN(a: Int, b: Int) = if (a <= b) s"a$a$b" else s"a$b$a"
+    (0 until d).map(k => s"${aN(j, k)}*w$k").mkString(" + ")
+  }
+
+  /** The moments-aggregate + unrolled-GD CTE chain reading feature
+    * rows (f0..f_{d−1}, y) from CTE `src`: emits `m`, `s0`..`s{steps}`
+    * — shared by the full-corpus trainer oracle and the holdout
+    * oracle (which points `src` at the train split).
+    */
+  private def probeGdCtes(src: String): String = {
+    val d = ProbeWeightNames.size
     val momCols = (for (j <- 0 until d; k <- j until d) yield s"a$j$k") ++
       (0 until d).map(j => s"b$j") :+ "syy"
     val carry = ("n" +: momCols).mkString(", ")
-    val feats = Seq(
-      "CAST(1 AS DECIMAL(18,6))",
-      "CAST(len(string_split(text, ' '))::DECIMAL(20,0) " +
-        "* 0.01::DECIMAL(8,6) AS DECIMAL(18,6))",
-      "CAST(length(text)::DECIMAL(20,0) " +
-        "* 0.001::DECIMAL(8,6) AS DECIMAL(18,6))",
-      "CAST(len(list_filter(string_split(text, ' '), " +
-        "w -> w IN ('the', 'a')))::DECIMAL(20,0) " +
-        "* 0.1::DECIMAL(8,6) AS DECIMAL(18,6))",
-      "CAST(len(list_distinct(string_split(text, ' ')))::DECIMAL(20,0) " +
-        "* 0.01::DECIMAL(8,6) AS DECIMAL(18,6))")
-    val fCols = feats.zipWithIndex
-      .map { case (e, i) => s"$e AS f$i" }.mkString(",\n    ")
     val mAggs = (
       Seq("COUNT(*)::DOUBLE AS n") ++
         (for (j <- 0 until d; k <- j until d)
           yield s"SUM(f$j*f$k)::DOUBLE AS a$j$k") ++
         (0 until d).map(j => s"SUM(f$j*y)::DOUBLE AS b$j") :+
         "SUM(y*y)::DOUBLE AS syy").mkString(",\n    ")
-    def mseExpr = {
-      val wAw = (0 until d).map(j => s"w$j*(${dot(j)})").mkString(" + ")
-      val wb = (0 until d).map(j => s"w$j*b$j").mkString(" + ")
-      s"(($wAw) - 2*($wb) + syy) / n"
-    }
     val zeroW = (0 until d).map(j => s"0.0::DOUBLE AS w$j").mkString(", ")
     val stepCtes = (1 to ProbeSteps).map { t =>
       val upd = (0 until d).map(j =>
-        s"w$j - $ProbeEta::DOUBLE * ((${dot(j)} - b$j) / n) AS v$j")
+        s"w$j - $ProbeEta::DOUBLE * ((${probeDot(j)} - b$j) / n) AS v$j")
         .mkString(",\n    ")
       val rename = (0 until d).map(j => s"v$j AS w$j").mkString(", ")
       s"""u$t AS (
@@ -3524,6 +3582,23 @@ object TextQueries {
          |  FROM s${t - 1}),
          |s$t AS (SELECT $carry, $rename FROM u$t)""".stripMargin
     }.mkString(",\n")
+    s"""m AS MATERIALIZED (
+       |  SELECT
+       |    $mAggs
+       |  FROM $src),
+       |s0 AS (SELECT *, $zeroW FROM m),
+       |$stepCtes""".stripMargin
+  }
+
+  private def linearProbeOracle: String = {
+    val d = ProbeWeightNames.size
+    val fCols = probeFeatsSql.zipWithIndex
+      .map { case (e, i) => s"$e AS f$i" }.mkString(",\n    ")
+    def mseExpr = {
+      val wAw = (0 until d).map(j => s"w$j*(${probeDot(j)})").mkString(" + ")
+      val wb = (0 until d).map(j => s"w$j*b$j").mkString(" + ")
+      s"(($wAw) - 2*($wb) + syy) / n"
+    }
     val arms = (0 to ProbeSteps).map { t =>
       val ws = ProbeWeightNames.zipWithIndex
         .map { case (nm, j) => s"round(w$j, 6) AS $nm" }.mkString(", ")
@@ -3532,16 +3607,47 @@ object TextQueries {
     s"""WITH f AS MATERIALIZED (
        |  SELECT
        |    $fCols,
-       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(18,6)) AS y
+       |    $probeLabelSql AS y
        |  FROM documents),
-       |m AS MATERIALIZED (
-       |  SELECT
-       |    $mAggs
-       |  FROM f),
-       |s0 AS (SELECT *, $zeroW FROM m),
-       |$stepCtes
+       |${probeGdCtes("f")}
        |$arms
        |ORDER BY step""".stripMargin
+  }
+
+  /** Holdout oracle: train the probe on the even-doc_id split (the
+    * identical GD chain), score the odd split with the RAW step-N
+    * weights, roll up per source.
+    */
+  private def probeHoldoutOracle: String = {
+    val d = ProbeWeightNames.size
+    val fCols = probeFeatsSql.zipWithIndex
+      .map { case (e, i) => s"$e AS f$i" }.mkString(",\n    ")
+    val predExpr = (0 until d).map(j => s"f$j::DOUBLE*w$j").mkString(" + ")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    $fCols,
+       |    $probeLabelSql AS y
+       |  FROM documents),
+       |tr AS (SELECT * FROM f WHERE doc_id % 2 = 0),
+       |${probeGdCtes("tr")},
+       |te AS (SELECT * FROM f WHERE doc_id % 2 = 1),
+       |pred AS (
+       |  SELECT te.source, ($predExpr) AS p, te.y::DOUBLE AS yd
+       |  FROM te, s$ProbeSteps),
+       |scored AS (
+       |  SELECT source,
+       |    CAST(round(((p - yd)*(p - yd))::DECIMAL(18,8), 6)
+       |      AS DECIMAL(18,6)) AS sq,
+       |    CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = yd
+       |      THEN 1 ELSE 0 END AS correct
+       |  FROM pred)
+       |SELECT source, COUNT(*) AS n_test,
+       |  CAST(round((SUM(sq)::DOUBLE / COUNT(*)::DOUBLE)::DECIMAL(18,8), 6)
+       |    AS DOUBLE) AS mse,
+       |  SUM(correct)::BIGINT AS n_correct,
+       |  CAST(round((SUM(correct)::DOUBLE / COUNT(*)::DOUBLE)
+       |    ::DECIMAL(18,8), 6) AS DOUBLE) AS accuracy
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** (doc_id, source, reward) — the 6-decimal quality score, shared by
