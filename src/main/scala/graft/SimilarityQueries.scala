@@ -1339,7 +1339,11 @@ object SimilarityQueries {
               col("rel").cast("double").as("rel"),
               col("mmr_d").cast("double").as("mmr"),
               lit(t.toLong).as("step"))
-          selected = selected.unionByName(stepPick)
+          // truncate lineage per round (the graph-loop idiom): without
+          // this the census showed 322 exchanges — each round re-derived
+          // every prior round's selection subtree. The frame is
+          // ≤ queries × k rows; the checkpoint is free.
+          selected = selected.unionByName(stepPick).localCheckpoint(true)
         }
         selected
           .select(col("query_id"), col("step"), col("neighbor_id"),
