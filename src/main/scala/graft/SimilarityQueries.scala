@@ -1350,7 +1350,75 @@ object SimilarityQueries {
             col("rel"), col("mmr"))
           .orderBy(col("query_id"), col("step"))
       },
-      Some(mmrOracle))
+      Some(mmrOracle)),
+
+    // Embedding-space geometry census: the distribution of pairwise
+    // cosines over a deterministic θ-sample of the corpus — the
+    // "are my embeddings healthy" screen (anisotropy/collapse shows
+    // as mass piling up near +1, which silently breaks every cosine
+    // threshold in the dedup/ANN family; a healthy space has a broad
+    // unimodal histogram). Scale shape: the θ = 1/4 detHash sample is
+    // the dial (at corpus scale pick θ so the sample stays
+    // ~10²–10³ vectors — the source_overlap_matrix contract); pair
+    // work is (θn)², never n². Exactness: cosines round to 6dp
+    // DECIMAL and the 20-bin assignment is PURE DECIMAL arithmetic —
+    // floor((cos+1)·10) exact, no IEEE anywhere after the round.
+    QueryDef("embedding_cos_histogram",
+      (s, dir) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .where(detHash(4L, col("vec_id")) === 0)
+          .withColumn("nrm", vectorNorm(col("emb")))
+          .where(col("nrm") > 0.0)
+        val b = e.select(col("vec_id").as("id_b"), col("emb").as("eb"),
+          col("nrm").as("nb"))
+        val pairs = e.join(b, col("vec_id") < col("id_b"))
+          .select(round(dotProduct(col("emb"), col("eb")) /
+            (col("nrm") * col("nb")), 6).cast(dec6).as("cos"))
+        val binned = pairs
+          .withColumn("bin",
+            least(floor((col("cos") + lit(1)) * lit(10)).cast("long"),
+              lit(19L)))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"),
+            sum(col("cos")).as("__sc"))
+        val tot = binned.agg(sum(col("n_pairs")).as("__t"))
+        binned.crossJoin(broadcast(tot))
+          .select(col("bin"),
+            round(col("bin").cast("double") / 10.0 - 1.0, 1).as("lo"),
+            col("n_pairs"),
+            round((col("n_pairs").cast("double") /
+              col("__t").cast("double")).cast(
+              org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+              .cast("double").as("frac"),
+            round((col("__sc").cast("double") /
+              col("n_pairs").cast("double")).cast(
+              org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+              .cast("double").as("mean_cos"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings
+        |  WHERE ${graft.functions.GraftFunctions.detHashSql(4L, Seq("vec_id"))} = 0
+        |    AND sqrt(list_dot_product(embedding::DOUBLE[],
+        |      embedding::DOUBLE[])) > 0),
+        |p AS (
+        |  SELECT round(list_cosine_similarity(a.emb, b.emb), 6)
+        |    ::DECIMAL(18,6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |bn AS (
+        |  SELECT LEAST(floor((cos + 1) * 10)::BIGINT, 19) AS bin,
+        |    COUNT(*) AS n_pairs, SUM(cos) AS sc
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT SUM(n_pairs) AS tt FROM bn)
+        |SELECT bin, round(bin::DOUBLE / 10.0 - 1.0, 1) AS lo, n_pairs,
+        |  CAST(round((n_pairs::DOUBLE / t.tt::DOUBLE)::DECIMAL(18,8), 6)
+        |    AS DOUBLE) AS frac,
+        |  CAST(round((sc::DOUBLE / n_pairs::DOUBLE)::DECIMAL(18,8), 6)
+        |    AS DOUBLE) AS mean_cos
+        |FROM bn, t ORDER BY bin""".stripMargin))
   )
 
   /** MMR constants shared by retrieval_mmr_topk and its oracle. */

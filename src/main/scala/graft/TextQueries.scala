@@ -3481,7 +3481,88 @@ object TextQueries {
         |    AS ci_width
         |FROM pt JOIN ci ON ci.source = pt.source
         |ORDER BY pt.source""".stripMargin
-      })
+      }),
+
+    // Conformal-gate temporal stability: compute the gate threshold
+    // (the ⌊(n+1)/10⌋-th smallest reward, quality_conformal_gate's
+    // rule) independently on two disjoint corpus periods and
+    // cross-audit — deploy period A's threshold on period B's traffic
+    // and vice versa. The drift row answers "can I ship yesterday's
+    // gate today": under exchangeability both cross-coverages stay
+    // ≈90%; a coverage drop IS distribution shift at exactly the
+    // quantile the gate lives at (sharper than PSI for this purpose —
+    // it measures the deployed decision, not the whole histogram).
+    // Scale shape: two order statistics via sort-limit on the scored
+    // frame + two broadcast threshold joins — the same exact-gate
+    // choice as quality_conformal_gate, with the KLL sketch
+    // (ConformalGateStream) as the unbounded-corpus path. Periods are
+    // doc_id halves (doc_id mod 4 < 2) — deterministic, disjoint,
+    // and independent of the gate's own calib/test parity split.
+    QueryDef("quality_gate_stability",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val scored = d.select(col("doc_id"),
+          round(Text.qualityScore(col("text")), 6).as("reward"))
+        def thrOf(half: org.apache.spark.sql.DataFrame, nm: String) = {
+          val n = half.count()
+          val k = (n + 1L) / 10L
+          (half.orderBy(col("reward"), col("doc_id")).limit(k.toInt)
+            .agg(max(col("reward")).as(nm))
+            .where(col(nm).isNotNull), n, k)
+        }
+        val a = scored.where(pmod(col("doc_id"), lit(4)) < 2)
+        val b = scored.where(pmod(col("doc_id"), lit(4)) >= 2)
+        val (thrA, nA, kA) = thrOf(a, "thr_a")
+        val (thrB, nB, kB) = thrOf(b, "thr_b")
+        def coverage(half: org.apache.spark.sql.DataFrame,
+                     thr: org.apache.spark.sql.DataFrame, thrCol: String,
+                     nm: String) =
+          half.crossJoin(broadcast(thr))
+            .agg(round((sum(when(col("reward") >= col(thrCol), 1L)
+              .otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as(nm))
+        val selfA = coverage(b, thrA, "thr_a", "cov_b_under_a")
+        val selfB = coverage(a, thrB, "thr_b", "cov_a_under_b")
+        thrA.crossJoin(broadcast(thrB))
+          .crossJoin(broadcast(selfA)).crossJoin(broadcast(selfB))
+          .select(lit(nA).as("n_a"), lit(kA).as("k_a"), col("thr_a"),
+            lit(nB).as("n_b"), lit(kB).as("k_b"), col("thr_b"),
+            round((col("thr_b") - col("thr_a")).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("thr_drift"),
+            col("cov_b_under_a"), col("cov_a_under_b"))
+      },
+      Some(s"""WITH q AS MATERIALIZED ($QualityBySourceSql),
+        |a AS (SELECT reward, doc_id FROM q WHERE doc_id % 4 < 2),
+        |b AS (SELECT reward, doc_id FROM q WHERE doc_id % 4 >= 2),
+        |na AS (SELECT COUNT(*) AS n FROM a),
+        |nb AS (SELECT COUNT(*) AS n FROM b),
+        |ta AS (
+        |  SELECT r.reward AS thr_a FROM (
+        |    SELECT reward, ROW_NUMBER() OVER (ORDER BY reward, doc_id)
+        |      AS rn FROM a) r, na
+        |  WHERE r.rn = (na.n + 1) // 10),
+        |tb AS (
+        |  SELECT r.reward AS thr_b FROM (
+        |    SELECT reward, ROW_NUMBER() OVER (ORDER BY reward, doc_id)
+        |      AS rn FROM b) r, nb
+        |  WHERE r.rn = (nb.n + 1) // 10),
+        |ca AS (
+        |  SELECT CAST(round((SUM(CASE WHEN b.reward >= ta.thr_a THEN 1
+        |      ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE)::DECIMAL(18,8), 6)
+        |    AS DOUBLE) AS cov_b_under_a
+        |  FROM b, ta),
+        |cb AS (
+        |  SELECT CAST(round((SUM(CASE WHEN a.reward >= tb.thr_b THEN 1
+        |      ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE)::DECIMAL(18,8), 6)
+        |    AS DOUBLE) AS cov_a_under_b
+        |  FROM a, tb)
+        |SELECT na.n AS n_a, (na.n + 1) // 10 AS k_a, ta.thr_a,
+        |  nb.n AS n_b, (nb.n + 1) // 10 AS k_b, tb.thr_b,
+        |  CAST(round((tb.thr_b - ta.thr_a)::DECIMAL(18,8), 6) AS DOUBLE)
+        |    AS thr_drift,
+        |  ca.cov_b_under_a, cb.cov_a_under_b
+        |FROM na, nb, ta, tb, ca, cb""".stripMargin))
   )
 
   /** Poisson(1) bootstrap constants shared by metric_bootstrap_ci's
