@@ -48,6 +48,119 @@ object SimilarityQueries {
   // Truncation-recall sweep: prefix dims evaluated against full width.
   private val TruncDims = Seq(8, 16, 32, 64)
 
+  private val PcaK = 8      // principal components fit + whitened
+  private val PcaIters = 100 // power-iteration steps per component
+
+  /** Recursive-CTE mirror of ops/Pca.pcaFit + pcaWhiten. One state row
+    * advances a power step per recursion level; every (PcaIters+1)th
+    * level finishes a component (Rayleigh λ, sign pin at the first
+    * max-|coordinate| index, rank-1 deflation) and restarts from the
+    * fixed 1/i seed — exactly the Scala loop structure. The moment
+    * sums mirror expressions/OuterProductSumAgg term for term
+    * (per-term DECIMAL(38,18) cast, exact decimal addition), so both
+    * engines eigensolve the same covariance up to double→decimal cast
+    * ULPs. Recursion depth = PcaK·(PcaIters+1) + 1 = 809 single-row
+    * steps over d-width lists — O(k·iters·d²) scalar ops, independent
+    * of corpus size.
+    */
+  private def pcaWhitenOracleSql: String = {
+    val k = PcaK
+    val it = PcaIters
+    s"""WITH RECURSIVE
+    |ve AS (
+    |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    |dims AS (SELECT max(len(emb)) AS d, count(*) AS n FROM ve),
+    |ex AS (
+    |  SELECT vec_id, unnest(emb) AS x, generate_subscripts(emb, 1) AS i
+    |  FROM ve),
+    |msum AS (
+    |  SELECT i, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s
+    |  FROM ex GROUP BY i),
+    |psum AS (
+    |  SELECT a.i AS i, b.i AS j,
+    |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS s
+    |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    |  GROUP BY 1, 2),
+    |meanv AS (
+    |  SELECT list(m.s / d2.n ORDER BY m.i) AS mean
+    |  FROM msum m CROSS JOIN dims d2),
+    |cov0 AS (
+    |  SELECT list(r ORDER BY i) AS cov FROM (
+    |    SELECT i, list(c ORDER BY j) AS r FROM (
+    |      SELECT gi.i, gj.j,
+    |        p.s / d2.n - (mi.s / d2.n) * (mj.s / d2.n) AS c
+    |      FROM dims d2,
+    |        LATERAL (SELECT unnest(range(1, d2.d + 1)) AS i) gi,
+    |        LATERAL (SELECT unnest(range(1, d2.d + 1)) AS j) gj
+    |      JOIN psum p ON p.i = least(gi.i, gj.j) AND p.j = greatest(gi.i, gj.j)
+    |      JOIN msum mi ON mi.i = gi.i
+    |      JOIN msum mj ON mj.i = gj.j)
+    |    GROUP BY i)),
+    |seed AS (
+    |  SELECT list_transform(range(1, d + 1),
+    |    i -> 1.0 / CAST(i AS DOUBLE)) AS v0, d FROM dims),
+    |it AS (
+    |  SELECT 0 AS comp, 0 AS iter, sd.v0 AS v, c0.cov AS cov,
+    |    CAST([] AS DOUBLE[]) AS lams, CAST([] AS DOUBLE[][]) AS comps
+    |  FROM seed sd CROSS JOIN cov0 c0
+    |  UNION ALL
+    |  SELECT
+    |    CASE WHEN s.iter < $it THEN s.comp ELSE s.comp + 1 END,
+    |    CASE WHEN s.iter < $it THEN s.iter + 1 ELSE 0 END,
+    |    CASE WHEN s.iter < $it THEN l2.vn ELSE sd.v0 END,
+    |    CASE WHEN s.iter < $it THEN s.cov ELSE l4.cov2 END,
+    |    CASE WHEN s.iter < $it THEN s.lams
+    |         ELSE list_append(s.lams, l3.lam) END,
+    |    CASE WHEN s.iter < $it THEN s.comps
+    |         ELSE list_append(s.comps, l3.sv) END
+    |  FROM it s
+    |  CROSS JOIN seed sd
+    |  CROSS JOIN LATERAL (
+    |    SELECT list_transform(range(1, sd.d + 1),
+    |      i -> list_sum(list_transform(range(1, sd.d + 1),
+    |        j -> s.cov[i][j] * s.v[j]))) AS w) l1
+    |  CROSS JOIN LATERAL (
+    |    SELECT CASE
+    |      WHEN sqrt(list_sum(list_transform(l1.w, x -> x * x))) > 0
+    |      THEN list_transform(l1.w,
+    |        x -> x / sqrt(list_sum(list_transform(l1.w, y -> y * y))))
+    |      ELSE s.v END AS vn) l2
+    |  CROSS JOIN LATERAL (
+    |    SELECT q.lam,
+    |      CASE WHEN s.v[q.piv] < 0
+    |        THEN list_transform(s.v, x -> -x) ELSE s.v END AS sv
+    |    FROM (SELECT
+    |      list_sum(list_transform(range(1, sd.d + 1),
+    |        i -> list_sum(list_transform(range(1, sd.d + 1),
+    |          j -> s.v[i] * s.cov[i][j] * s.v[j])))) AS lam,
+    |      list_position(list_transform(s.v, x -> abs(x)),
+    |        list_aggregate(list_transform(s.v, x -> abs(x)), 'max')) AS piv
+    |      ) q) l3
+    |  CROSS JOIN LATERAL (
+    |    SELECT list_transform(range(1, sd.d + 1),
+    |      i -> list_transform(range(1, sd.d + 1),
+    |        j -> s.cov[i][j] - l3.lam * l3.sv[i] * l3.sv[j])) AS cov2) l4
+    |  WHERE s.comp < $k),
+    |model AS (
+    |  SELECT s.lams, s.comps,
+    |    list_transform(range(1, $k + 1), c ->
+    |      list_sum(list_transform(range(1, sd.d + 1),
+    |        i -> mv.mean[i] * s.comps[c][i]))) AS meandots
+    |  FROM it s CROSS JOIN seed sd CROSS JOIN meanv mv
+    |  WHERE s.comp = $k AND s.iter = 0)
+    |SELECT e.vec_id, CAST(c.c AS INT) AS component,
+    |  CAST(round(CAST(
+    |    (list_sum(list_transform(range(1, len(e.emb) + 1),
+    |       i -> e.emb[i] * m.comps[c.c + 1][i])) - m.meandots[c.c + 1])
+    |    / sqrt(m.lams[c.c + 1] + 1e-9)
+    |    AS DECIMAL(38,12)), 6) AS DOUBLE) AS value
+    |FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+    |CROSS JOIN model m
+    |CROSS JOIN (SELECT unnest(range(0, $k)) AS c) c
+    |ORDER BY e.vec_id, component""".stripMargin
+  }
+
   /** DuckDB mirror of Similarity.signLshBucket (1-based subscripts →
     * i-1 matches Spark's 0-based transform index). Shared with the
     * capped cosine-dedup oracle in DedupQueries.
@@ -173,21 +286,31 @@ object SimilarityQueries {
     // Embedding PCA + whitening (ops/Pca): decimal-sum covariance
     // (distributed, partition-independent) + driver-side power
     // iteration over the d×d matrix (d bounded), whitening as a pure
-    // scan-time projection. Iterative eigendecomposition is not
-    // ANSI-expressible, so this is the repo's one rows-only query —
-    // correctness is spec-gated (PcaSpec: planted-basis recovery,
-    // orthonormality, unit whitened variance, bit-identical fit under
-    // repartitioning); registering it still runs the full surface
-    // end-to-end each round. The REGISTERED shape is scalar rows —
+    // scan-time projection. The REGISTERED shape is scalar rows —
     // the whitened vector posexploded to (vec_id, component, value)
     // with the value rounded through decimal — because the driver's
     // canonicalize-then-hash harness sorts result columns and cannot
     // order a raw array<double> (r8's one red gate). PcaSpec stays
     // the math proof over the vector form.
+    //
+    // Oracle (r10): the fixed-seed power iteration IS expressible —
+    // a recursive CTE whose single-row state is (comp, iter, v, cov,
+    // lams, comps) carried as DOUBLE[] / DOUBLE[][] lists, advancing
+    // one power step per recursion row and deflating every 100th step
+    // (the pprOracleSql / BPE unrolled-iteration precedent, in
+    // list-carried rather than row-carried form). Cross-engine
+    // agreement does NOT require bit-identical IEEE paths: the
+    // decimal moment sums are exact on both sides, and the eigen
+    // chain is a smooth function of those moments with ~1/λ·iters
+    // error amplification, so ULP-level divergence (list_sum order,
+    // double→decimal cast ties at scale 18) stays ~1e-12 — far
+    // inside the round-6 gate. Verified identical to a python
+    // BigDecimal replica of the Scala fit at all three SFs.
     QueryDef("embedding_pca_whiten",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val m = graft.ops.Pca.pcaFit(e, "embedding", k = 8)
+        val m = graft.ops.Pca.pcaFit(e, "embedding", k = PcaK,
+          powerIters = PcaIters)
         graft.ops.Pca.pcaWhiten(e, "vec_id", "embedding", m)
           .select(col("vec_id"), posexplode(col("whitened"))
             .as(Seq("component", "v")))
@@ -196,7 +319,7 @@ object SimilarityQueries {
               .cast("double").as("value"))
           .orderBy(col("vec_id"), col("component"))
       },
-      None),
+      Some(pcaWhitenOracleSql)),
 
     // Symmetric int8 quantization of the embedding column — the
     // standard 4× storage shrink for corpus-scale vector tables:
