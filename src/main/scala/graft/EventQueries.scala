@@ -523,6 +523,13 @@ object EventQueries {
     // ASOF LEFT JOIN with the tolerance as a post-CASE: matching an
     // independent built-in implementation (not a window re-derivation)
     // is the strongest cross-check the as-of semantics can get.
+    //
+    // This is THE window-form parity anchor (r10): the other as-of
+    // call sites route through the native AsofJoinExec/BroadcastExec;
+    // this one deliberately keeps the union-timeline window form so
+    // both implementations stay pinned to the same DuckDB built-in
+    // every round (it carries the richest contract — LEFT-outer +
+    // tolerance — hence anchors here rather than at the inner gate).
     QueryDef("events_asof_enrich",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
@@ -555,14 +562,19 @@ object EventQueries {
         |  ON l.user_id = r.c_uid AND l.ts_us >= r.c_us
         |ORDER BY l.event_id""".stripMargin)),
 
-    // The inner + tolerance contract knobs of Relational.asofJoin,
-    // pinned by their own hash gate (events_asof_enrich gates the
-    // LEFT-outer carry): purchases whose freshest prior click is
-    // within 1 h survive with exact integer staleness; stale-match
-    // and no-match purchases are DROPPED, not nulled. Oracle is
-    // DuckDB's native inner ASOF JOIN (drops unmatched) plus the
-    // tolerance as a WHERE on the matched staleness — again an
-    // independent built-in implementation, not a window replay.
+    // The inner + tolerance contract knobs, pinned by their own hash
+    // gate (events_asof_enrich gates the LEFT-outer carry): purchases
+    // whose freshest prior click is within 1 h survive with exact
+    // integer staleness; stale-match and no-match purchases are
+    // DROPPED, not nulled. Oracle is DuckDB's native inner ASOF JOIN
+    // (drops unmatched) plus the tolerance as a WHERE on the matched
+    // staleness — an independent built-in implementation.
+    //
+    // r10: routed through the NATIVE exec with broadcastRight = None —
+    // unlike events_asof_native_inner (which PINS sort-merge), this
+    // gate exercises the size-based auto selection between the
+    // broadcast and merge physical forms, the path production callers
+    // hit by default; the window form stayed at events_asof_enrich.
     QueryDef("events_asof_inner",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
@@ -572,7 +584,7 @@ object EventQueries {
           .agg(max(col("event_id")).as("click_id"))
         val purchases = e.where(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts_us"))
-        graft.ops.Relational.asofJoin(purchases, clicks,
+        graft.ops.Relational.asofJoinNative(purchases, clicks,
             "user_id", "c_uid", "ts_us", "c_us", Seq("click_id"),
             toleranceUs = Some(3600L * 1000000L), inner = true)
           .select(col("event_id"), col("user_id"), col("click_id"),
@@ -710,9 +722,19 @@ object EventQueries {
     // metadata-sized (hours in the observed range × |types| — a few
     // thousand rows at ANY data scale, from one 1-row min/max
     // aggregate), so the only data-sized work is the per-(type, ts)
-    // dedup aggregate and the as-of window — one shuffle each, keyed
+    // dedup aggregate and the as-of merge — one shuffle each, keyed
     // on event_type. Oracle: DuckDB generate_series + native ASOF
     // LEFT JOIN — an independent built-in implementation.
+    //
+    // r10: routed through the native AsofJoinExec with sort-merge
+    // PINNED — here the RIGHT side is the data-sized one (the
+    // per-(type, ts) timeline), so the broadcast form must never be
+    // auto-picked on a stats misestimate: collecting the corpus
+    // timeline to the driver is exactly the 100 TB failure mode. The
+    // merge form shuffles each side at its own width instead of the
+    // union-timeline's padded rows (the window form measured 3.1× its
+    // oracle at sf0.1; the native merge on the same contract is ~7×
+    // cheaper at 50M rows in StressBench).
     QueryDef("events_resample_ffill",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
@@ -728,8 +750,9 @@ object EventQueries {
         val grid = spine.crossJoin(
             broadcast(e.select(col("event_type")).distinct()))
           .withColumn("hour_us", unix_micros(col("hour")))
-        graft.ops.Relational.asofJoin(grid, byTs,
-            "event_type", "r_type", "hour_us", "r_us", Seq("fill_value"))
+        graft.ops.Relational.asofJoinNative(grid, byTs,
+            "event_type", "r_type", "hour_us", "r_us", Seq("fill_value"),
+            broadcastRight = Some(false))
           .select(col("hour"), col("event_type"), col("fill_value"))
           .orderBy(col("hour"), col("event_type"))
       },
