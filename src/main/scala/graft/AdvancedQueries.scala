@@ -861,10 +861,18 @@ object AdvancedQueries {
       (s, dir) => {
         val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
-        val e = coPurchasePairs(s, dir, directed = true).distinct()
+        // r10 constant cut: the degree census doesn't need the
+        // DIRECTED pair stream — distinct the u<v form (half the
+        // exchange volume of the directed distinct, the dominant
+        // term here) and count each endpoint once; the post-distinct
+        // union is a narrow 1-column stream into a map-side-partial
+        // count, not a second wide shuffle
+        val eu = coPurchasePairs(s, dir, directed = false).distinct()
         // two consumers (distribution + node totals) — checkpoint so
-        // the order-pair self-join runs once, not per consumer
-        val deg = e.groupBy(col("src").as("node"))
+        // the order-pair build runs once, not per consumer
+        val deg = eu.select(col("src").as("node"))
+          .unionAll(eu.select(col("dst").as("node")))
+          .groupBy(col("node"))
           .agg(count(lit(1)).as("deg")).localCheckpoint(true)
         val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("nd"))
         val r = dist.select(
@@ -881,6 +889,10 @@ object AdvancedQueries {
         val tot = deg.agg(count(lit(1)).as("n_nodes"),
           max(col("deg")).as("max_degree"))
         val den = col("n") * col("sxx") - col("sx") * col("sx")
+        // y-variance term: 0 when every degree occurs exactly once
+        // (all y = ln 1 = 0) — r2 would be 0/0 = NaN without its own
+        // guard (ADVICE r9); slope/intercept stay defined there
+        val deny = col("n") * col("syy") - col("sy") * col("sy")
         val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
         m.crossJoin(broadcast(tot))
           .select(col("n_nodes"), col("max_degree"), col("n_degrees"),
@@ -889,11 +901,11 @@ object AdvancedQueries {
             when(den === 0.0, lit(null).cast("double"))
               .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
               .as("intercept"),
-            when(den === 0.0, lit(null).cast("double"))
+            when(den === 0.0 || deny === 0.0, lit(null).cast("double"))
               .otherwise(round(
                 (col("n") * col("sxy") - col("sx") * col("sy")) *
                   (col("n") * col("sxy") - col("sx") * col("sy")) /
-                  (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+                  (den * deny), 6))
               .as("r2"))
       },
       Some("""WITH li AS (
@@ -924,7 +936,8 @@ object AdvancedQueries {
         |    ELSE round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
         |      * sx) / n, 6)
         |  END AS intercept,
-        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL
         |    ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         |  END AS r2

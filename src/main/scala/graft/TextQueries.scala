@@ -3681,9 +3681,13 @@ object TextQueries {
       s"(($wAw) - 2*($wb) + syy) / n"
     }
     val arms = (0 to ProbeSteps).map { t =>
+      // DECIMAL(18,8)→6 guard mirroring LinearProbe.fit (ADVICE r9)
       val ws = ProbeWeightNames.zipWithIndex
-        .map { case (nm, j) => s"round(w$j, 6) AS $nm" }.mkString(", ")
-      s"SELECT $t::BIGINT AS step, $ws, round($mseExpr, 6) AS mse FROM s$t"
+        .map { case (nm, j) =>
+          s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
+        .mkString(", ")
+      s"SELECT $t::BIGINT AS step, $ws, CAST(round(CAST($mseExpr" +
+        s" AS DECIMAL(18,8)), 6) AS DOUBLE) AS mse FROM s$t"
     }.mkString("\nUNION ALL\n")
     s"""WITH f AS MATERIALIZED (
        |  SELECT

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * before the defensive round(6).
   *
   * Reference behavior: quality scoring/filtering over corpus tables
-  * (ref `apps/dataproc/filter.go:15-60` gates on hand-set thresholds;
-  * this operator LEARNS the threshold surface from labels instead).
+  * (ref `apps/etl/etl_slimpajama_dc_proc.py:140-146` gates on
+  * hand-set length thresholds; this operator LEARNS the threshold
+  * surface from labels instead).
   */
 object LinearProbe {
 
@@ -63,6 +64,9 @@ object LinearProbe {
         sum(label * label).cast("double").as("syy")
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getDouble(0)
+    // empty input → NULL decimal sums (getDouble would NPE) and a 0/n
+    // division downstream — fail loud like Pca.pcaFromMoments does
+    require(n > 0, "LinearProbe.moments: no rows")
     val a = Array.ofDim[Double](d, d)
     var i = 1
     for (j <- 0 until d; k <- j until d) {
@@ -116,8 +120,13 @@ object LinearProbe {
             nullable = false)))
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+    // round through DECIMAL(18,8) like every other surfaced double —
+    // plain round(double, 6) leaves both engines rounding their own
+    // binary representation, a 1-ulp tie hazard (ADVICE r9)
     raw.select(col("step") +:
-      (weightNames :+ "mse").map(c => round(col(c), 6).as(c)): _*)
+      (weightNames :+ "mse").map(c =>
+        round(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+          .cast("double").as(c)): _*)
       .orderBy(col("step"))
   }
 }

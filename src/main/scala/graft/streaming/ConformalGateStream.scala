@@ -25,6 +25,13 @@ import graft.expressions.{Kll, KllBuf}
   * absorbed FIRST, then test rows gate against the refreshed
   * threshold — the deployment reading (ship today's gate, audit
   * today's traffic), documented rather than hidden.
+  *
+  * Cold start (ADVICE r9): before ANY calibration row has arrived
+  * (n_calib = 0) there is no threshold to gate against — test rows in
+  * that window are NOT audited (n_test/n_pass don't move, threshold
+  * emits as -Infinity). Counting them as passes would permanently
+  * bake an ungated prefix into the coverage counters; a consumer can
+  * see the window via n_calib = 0 rows.
   */
 object ConformalGateStream {
 
@@ -69,7 +76,9 @@ object ConformalGateStream {
           }
           val thr = if (buf.n == 0) Double.NegativeInfinity
                     else Kll.estimates(buf, Seq(q))(0)
-          rows.foreach { o =>
+          // no calibration yet → no gate to audit against: skip the
+          // counters rather than recording an all-pass prefix
+          if (buf.n > 0) rows.foreach { o =>
             if (o.side != 0) {
               nTest += 1
               if (o.reward >= thr) nPass += 1

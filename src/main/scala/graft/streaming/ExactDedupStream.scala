@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Streaming EXACT content dedup with watermark-bounded state — the
   * streaming form of the batch `dedup_exact` gate (ref
-  * `apps/dataproc/dedup.go:18-52`, full-content hash key), built on
+  * `apps/etl/etl_slimpajama_dc_proc.py:133-139`, hard dedup on the
+  * full-content hash key), built on
   * the engine's own `dropDuplicatesWithinWatermark` rather than a
   * hand-rolled state operator: the state store keeps ONE entry per
   * distinct content hash seen within the watermark horizon and the

@@ -69,7 +69,9 @@ class ConformalGateStreamSpec extends SparkSpec {
         graft.expressions.Kll.insert(buf, K, o.reward))
       val t = if (buf.n == 0) Double.NegativeInfinity
               else graft.expressions.Kll.estimates(buf, Seq(Q))(0)
-      b.foreach { o =>
+      // cold start: test rows before the first calibration row are
+      // not audited (mirrors the operator's ADVICE-r9 contract)
+      if (buf.n > 0) b.foreach { o =>
         if (o.side != 0) { expTest += 1; if (o.reward >= t) expPass += 1 }
       }
     }
@@ -79,5 +81,33 @@ class ConformalGateStreamSpec extends SparkSpec {
     val rate = nPass.toDouble / nTest
     assert(rate >= 1 - Q - 0.1 && rate <= 1.0,
       s"coverage far from promise: $rate vs ${1 - Q}")
+  }
+
+  test("cold start: test rows before any calibration are not audited") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[GateObs]
+    val name = s"gate_cold_${System.nanoTime()}"
+    val qy = ConformalGateStream.conformalGateStream(mem.toDS(), K, Q)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: ONLY test traffic — no threshold exists yet
+      mem.addData(GateObs("g", 1, 0.9), GateObs("g", 1, 0.1))
+      qy.processAllAvailable()
+      val r1 = spark.table(name).orderBy(col("version"))
+        .as[(String, Long, Long, Double, Long, Long, Long)].collect().last
+      assert(r1._3 == 0L, "no calibration absorbed yet")
+      assert(r1._4.isNegInfinity, "cold threshold emits as -Infinity")
+      assert(r1._6 == 0L && r1._7 == 0L,
+        s"ungated traffic must not enter the audit: ${r1._6}/${r1._7}")
+      // batch 2: calibration arrives; auditing starts THIS batch
+      mem.addData(GateObs("g", 0, 0.5), GateObs("g", 1, 0.9),
+        GateObs("g", 1, 0.1))
+      qy.processAllAvailable()
+      val r2 = spark.table(name).orderBy(col("version"))
+        .as[(String, Long, Long, Double, Long, Long, Long)].collect().last
+      assert(r2._3 == 1L && r2._6 == 2L,
+        s"post-calibration traffic audits: n_calib=${r2._3} n_test=${r2._6}")
+    } finally qy.stop()
   }
 }
