@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{Encoders, Row}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.ops.{Cost, Multimodal}
@@ -241,6 +242,54 @@ object AdvancedQueries {
         |  md5(substring(text, (i * 192 + 1)::INT, 192)) AS chunk_md5
         |FROM idx
         |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // S9 REAL-decode gate (r10): deterministic synthetic PNGs (dims
+    // and half-colors closed-form in doc_id) are encoded with
+    // ImageIO.write on the executors, then decoded back through
+    // Multimodal.decodeImage (javax.imageio — the real JDK reader, not
+    // the stub) behind the same partition-batched bridge. PNG over
+    // TYPE_INT_RGB is lossless, so the decoded width/height/channel
+    // sums are analytically predictable — which lets DuckDB (no image
+    // reader at all) oracle-check a genuine encode→decode round trip:
+    // left halves get floor(w/2) columns, integer pixel sums are
+    // exact BIGINTs on both sides. The binary payload never shuffles —
+    // synth, decode, and projection all ride one scan-time pipeline;
+    // only the thin stat rows hit the presentation sort.
+    QueryDef("multimodal_image_stats",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val schema = base.schema
+          .add("payload", org.apache.spark.sql.types.BinaryType)
+        val withPng = base.mapPartitions { it: Iterator[Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            def ch(k: Long): Int = ((id * k) % 256L).toInt
+            val w = (8L + id % 16L).toInt
+            val h = (8L + id % 8L).toInt
+            val left = (ch(7) << 16) | (ch(13) << 8) | ch(29)
+            val right = (ch(11) << 16) | (ch(17) << 8) | ch(31)
+            Row(id, Multimodal.encodeSplitPng(w, h, left, right))
+          }
+        }(Encoders.row(schema))
+        Multimodal.extractImageStats(withPng, "payload")
+          .select(col("doc_id"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("decoded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    (8 + doc_id % 16)::BIGINT AS w, (8 + doc_id % 8)::BIGINT AS h,
+        |    (doc_id * 7) % 256 AS lr, (doc_id * 13) % 256 AS lg,
+        |    (doc_id * 29) % 256 AS lb,
+        |    (doc_id * 11) % 256 AS rr, (doc_id * 17) % 256 AS rg,
+        |    (doc_id * 31) % 256 AS rb
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |  (h * ((w // 2) * lr + (w - w // 2) * rr))::BIGINT AS sum_r,
+        |  (h * ((w // 2) * lg + (w - w // 2) * rg))::BIGINT AS sum_g,
+        |  (h * ((w // 2) * lb + (w - w // 2) * rb))::BIGINT AS sum_b,
+        |  TRUE AS decoded
+        |FROM g ORDER BY doc_id""".stripMargin)),
 
     // Rendezvous (highest-random-weight) shard assignment — the
     // consistent-placement primitive for growing a 100 TB corpus from

@@ -8,11 +8,13 @@ import org.apache.spark.sql.SparkSession
   * median is reported — this VM shows order-of-magnitude wall-clock
   * swings (SCALING.md), so single-shot numbers are not comparable
   * across rounds. Queries whose 3-run median exceeds 5 s get
-  * SPARK_GRAFT_BENCH_HEAVY_EXTRA (default 2) additional back-to-back
-  * samples and report the median of all 5 — the 32-thread-saturating
-  * class swings 1.5-2.3× under VM burst-throttling and needs the
-  * larger sample (VERDICT r8 #8). SPARK_GRAFT_BENCH_ONLY=a,b,c
-  * restricts to a subset for local iteration.
+  * SPARK_GRAFT_BENCH_HEAVY_EXTRA (default 2) additional sample passes
+  * (median of all 5) — the 32-thread-saturating class swings 1.5-2.3×
+  * under VM burst-throttling and needs the larger sample (VERDICT r8
+  * #8); the >8 s class gets 2× the extra passes with a park between
+  * them so the samples span throttle windows (VERDICT r9 #5).
+  * SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset for local
+  * iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -92,11 +94,26 @@ object Bench {
     // burst-throttle window hits all samples or none.
     val heavyExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_EXTRA", "2").toInt
     val heavies = prelim.filter(_._2 > 5.0).keys.toSeq.sorted
+    // The >8 s saturating class (knn-clusters, band-curve, …) still
+    // swung ±45% between same-day records when its extra samples ran
+    // back-to-back — one burst-throttle window tainted the whole
+    // sample (VERDICT r9 #5). That class now gets MORE passes
+    // (2×heavyExtra → 7 samples total at the default) and each extra
+    // pass is separated by a multi-second park, so samples land in
+    // different throttle windows and the median can drop a tainted
+    // one. The 5-8 s class keeps the original 2-pass treatment.
+    val heavies8 = prelim.filter(_._2 > 8.0).keys.toSeq.sorted
+    val extraPasses = if (heavies8.nonEmpty) 2 * heavyExtra else heavyExtra
     val extraRuns: Map[String, Seq[Double]] =
       if (heavyExtra <= 0 || heavies.isEmpty) Map.empty
-      else (1 to heavyExtra).flatMap { round =>
-        val order = new scala.util.Random(900001L + round).shuffle(heavies)
-        order.map(settleThenTime)
+      else (1 to extraPasses).flatMap { round =>
+        val pool = if (round <= heavyExtra) heavies else heavies8
+        if (pool.isEmpty) Nil
+        else {
+          if (round > 1) Thread.sleep(3000) // decorrelate burst windows
+          new scala.util.Random(900001L + round).shuffle(pool)
+            .map(settleThenTime)
+        }
       }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
     val results = names.map { n =>
       n -> median(perRound.map(_(n)) ++ extraRuns.getOrElse(n, Nil))

@@ -169,6 +169,15 @@ object StressBench {
       sink(graft.ops.Quantile.winsorizedStats(repVals, "g", "v", 0.05, 0.95)))
     timed("madOutliers50M")(
       sink(graft.ops.Quantile.robustOutliers(repVals, "g", "v", 5.1891)))
+    // the remaining two quantile-family ops on the same 50M/100k-
+    // distinct corpus (VERDICT r9 #4) — every pass after the first
+    // (group, value) count runs on the distinct frame here too
+    timed("groupQuantilesExact50M")(
+      sink(graft.ops.Quantile.groupQuantiles(repVals, "g", "v",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))))
+    timed("weightedMedian50M")(
+      sink(graft.ops.Quantile.groupWeightedQuantile(
+        repVals.withColumn("w", (col("v") % 7.0) + 1.0), "g", "v", "w", 0.5)))
 
     // as-of join at the 100 TB shape: a 50M-row fact side against a
     // 100k-row dimension timeline (1000 keys × ~100 epochs). The three

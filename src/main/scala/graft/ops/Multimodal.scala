@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * PDF → page images → base64 → multimodal LLM,
   * apps/poc-instruction-gen/run_example2template.py:77-169).
   *
-  * The decode/feature-extract step is a STUB in this environment (no
-  * image/audio libraries in the container): `decodeStub` derives a
-  * deterministic fake feature vector from the payload digest. The
-  * Spark-side plumbing is real and tested — binary schema,
+  * Image decode is REAL as of r10 ([[decodeImage]]: JDK-native
+  * `javax.imageio`, PNG/JPEG/GIF/BMP, exact per-channel pixel sums —
+  * gated end-to-end by multimodal_image_stats over deterministic
+  * synthetic PNGs). `decodeStub` remains for payload classes the JVM
+  * has no reader for (audio/video/PDF — no codecs in this container):
+  * it derives a deterministic fake feature vector from the payload
+  * digest, and the Spark-side plumbing around it — binary schema,
   * partition-level batching through mapPartitions, fixed-width
-  * feature output, scan-time metadata extraction — so swapping the
-  * stub for a real decoder (JNI/ONNX/Pandas-UDF service) changes one
-  * function, not the pipeline.
+  * feature output, scan-time metadata extraction — is real and
+  * tested, so swapping it for a real decoder (JNI/ONNX/Pandas-UDF
+  * service) changes one function, not the pipeline.
   */
 object Multimodal {
 
@@ -80,6 +83,90 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ bytes.length.toLong :+ digest :+ feats.toSeq)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode, JDK-native (`javax.imageio` — PNG/JPEG/GIF/BMP
+    * readers ship with the JVM, zero new dependencies): width, height
+    * and EXACT per-channel pixel sums (integer totals, not means — a
+    * hash gate wants integers). Returns None when no installed reader
+    * recognizes the payload; callers keep [[decodeStub]] for those, so
+    * the stub now covers ONLY formats the JVM genuinely can't read
+    * (the reference's PDF rasterizing stays out of scope — r9 verdict
+    * item 7 scoped it so).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB, alpha ignored
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sr, sg, sb)
+    }
+
+  /** Image-stat extraction through the SAME partition-batched bridge
+    * as [[extractFeatures]]: adds (width, height, sum_r, sum_g, sum_b,
+    * decoded). Undecodable payloads keep the row with decoded = false
+    * and null stats — at corpus scale you filter or route those to the
+    * quarantine sink rather than failing the scan.
+    */
+  def extractImageStats(df: DataFrame, bytesCol: String): DataFrame = {
+    val schema = df.schema
+    val idx = schema.fieldIndex(bytesCol)
+    val outSchema = schema
+      .add("width", LongType).add("height", LongType)
+      .add("sum_r", LongType).add("sum_g", LongType).add("sum_b", LongType)
+      .add("decoded", BooleanType)
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        decodeImage(bytes) match {
+          case Some((w, h, sr, sg, sb)) =>
+            Row.fromSeq(row.toSeq :+ w.toLong :+ h.toLong :+
+              sr :+ sg :+ sb :+ true)
+          case None =>
+            Row.fromSeq(row.toSeq :+ null :+ null :+ null :+ null :+ null :+
+              false)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic synthetic PNG: left half `leftRgb`, right half
+    * `rightRgb` (0xRRGGBB), split at floor(w/2). PNG over TYPE_INT_RGB
+    * is lossless, so decode recovers the exact pixel values — which
+    * makes the decoded stats CLOSED-FORM in (w, h, colors) and an
+    * ImageIO round trip oracle-checkable by an engine with no image
+    * reader at all (the multimodal_image_stats gate).
+    */
+  def encodeSplitPng(w: Int, h: Int, leftRgb: Int, rightRgb: Int)
+      : Array[Byte] = {
+    require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < w / 2) leftRgb else rightRgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   /** Chunk manifest for a binary payload: fixed-size chunks (the last

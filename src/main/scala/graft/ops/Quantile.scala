@@ -99,7 +99,13 @@ object Quantile {
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("__g"))
+    // same (partition, order) spec as wCum with an unbounded frame:
+    // Spark collapses window expressions sharing partitionBy+orderBy
+    // into ONE WindowExec, so the running and total sums ride one
+    // sort run — the DuckDB fusion (VERDICT r9 #4); a bare
+    // partitionBy spec planned a SECOND window pass over the frame
+    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = counts
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
@@ -147,7 +153,13 @@ object Quantile {
       .agg(sum(col("__w")).as("__gw"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("__g"))
+    // same (partition, order) spec as wCum with an unbounded frame:
+    // Spark collapses window expressions sharing partitionBy+orderBy
+    // into ONE WindowExec, so the running and total sums ride one
+    // sort run — the DuckDB fusion (VERDICT r9 #4); a bare
+    // partitionBy spec planned a SECOND window pass over the frame
+    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     agg
       .withColumn("__cw", sum(col("__gw")).over(wCum))
       .withColumn("__tw", sum(col("__gw")).over(wAll))
@@ -189,7 +201,13 @@ object Quantile {
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("__g"))
+    // same (partition, order) spec as wCum with an unbounded frame:
+    // Spark collapses window expressions sharing partitionBy+orderBy
+    // into ONE WindowExec, so the running and total sums ride one
+    // sort run — the DuckDB fusion (VERDICT r9 #4); a bare
+    // partitionBy spec planned a SECOND window pass over the frame
+    val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = counts
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
@@ -267,7 +285,9 @@ object Quantile {
     def medianOf(frame: DataFrame, vCol: String, out: String) = {
       val wCum = Window.partitionBy(col("__g")).orderBy(col(vCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("__g"))
+      // one-sort-run fusion, same as groupQuantiles (VERDICT r9 #4)
+      val wAll = Window.partitionBy(col("__g")).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       frame
         .withColumn("__cum", sum(col("__c")).over(wCum))
         .withColumn("__n", sum(col("__c")).over(wAll))

@@ -30,6 +30,87 @@ final case class MockSandbox() extends Sandbox {
   }
 }
 
+/** REAL sandbox (reference sandbox_run, tableqa_codeact.py:143-172):
+  * writes `code` to a one-use temp script and forks the local python
+  * interpreter, merging stderr into stdout exactly like the
+  * reference's `Popen(stderr=STDOUT)` — so a `Traceback` lands in the
+  * returned text and [[CodeAct.isExecError]] / the repair loop see it.
+  *
+  * Bounded where the reference is not (the reference trusts its
+  * operator): `timeoutMs` wall-clock (process force-killed; the
+  * output is prefixed with a synthetic `Traceback: SandboxTimeout`
+  * so the loop treats a hang as a failed round) and `maxOutputChars`
+  * (a runaway printer is killed and the captured prefix marked
+  * truncated).
+  *
+  * DRIVER-ONLY, enforced: `run` refuses to execute inside a Spark
+  * task (TaskContext present ⇒ IllegalStateException). Forking
+  * arbitrary generated code on executors is the one thing the
+  * Sandbox trait's scaladoc bans — at cluster scale that would be
+  * remote code execution on every worker. Distributed gates keep
+  * [[MockSandbox]]; real execution happens on collected/driver-local
+  * rows, where ulimits and audit live. (The trait is Serializable so
+  * an instance CAN ride a closure — the TaskContext check is the
+  * enforcement, not the type system; spec-pinned.)
+  */
+final class ProcessSandbox(pythonExe: String = "python3",
+                           timeoutMs: Long = 10000L,
+                           maxOutputChars: Int = 1 << 16) extends Sandbox {
+  override def run(code: String): String = {
+    if (org.apache.spark.TaskContext.get() != null)
+      throw new IllegalStateException(
+        "ProcessSandbox is driver-only: generated code must never fork " +
+          "inside a Spark task (use MockSandbox for distributed paths)")
+    val dir = java.nio.file.Files.createTempDirectory("sandbox_")
+    val script = dir.resolve(
+      s"script_${java.util.UUID.randomUUID().toString.replace("-", "")}.py")
+    try {
+      java.nio.file.Files.writeString(script, code)
+      val pb = new ProcessBuilder(pythonExe, script.toString)
+      pb.redirectErrorStream(true) // stderr -> stdout, like the reference
+      val p = pb.start()
+      p.getOutputStream.close()
+      val sb = new java.lang.StringBuilder
+      var truncated = false
+      // reader thread: a full pipe would deadlock waitFor otherwise
+      val reader = new Thread(() => {
+        val in = new java.io.InputStreamReader(
+          p.getInputStream, java.nio.charset.StandardCharsets.UTF_8)
+        val buf = new Array[Char](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          sb.synchronized {
+            if (sb.length < maxOutputChars) {
+              sb.append(buf, 0, math.min(n, maxOutputChars - sb.length))
+              if (sb.length >= maxOutputChars) truncated = true
+            }
+          }
+          if (truncated) p.destroyForcibly() // stop a runaway printer
+          n = in.read(buf)
+        }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val finished = p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!finished) p.destroyForcibly()
+      reader.join(2000)
+      val out = sb.synchronized {
+        // the reference strips alternating '\n' and ' ' from both ends
+        sb.toString.dropWhile(c => c == '\n' || c == ' ')
+          .reverse.dropWhile(c => c == '\n' || c == ' ').reverse
+      }
+      if (!finished)
+        s"Traceback: SandboxTimeout after ${timeoutMs} ms\n$out"
+      else if (truncated)
+        s"$out\n[sandbox: output truncated at $maxOutputChars chars]"
+      else out
+    } finally {
+      java.nio.file.Files.deleteIfExists(script)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+}
+
 /** Deterministic code-emitting client: always answers with a single
   * `<code>run(<hash16>)</code>` block derived from the conversation's
   * system prompt and last user message. SQL mirror in

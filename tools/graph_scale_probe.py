@@ -21,7 +21,9 @@ import time
 import duckdb
 
 QUERIES = ["graph_triangles_parts", "graph_bfs_hops",
-           "graph_coreness_parts", "graph_label_prop_parts"]
+           "graph_coreness_parts", "graph_label_prop_parts",
+           "graph_pagerank_parts", "graph_ppr_parts",
+           "graph_degree_powerlaw"]
 
 ORDER_SHIFT = 10_000_000
 PART_SHIFT = 1_000_000
@@ -43,17 +45,30 @@ def build_scaled(src_dir: str, out_dir: str, copies: int) -> str:
     return out
 
 
-def time_oracles(lineitem_path: str, oracle_sql: dict, threads: int = 32):
+def time_oracles(lineitem_path: str, oracle_sql: dict, threads: int = 32,
+                 label: str = ""):
     rows = {}
     for q in QUERIES:
         sql = oracle_sql[q]
         con = duckdb.connect()
         con.execute(f"SET threads={threads}")
+        # bounded spill: the x10 pagerank/ppr unrolled CTEs spilled
+        # >79 GB and filled the disk (r10) — cap and record DNF
+        # instead; an oracle that cannot finish at the scaled shape
+        # IS the scaling datum
+        con.execute("SET memory_limit='80GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_probe_tmp'")
+        con.execute("SET max_temp_directory_size='40GB'")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
                     f"read_parquet('{lineitem_path}')")
         t0 = time.time()
-        con.execute(sql).fetchall()
-        rows[q] = round(time.time() - t0, 3)
+        try:
+            con.execute(sql).fetchall()
+            rows[q] = round(time.time() - t0, 3)
+        except Exception as ex:
+            rows[q] = f"DNF after {round(time.time() - t0, 1)}s: " \
+                      f"{type(ex).__name__}"
+        print(f"  [{label}] {q}: {rows[q]}", flush=True)
         con.close()
     return rows
 
@@ -68,12 +83,13 @@ def main():
                         ("sf0.01", "/root/testdata/sf0.01"),
                         ("sf0.1", "/root/testdata/sf0.1")]:
         results[label] = time_oracles(
-            os.path.join(path, "lineitem.parquet"), oracle_sql)
+            os.path.join(path, "lineitem.parquet"), oracle_sql, label=label)
         print(label, json.dumps(results[label]), flush=True)
-    scaled = build_scaled("/root/testdata/sf0.1", "/tmp/sfgraph", copies)
-    results[f"sf0.1x{copies}"] = time_oracles(scaled, oracle_sql)
-    print(f"sf0.1x{copies}", json.dumps(results[f"sf0.1x{copies}"]),
-          flush=True)
+    scaled = build_scaled("/root/testdata/sf0.1", f"/tmp/sfgraph{copies}",
+                          copies)
+    lbl = f"sf0.1x{copies}"
+    results[lbl] = time_oracles(scaled, oracle_sql, label=lbl)
+    print(lbl, json.dumps(results[lbl]), flush=True)
 
 
 if __name__ == "__main__":
