@@ -78,6 +78,79 @@ object DedupQueries {
   // band-curve denominator threshold: 5-shingle Jaccard ≥ 0.5 keeps
   // the exact-recall PPJoin cheap while spanning the analytic knee
   private val LshCurveThreshold = 0.5
+
+  // lsh_param_plan knobs: dedup threshold the plan must catch, and
+  // the recall floor the fewest-bands winner must clear
+  private val PlanTauTarget = 0.7
+  private val PlanRecallFloor = 0.9
+  private val PlanSplits = Seq((32, 2), (16, 4), (8, 8), (4, 16))
+
+  /** Oracle for lsh_param_plan: the quarter-sampled augmented corpus,
+    * an all-pairs exact-Jaccard check (the sample keeps it ~1450 docs
+    * at sf0.1), then the same left-associative 1−(1−j^r)^b chains,
+    * DECIMAL(18,8) sums, and fewest-bands-meeting-floor selection
+    * window as Similarity.lshParamPlan — generated from the SAME
+    * constants so the grid cannot drift.
+    */
+  private def lshParamPlanOracleSql: String = {
+    val src = "(SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0" +
+      "\n  UNION ALL" +
+      "\n  SELECT d.doc_id + 100000 * f.k AS doc_id," +
+      "\n    array_to_string((string_split(d.text, ' '))" +
+      "[1:(len(string_split(d.text, ' ')) * f.k) // 20], ' ') AS text" +
+      s"\n  FROM documents d, (SELECT unnest([${CurveFracs.mkString(", ")}]) AS k) f" +
+      s"\n  WHERE d.doc_id < 200 AND d.doc_id % 4 = 0) aug"
+    val tChains = PlanSplits.zipWithIndex.map { case ((_, r), k) =>
+      s"1 - (${Seq.fill(r)("j").mkString(" * ")}) AS t$k" }.mkString(",\n  ")
+    val pChains = PlanSplits.zipWithIndex.map { case ((b, _), k) =>
+      s"1 - (${Seq.fill(b)(s"t$k").mkString(" * ")}) AS p$k" }.mkString(",\n  ")
+    val sums = PlanSplits.indices.map { k =>
+      s"sum(CASE WHEN hi = 1 THEN CAST(p$k AS DECIMAL(18,8)) END) AS shi$k," +
+        s" sum(CASE WHEN hi = 0 THEN CAST(p$k AS DECIMAL(18,8)) END) AS slo$k"
+    }.mkString(",\n    ")
+    val arms = PlanSplits.zipWithIndex.map { case ((b, r), k) =>
+      s"""SELECT $b::BIGINT AS bands, $r::BIGINT AS rows,
+         |  nhi AS n_pairs_high, nlo AS n_pairs_low,
+         |  CASE WHEN nhi > 0 THEN CAST(round(CAST(CAST(shi$k AS DOUBLE)
+         |    / nhi::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) END AS exp_recall,
+         |  CASE WHEN nlo > 0 THEN CAST(round(CAST(CAST(slo$k AS DOUBLE)
+         |    / nlo::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) END AS exp_waste
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM
+       |$src),
+       |ss AS (SELECT doc_id,
+       |  list_distinct(list_transform($shinglesSql,
+       |    s -> ${md5LongSql("s")})) AS ss FROM w),
+       |ex AS (
+       |  SELECT len(list_intersect(a.ss, b.ss)) AS common,
+       |    len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS u
+       |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id),
+       |exf AS (SELECT common::DOUBLE / u AS j FROM ex
+       |  WHERE round(common::DOUBLE / u, 6) >= $LshCurveThreshold),
+       |c0 AS (SELECT j, CASE WHEN j >= $PlanTauTarget THEN 1 ELSE 0 END AS hi
+       |  FROM exf),
+       |c1 AS (SELECT j, hi,
+       |  $tChains
+       |  FROM c0),
+       |c2 AS (SELECT hi,
+       |  $pChains
+       |  FROM c1),
+       |m AS (SELECT
+       |    sum(hi)::BIGINT AS nhi, sum(1 - hi)::BIGINT AS nlo,
+       |    $sums
+       |  FROM c2),
+       |pl AS (
+       |$arms),
+       |sel AS (SELECT *, row_number() OVER (ORDER BY
+       |    (coalesce(exp_recall, 0) >= $PlanRecallFloor) DESC,
+       |    CASE WHEN coalesce(exp_recall, 0) >= $PlanRecallFloor
+       |      THEN bands END ASC NULLS LAST,
+       |    exp_recall DESC, bands) AS rn FROM pl)
+       |SELECT bands, rows, n_pairs_high, n_pairs_low, exp_recall,
+       |  exp_waste, rn = 1 AS selected
+       |FROM sel ORDER BY bands""".stripMargin
+  }
   // prefix-truncation fractions (twentieths) for the curve's
   // synthetic moderate-similarity pairs
   private val CurveFracs = Seq(11, 13, 15, 17)
@@ -713,6 +786,29 @@ object DedupQueries {
         |    / count(*)::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE) AS analytic_rate
         |FROM c2 GROUP BY sim_bin ORDER BY sim_bin""".stripMargin
       }),
+
+    // J1-planning — LSH (bands, rows) parameter plan (TODO r9
+    // candidate, Similarity.lshParamPlan): pick the signature split a
+    // dedup deployment should use from the OBSERVED pair-similarity
+    // distribution — expected recall over J ≥ 0.7 pairs and expected
+    // wasted-verify rate over 0.5 ≤ J < 0.7 pairs for each divisor
+    // split of the 64-perm signature, selected = fewest bands meeting
+    // recall ≥ 0.9. Runs on a deterministic quarter sample
+    // (doc_id % 4 = 0) of the curve-augmented corpus — the production
+    // planner shape (plan on a sample, deploy on the corpus), and it
+    // keeps this gate's PPJoin + the oracle's all-pairs check ~16×
+    // cheaper than lsh_band_curve's full-corpus denominator.
+    QueryDef("lsh_param_plan",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .where(pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("doc_id"), col("text"))
+        Similarity.lshParamPlan(curveAugmented(d), "doc_id", "text",
+          tauMin = LshCurveThreshold, tauTarget = PlanTauTarget,
+          recallFloor = PlanRecallFloor, numPerms = NumPerms,
+          shingleN = ShingleN, plans = PlanSplits)
+      },
+      Some(lshParamPlanOracleSql)),
 
     // Chunk-level shared-content pairs (substring-dedup family at
     // chunk granularity): doc pairs sharing ≥2 identical 64-word

@@ -697,6 +697,83 @@ object Similarity {
       .orderBy(col("sim_bin"))
   }
 
+  /** LSH (bands, rows) parameter PLANNER: picks the split of the
+    * numPerms signature a dedup deployment should use, from the
+    * OBSERVED pair-similarity distribution rather than a textbook
+    * s-curve guess. For each divisor split (b, r) in `plans`:
+    *
+    *   exp_recall = mean over enumerable pairs with J ≥ tauTarget of
+    *                P(catch) = 1 − (1 − J^r)^b  — duplicates the
+    *                deployment MUST find
+    *   exp_waste  = the same mean over tauMin ≤ J < tauTarget — the
+    *                sub-threshold candidates the verify stage pays for
+    *
+    * `selected` marks the FEWEST-bands plan whose exp_recall meets
+    * `recallFloor` (each band is one more shuffled (band, bucket) key
+    * per doc — fewer bands = cheaper index), falling back to the
+    * max-recall plan when none reaches the floor.
+    *
+    * Scale shape: pair enumeration is the exact-recall PPJoin at
+    * tauMin ([[jaccardPrefixPairsDetailed]] — prefix/length/positional
+    * filtered, output-bounded, never corpus²), and everything after it
+    * is one aggregate row over the pair stream + a ≤|plans|-row
+    * unpivot. At 100 TB the planner runs on a deterministic doc sample
+    * (the gate samples doc_id % 4 = 0): the similarity HISTOGRAM, not
+    * the corpus, is the decision input. Exactness: per-pair catch
+    * probabilities are left-associative multiply chains over the
+    * exact-support J (the lshBandCurveReport convention), summed as
+    * DECIMAL(18,8) so the means are partitioning-independent.
+    */
+  def lshParamPlan(df: DataFrame, idCol: String, textCol: String,
+                   tauMin: Double, tauTarget: Double, recallFloor: Double,
+                   numPerms: Int = 64, shingleN: Int = 5,
+                   plans: Seq[(Int, Int)] =
+                     Seq((32, 2), (16, 4), (8, 8), (4, 16))): DataFrame = {
+    require(tauMin > 0 && tauMin < tauTarget && tauTarget <= 1,
+      s"need 0 < tauMin < tauTarget <= 1: $tauMin, $tauTarget")
+    require(plans.nonEmpty && plans.forall { case (b, r) =>
+      b * r == numPerms }, s"every (b, r) must split numPerms=$numPerms")
+    import org.apache.spark.sql.types.DecimalType
+    val dec8 = DecimalType(18, 8)
+    val tok = df.select(col(idCol).as("__id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("__w"))
+    val exact = jaccardPrefixPairsDetailed(tok, tauMin)
+    val j = col("common").cast("double") /
+      (col("sz_a") + col("sz_b") - col("common")).cast("double")
+    val base = exact.select(j.as("__j"))
+    val hi = col("__j") >= lit(tauTarget)
+    val aggCols =
+      Seq(sum(when(hi, 1L).otherwise(0L)).as("__nhi"),
+        sum(when(!hi, 1L).otherwise(0L)).as("__nlo")) ++
+        plans.zipWithIndex.flatMap { case ((b, r), k) =>
+          val t = lit(1.0) - (1 to r).map(_ => col("__j")).reduce(_ * _)
+          val p = lit(1.0) - (1 to b).map(_ => t).reduce(_ * _)
+          Seq(sum(when(hi, p.cast(dec8))).as(s"__hi$k"),
+            sum(when(!hi, p.cast(dec8))).as(s"__lo$k"))
+        }
+    val one = base.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = plans.zipWithIndex.map { case ((b, r), k) =>
+      s"$b, $r, __hi$k, __lo$k" }.mkString(", ")
+    val perPlan = one.selectExpr("__nhi", "__nlo",
+      s"stack(${plans.size}, $stackArgs) AS (bands, rows, __shi, __slo)")
+      .select(col("bands").cast("long").as("bands"),
+        col("rows").cast("long").as("rows"),
+        col("__nhi").as("n_pairs_high"), col("__nlo").as("n_pairs_low"),
+        when(col("__nhi") > 0, round((col("__shi").cast("double") /
+          col("__nhi").cast("double")).cast(dec8), 6).cast("double"))
+          .as("exp_recall"),
+        when(col("__nlo") > 0, round((col("__slo").cast("double") /
+          col("__nlo").cast("double")).cast(dec8), 6).cast("double"))
+          .as("exp_waste"))
+    // |plans| rows: the selection window is driver-bounded by design
+    val ok = coalesce(col("exp_recall"), lit(0.0)) >= lit(recallFloor)
+    val w = Window.orderBy(ok.desc, when(ok, col("bands")).asc_nulls_last,
+      desc("exp_recall"), col("bands"))
+    perPlan
+      .withColumn("selected", (row_number().over(w) === 1))
+      .orderBy(col("bands"))
+  }
+
   /** Incremental MinHash-LSH dedup for batch-append ingestion: drop
     * rows of `newDf` that collide (share an LSH band bucket) with the
     * already-accepted corpus, represented by its signature frame
