@@ -3219,6 +3219,24 @@ object TextQueries {
       },
       Some(probeHoldoutOracle)),
 
+    // Ridge regularization path for the probe (TODO r9 candidate,
+    // LinearProbe.ridgePath): the λ grid reuses the ONE moments scan —
+    // each λ is driver algebra on the same 5×5 decimal-exact moments,
+    // so the whole sweep costs one corpus pass. Reported MSE is the
+    // UNPENALIZED training fit (λ shapes the path; the report shows
+    // what shrinkage costs). λ = 0 reproduces quality_linear_probe's
+    // final step exactly — the path's anchor row. Oracle: one unrolled
+    // GD chain per λ (prefix-namespaced CTEs), generated from the same
+    // grid constants.
+    QueryDef("quality_probe_ridge",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.LinearProbe.ridgePath(s, d, probeFeatsSpark,
+          expr("CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(18,6))"),
+          ProbeWeightNames, ProbeEta, ProbeSteps, RidgeLambdas)
+      },
+      Some(probeRidgeOracle)),
+
     // Vocabulary coverage curve: what fraction of all corpus tokens
     // the top-k types cover, for k on a doubling grid — the
     // tokenizer/vocab-sizing census (how big a vocab buys how much of
@@ -3586,6 +3604,11 @@ object TextQueries {
   private val ProbeWeightNames =
     Seq("w_bias", "w_words", "w_chars", "w_stop", "w_distinct")
 
+  /** quality_probe_ridge λ grid: 0 anchors the path at the plain
+    * probe; 0.05/0.5 show one decade of shrinkage.
+    */
+  private val RidgeLambdas = Seq(0.0, 0.05, 0.5)
+
   /** Probe features, DECIMAL(18,6)-exact per row: bias, words/100,
     * chars/1000, stopwords/10, distinct-words/100. The rational
     * rescale keeps weights O(0.1–1) (so round-6 output carries
@@ -3640,7 +3663,13 @@ object TextQueries {
     * — shared by the full-corpus trainer oracle and the holdout
     * oracle (which points `src` at the train split).
     */
-  private def probeGdCtes(src: String): String = {
+  /** `lambda` > 0 appends the ridge term (λ·w, OUTSIDE the /n — the
+    * exact gdSteps shape); λ = 0 keeps the legacy λ-free expression
+    * (`x + 0·w` is not an IEEE identity). `pfx` namespaces the CTE
+    * chain so one oracle can unroll several λs side by side.
+    */
+  private def probeGdCtes(src: String, lambda: Double = 0.0,
+                          pfx: String = ""): String = {
     val d = ProbeWeightNames.size
     val momCols = (for (j <- 0 until d; k <- j until d) yield s"a$j$k") ++
       (0 until d).map(j => s"b$j") :+ "syy"
@@ -3653,21 +3682,24 @@ object TextQueries {
         "SUM(y*y)::DOUBLE AS syy").mkString(",\n    ")
     val zeroW = (0 until d).map(j => s"0.0::DOUBLE AS w$j").mkString(", ")
     val stepCtes = (1 to ProbeSteps).map { t =>
-      val upd = (0 until d).map(j =>
-        s"w$j - $ProbeEta::DOUBLE * ((${probeDot(j)} - b$j) / n) AS v$j")
-        .mkString(",\n    ")
+      val upd = (0 until d).map { j =>
+        val grad =
+          if (lambda == 0.0) s"((${probeDot(j)} - b$j) / n)"
+          else s"((${probeDot(j)} - b$j) / n + $lambda::DOUBLE * w$j)"
+        s"w$j - $ProbeEta::DOUBLE * $grad AS v$j"
+      }.mkString(",\n    ")
       val rename = (0 until d).map(j => s"v$j AS w$j").mkString(", ")
-      s"""u$t AS (
+      s"""${pfx}u$t AS (
          |  SELECT $carry,
          |    $upd
-         |  FROM s${t - 1}),
-         |s$t AS (SELECT $carry, $rename FROM u$t)""".stripMargin
+         |  FROM ${pfx}s${t - 1}),
+         |${pfx}s$t AS (SELECT $carry, $rename FROM ${pfx}u$t)""".stripMargin
     }.mkString(",\n")
-    s"""m AS MATERIALIZED (
+    s"""${pfx}m AS MATERIALIZED (
        |  SELECT
        |    $mAggs
        |  FROM $src),
-       |s0 AS (SELECT *, $zeroW FROM m),
+       |${pfx}s0 AS (SELECT *, $zeroW FROM ${pfx}m),
        |$stepCtes""".stripMargin
   }
 
@@ -3697,6 +3729,40 @@ object TextQueries {
        |${probeGdCtes("f")}
        |$arms
        |ORDER BY step""".stripMargin
+  }
+
+  /** Ridge-path oracle: one prefix-namespaced unrolled GD chain per λ
+    * over ONE shared feature CTE, final-step weights + unpenalized MSE
+    * per chain — generated from the same RidgeLambdas grid as the
+    * Spark side.
+    */
+  private def probeRidgeOracle: String = {
+    val d = ProbeWeightNames.size
+    val fCols = probeFeatsSql.zipWithIndex
+      .map { case (e, i) => s"$e AS f$i" }.mkString(",\n    ")
+    def mseExpr = {
+      val wAw = (0 until d).map(j => s"w$j*(${probeDot(j)})").mkString(" + ")
+      val wb = (0 until d).map(j => s"w$j*b$j").mkString(" + ")
+      s"(($wAw) - 2*($wb) + syy) / n"
+    }
+    val chains = RidgeLambdas.zipWithIndex
+      .map { case (lam, i) => probeGdCtes("f", lam, s"l$i") }.mkString(",\n")
+    val arms = RidgeLambdas.zipWithIndex.map { case (lam, i) =>
+      val ws = ProbeWeightNames.zipWithIndex
+        .map { case (nm, j) =>
+          s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
+        .mkString(", ")
+      s"SELECT $lam::DOUBLE AS lambda, $ws, CAST(round(CAST($mseExpr" +
+        s" AS DECIMAL(18,8)), 6) AS DOUBLE) AS mse FROM l${i}s$ProbeSteps"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT
+       |    $fCols,
+       |    $probeLabelSql AS y
+       |  FROM documents),
+       |$chains
+       |$arms
+       |ORDER BY lambda""".stripMargin
   }
 
   /** Holdout oracle: train the probe on the even-doc_id split (the

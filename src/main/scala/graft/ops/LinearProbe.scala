@@ -77,13 +77,18 @@ object LinearProbe {
     (n, a, b, syy)
   }
 
-  /** Fixed-step gradient descent on the moments: w ← w − η(Aw − b)/n
-    * from w = 0, emitting (step, w, mse) for step 0..steps where
-    * mse = (wᵀAw − 2wᵀb + Σy²)/n. Pure driver arithmetic — expression
-    * shapes mirrored exactly by the SQL oracle.
+  /** Fixed-step gradient descent on the moments: w ← w − η((Aw − b)/n
+    * + λw) from w = 0, emitting (step, w, mse) for step 0..steps where
+    * mse = (wᵀAw − 2wᵀb + Σy²)/n — the UNPENALIZED training MSE (λ
+    * shapes the path, the report shows the fit). λ = 0 (default) is
+    * plain least squares; λ > 0 is the ridge path — the standard
+    * shrinkage against the probe overfitting a small labeled slice.
+    * Pure driver arithmetic — expression shapes mirrored exactly by
+    * the SQL oracle.
     */
   def gdSteps(a: Array[Array[Double]], b: Array[Double], syy: Double,
-              n: Double, eta: Double, steps: Int): Seq[ProbeStep] = {
+              n: Double, eta: Double, steps: Int,
+              lambda: Double = 0.0): Seq[ProbeStep] = {
     val d = b.length
     def mseOf(w: Array[Double]): Double = {
       val dots = Array.tabulate(d)(j => dotL(a(j), w))
@@ -95,10 +100,51 @@ object LinearProbe {
     val out = Seq.newBuilder[ProbeStep]
     out += ProbeStep(0, w.toSeq, mseOf(w))
     for (t <- 1 to steps) {
-      w = Array.tabulate(d)(j => w(j) - eta * ((dotL(a(j), w) - b(j)) / n))
+      // λ term OUTSIDE the /n division, mirrored term for term by the
+      // oracle's `((dot − b)/n + λ·w)` — one IEEE shape, two engines.
+      // λ = 0 keeps the EXACT legacy expression: `x + 0.0·w` is not a
+      // bit-level identity (−0.0 + 0.0 = +0.0), and the λ-free oracle
+      // spells the λ-free shape.
+      w =
+        if (lambda == 0.0)
+          Array.tabulate(d)(j => w(j) - eta * ((dotL(a(j), w) - b(j)) / n))
+        else
+          Array.tabulate(d)(j =>
+            w(j) - eta * ((dotL(a(j), w) - b(j)) / n + lambda * w(j)))
       out += ProbeStep(t, w.toSeq, mseOf(w))
     }
     out.result()
+  }
+
+  /** Ridge regularization path: ONE moments scan, one GD chain per λ
+    * (driver algebra on the same d×d moments — the λ grid costs zero
+    * extra corpus passes), reporting the final-step weights and the
+    * unpenalized training MSE per λ. The standard shrinkage sweep
+    * before deploying a probe trained on a small labeled slice: read
+    * how fast the weights shrink vs how slowly the fit degrades.
+    * Output: (lambda, <weight columns>, mse), one row per λ, all
+    * through the DECIMAL(18,8)→6 guard.
+    */
+  def ridgePath(spark: SparkSession, df: DataFrame, feats: Seq[Column],
+                label: Column, weightNames: Seq[String], eta: Double,
+                steps: Int, lambdas: Seq[Double]): DataFrame = {
+    require(weightNames.size == feats.size, "one name per feature")
+    require(lambdas.nonEmpty && lambdas.forall(_ >= 0), s"bad grid: $lambdas")
+    val (n, a, b, syy) = moments(df, feats, label)
+    val rows = lambdas.map { lam =>
+      val last = gdSteps(a, b, syy, n, eta, steps, lam).last
+      Row.fromSeq(lam +: last.w :+ last.mse)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      ("lambda" +: weightNames :+ "mse").map(c => org.apache.spark.sql.types
+        .StructField(c, org.apache.spark.sql.types.DoubleType,
+          nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .select(col("lambda") +:
+        (weightNames :+ "mse").map(c =>
+          round(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+            .cast("double").as(c)): _*)
+      .orderBy(col("lambda"))
   }
 
   /** One-scan fit: moments + driver GD, returned as a DataFrame of
