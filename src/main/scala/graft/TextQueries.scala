@@ -783,6 +783,25 @@ object TextQueries {
         |  ORDER BY pk DESC, doc_id DESC LIMIT 50)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Neyman-allocation stratified sample (Relational.
+    // neymanStratifiedSample): split a 100-doc labeling budget across
+    // sources proportionally to N_h·σ_h of doc length — the
+    // variance-minimizing allocation for a stratified mean estimate,
+    // i.e. "where should the human-eval budget go". Largest-remainder
+    // integerization (quotas sum to the budget exactly), N_h cap,
+    // deterministic hash-rank draw; the report row carries the drawn
+    // ids' sum + md5 so the GATE pins the exact docs drawn, not just
+    // the quota arithmetic. One corpus moments pass + strata-frame
+    // algebra + one rank window — the sampler itself never shuffles
+    // the corpus twice.
+    QueryDef("sample_stratified_neyman",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Relational.neymanStratifiedSample(
+          d, "source", "n_chars", "doc_id", NeymanBudget)
+      },
+      Some(neymanOracleSql)),
+
     // Token-budget selection (ops/Text.tokenBudgetSelect): the best
     // documents by quality score until 40 % of the corpus' tokens are
     // spent — the final cut of every pretraining-data run. The naive
@@ -3608,6 +3627,59 @@ object TextQueries {
     * probe; 0.05/0.5 show one decade of shrinkage.
     */
   private val RidgeLambdas = Seq(0.0, 0.05, 0.5)
+
+  /** sample_stratified_neyman labeling budget. */
+  private val NeymanBudget = 100L
+
+  /** Oracle for sample_stratified_neyman: the same decimal moments,
+    * σ/share/largest-remainder algebra, and (md5Long(id), id) draw,
+    * spelled in the operator's exact IEEE shapes.
+    */
+  private def neymanOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v, doc_id AS id
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |m AS (SELECT g, count(*) AS n,
+       |    sum(CAST(v AS DECIMAL(38,10))) AS s,
+       |    sum(CAST(v * v AS DECIMAL(38,10))) AS s2
+       |  FROM c GROUP BY g),
+       |w2 AS (SELECT g, n,
+       |    sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n::DOUBLE
+       |      - (CAST(s AS DOUBLE) / n::DOUBLE)
+       |        * (CAST(s AS DOUBLE) / n::DOUBLE))) AS sig,
+       |    n::DOUBLE * sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / n::DOUBLE
+       |      - (CAST(s AS DOUBLE) / n::DOUBLE)
+       |        * (CAST(s AS DOUBLE) / n::DOUBLE))) AS nw
+       |  FROM m),
+       |t AS (SELECT sum(nw) AS tot, sum(n) AS nn FROM w2),
+       |a2 AS (SELECT g, n, sig,
+       |    CAST(floor($NeymanBudget.0 * share) AS BIGINT) AS base,
+       |    $NeymanBudget.0 * share
+       |      - floor($NeymanBudget.0 * share) AS rem
+       |  FROM (SELECT g, n, sig,
+       |    CASE WHEN t.tot > 0.0 THEN nw / t.tot
+       |         ELSE n::DOUBLE / t.nn::DOUBLE END AS share
+       |    FROM w2, t)),
+       |sb AS (SELECT sum(base) AS sb FROM a2),
+       |q AS (SELECT g, n, sig,
+       |    least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+       |      <= $NeymanBudget - sb.sb THEN 1 ELSE 0 END, n) AS alloc
+       |  FROM a2, sb),
+       |r AS (SELECT c.g, c.id, q.alloc,
+       |    row_number() OVER (PARTITION BY c.g ORDER BY
+       |      ('0x' || substring(md5(c.id::VARCHAR), 1, 15))::BIGINT, c.id)
+       |      AS rk
+       |  FROM c JOIN q ON q.g = c.g),
+       |rep AS (SELECT g, count(*) AS n_sampled, sum(id)::BIGINT AS id_sum,
+       |    md5(string_agg(id::VARCHAR, ',' ORDER BY id)) AS ids_md5
+       |  FROM r WHERE rk <= alloc GROUP BY g)
+       |SELECT q.g AS source, q.n AS n_rows,
+       |  CAST(round(CAST(q.sig AS DECIMAL(18,8)), 6) AS DOUBLE) AS sigma,
+       |  q.alloc::BIGINT AS alloc,
+       |  coalesce(rep.n_sampled, 0)::BIGINT AS n_sampled,
+       |  coalesce(rep.id_sum, 0)::BIGINT AS id_sum,
+       |  rep.ids_md5
+       |FROM q LEFT JOIN rep ON rep.g = q.g ORDER BY source""".stripMargin
 
   /** Probe features, DECIMAL(18,6)-exact per row: bias, words/100,
     * chars/1000, stopwords/10, distinct-words/100. The rational

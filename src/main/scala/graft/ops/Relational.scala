@@ -617,4 +617,98 @@ object Relational {
         round((col("__sw").cast("double") / col("__nw").cast("double"))
           .cast(dec8), 6).cast("double").as("m"))
   }
+
+  /** Neyman-allocation stratified sample: split a fixed labeling /
+    * human-eval `budget` across strata proportionally to N_h·σ_h (the
+    * allocation that minimizes the stratified mean's variance — more
+    * budget where the metric is both plentiful AND noisy), then draw
+    * each stratum's quota deterministically by hash rank. The
+    * curation use: "we can afford `budget` human labels; which docs?"
+    *
+    * Mechanics, all engine-exact:
+    *   - σ_h from per-stratum DECIMAL(38,10) moment sums (population
+    *     σ, fixed IEEE shape over the exact sums).
+    *   - Integerization by LARGEST REMAINDER over the ideal real
+    *     allocations (floor everything, hand the leftover to the
+    *     biggest fractional parts; ties break on the stratum key) —
+    *     quotas sum exactly to `budget` before the N_h cap.
+    *   - Quotas cap at N_h with NO redistribution (single-pass; the
+    *     iterative re-allocation variant exists in the literature but
+    *     trades determinism-auditability for a marginal variance win).
+    *   - The draw is the top-quota docs by (md5Long(id), id) — the
+    *     deterministic-sampling primitive every other sampler here
+    *     uses, so two engines and two runs pick the SAME docs.
+    *
+    * Scale shape: one corpus moments aggregate (map-side combined),
+    * allocation algebra on the ≤|strata|-row frame (broadcast back),
+    * one per-stratum rank window for the draw. The collect_list in
+    * the report is bounded by the stratum quota ≤ budget. Returns
+    * (stratum, n_rows, sigma, alloc, n_sampled, id_sum, ids_md5).
+    */
+  def neymanStratifiedSample(df: DataFrame, stratumCol: String,
+                             valueCol: String, idCol: String,
+                             budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val clean = df.select(col(stratumCol).as("__g"),
+        col(valueCol).cast("double").as("__v"),
+        col(idCol).cast("long").as("__id"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+    // tiny (≤|strata| rows); checkpoint so the corpus aggregate runs
+    // once, not once per downstream consumer
+    val mom = clean.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum((col("__v") * col("__v")).cast(dec)).as("__s2"))
+      .localCheckpoint(true)
+    val nD = col("__n").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val sigma = sqrt(greatest(lit(0.0),
+      col("__s2").cast("double") / nD - mean * mean))
+    val weighted = mom.withColumn("__sig", sigma)
+      .withColumn("__nw", nD * col("__sig"))
+    val tot = weighted.agg(sum(col("__nw")).as("__tot"),
+      sum(col("__n")).as("__nsum")) // not "__N": Spark resolves case-insensitively
+    val alloc0 = weighted.crossJoin(broadcast(tot))
+      // all-constant strata (σ ≡ 0 everywhere) degrade to
+      // proportional allocation rather than 0/0
+      .withColumn("__share", when(col("__tot") > 0.0,
+          col("__nw") / col("__tot"))
+        .otherwise(nD / col("__nsum").cast("double")))
+      .withColumn("__ideal", lit(budget.toDouble) * col("__share"))
+      .withColumn("__base", floor(col("__ideal")).cast("long"))
+      .withColumn("__rem", col("__ideal") - col("__base").cast("double"))
+      .localCheckpoint(true) // read twice: leftover total + the rank
+    val wR = Window.orderBy(desc("__rem"), col("__g"))
+    val quotas = alloc0
+      .crossJoin(broadcast(alloc0.agg(sum(col("__base")).as("__sb"))))
+      .withColumn("__extra",
+        when(row_number().over(wR) <= (lit(budget) - col("__sb")), 1L)
+          .otherwise(0L))
+      .withColumn("__alloc", least(col("__base") + col("__extra"), col("__n")))
+      .select(col("__g"), col("__n"), col("__sig"), col("__alloc"))
+    val wS = Window.partitionBy(col("__g"))
+      .orderBy(graft.functions.GraftFunctions
+        .md5Long(col("__id").cast("string")), col("__id"))
+    val report = clean
+      .join(broadcast(quotas.select(col("__g"), col("__alloc"))), "__g")
+      .withColumn("__rk", row_number().over(wS))
+      .where(col("__rk") <= col("__alloc"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("__id")).as("id_sum"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col("__id"))).cast("array<string>")))
+          .as("ids_md5"))
+    quotas.join(report, Seq("__g"), "left")
+      .select(col("__g").as(stratumCol), col("__n").as("n_rows"),
+        round(col("__sig").cast(dec8), 6).cast("double").as("sigma"),
+        col("__alloc").as("alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+        col("ids_md5"))
+      .orderBy(col(stratumCol))
+  }
 }
