@@ -802,6 +802,21 @@ object TextQueries {
       },
       Some(neymanOracleSql)),
 
+    // Sequence packing (ops/Text.packHarmonic): whole documents into
+    // 128-token context windows by the harmonic class rule — class
+    // k = ⌊C/tokens⌋ bins hold exactly k docs, so the layout is one
+    // rank window of integer math instead of sequential first-fit.
+    // shards = 4 exercises the 100 TB sub-sharding knob (bins never
+    // span shards). The gate pins the per-class report INCLUDING an
+    // order-independent decimal checksum of every doc→bin placement.
+    QueryDef("pack_context_windows",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.Text.packHarmonic(d, "doc_id", "text",
+          capacity = PackCapacity, shards = PackShards)
+      },
+      Some(packHarmonicOracleSql)),
+
     // Token-budget selection (ops/Text.tokenBudgetSelect): the best
     // documents by quality score until 40 % of the corpus' tokens are
     // spent — the final cut of every pretraining-data run. The naive
@@ -3630,6 +3645,44 @@ object TextQueries {
 
   /** sample_stratified_neyman labeling budget. */
   private val NeymanBudget = 100L
+
+  /** pack_context_windows knobs: window capacity in whitespace
+    * tokens (doc lengths here are 10-99 words, so ⌊128/t⌋ spreads
+    * docs across classes 1..12) and the class sub-shard count.
+    */
+  private val PackCapacity = 128
+  private val PackShards = 4
+
+  /** Oracle for pack_context_windows — the same integer class/rank/
+    * bin math and the same order-independent decimal layout checksum.
+    */
+  private def packHarmonicOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id AS id, len(string_split(text, ' '))::BIGINT AS tk
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) > 0
+       |    AND len(string_split(text, ' ')) <= $PackCapacity),
+       |kc AS (SELECT id, tk, $PackCapacity // tk AS k,
+       |    ${md5LongSqlT(s"'2:' || id::VARCHAR")} % $PackShards AS shard
+       |  FROM t),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY k, shard
+       |    ORDER BY ${md5LongSqlT("id::VARCHAR")}, id) AS rn FROM kc),
+       |b AS (SELECT id, tk, k, shard, (rn - 1) // k AS bin FROM r)
+       |SELECT k, count(*) AS n_docs,
+       |  count(DISTINCT shard::VARCHAR || ':' || bin::VARCHAR) AS n_bins,
+       |  sum(tk)::BIGINT AS tok_sum,
+       |  CAST(round(CAST(sum(tk)::DOUBLE /
+       |    (count(DISTINCT shard::VARCHAR || ':' || bin::VARCHAR)
+       |     * $PackCapacity)::DOUBLE AS DECIMAL(18,8)), 6) AS DOUBLE)
+       |    AS fill_frac,
+       |  sum(CAST(${md5LongSqlT(
+           "id::VARCHAR || ':' || shard::VARCHAR || ':' || bin::VARCHAR")}
+       |    AS DECIMAL(38,0)))::VARCHAR AS assign_sig
+       |FROM b GROUP BY k ORDER BY k""".stripMargin
+
+  /** DuckDB mirror of GraftFunctions.md5Long over an expression. */
+  private def md5LongSqlT(x: String): String =
+    s"('0x' || substring(md5($x), 1, 15))::BIGINT"
 
   /** Oracle for sample_stratified_neyman: the same decimal moments,
     * σ/share/largest-remainder algebra, and (md5Long(id), id) draw,

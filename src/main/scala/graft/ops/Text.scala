@@ -857,4 +857,65 @@ object Text {
     full.unionByName(boundary)
       .drop("__s", "__bt", "__cum", "__prev", "__budget")
   }
+
+  /** Sequence packing by the HARMONIC class rule — fill fixed-size
+    * context windows with whole documents so training batches aren't
+    * mostly padding. True first-fit-decreasing is inherently
+    * sequential (each placement depends on every bin's remaining
+    * room); the harmonic rule is the distributed-friendly classic:
+    * a doc of `t` tokens joins class k = ⌊capacity/t⌋, and class-k
+    * bins hold EXACTLY k docs (k·t ≤ capacity by construction), so
+    * assignment is pure integer math on a per-class rank —
+    * bin = (rank−1) div k. Waste is bounded (harmonic packing is
+    * ≤ ~1.69× optimal asymptotically) and, unlike FFD, the layout is
+    * embarrassingly parallel and bit-reproducible.
+    *
+    * Scale shape: one scan for (id, tokens, class), then ONE rank
+    * window keyed on (class, shard) — `shards` sub-shards each class
+    * so no reducer sees more than 1/shards of a class (the 100 TB
+    * knob; bins never span shards, so sharding costs nothing but
+    * bin-count granularity: ≤ shards−1 extra partial bins per class).
+    * Docs longer than `capacity` are excluded (route them through
+    * [[wordChunks]] first); rank order is the deterministic
+    * (md5Long(id), id) — same layout on any engine or partitioning.
+    *
+    * Returns the per-class packing report: (k, n_docs, n_bins,
+    * tok_sum, fill_frac, assign_sig) where assign_sig is an
+    * order-independent exact-decimal checksum of the full doc→bin
+    * assignment — the gate pins the LAYOUT, not just the counts,
+    * with bounded aggregation state (no collect of ids).
+    */
+  def packHarmonic(df: DataFrame, idCol: String, textCol: String,
+                   capacity: Int, shards: Int = 1): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1: $capacity")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    import org.apache.spark.sql.types.DecimalType
+    val dec8 = DecimalType(18, 8)
+    val t = df.select(col(idCol).cast("long").as("__id"),
+        size(split(col(textCol), " ")).cast("long").as("__t"))
+      .where(col("__t") > 0 && col("__t") <= capacity)
+      .withColumn("__k", expr(s"$capacity div __t"))
+      .withColumn("__shard",
+        pmod(md5Long(2, col("__id").cast("string")), lit(shards.toLong)))
+    val w = Window.partitionBy(col("__k"), col("__shard"))
+      .orderBy(md5Long(col("__id").cast("string")), col("__id"))
+    val binned = t
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__bin", expr("(__rn - 1) div __k"))
+    binned.groupBy(col("__k").as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(concat_ws(":", col("__shard"), col("__bin")))
+          .as("n_bins"),
+        sum(col("__t")).as("tok_sum"),
+        // order-independent layout checksum: exact decimal sum of a
+        // 60-bit hash of every (id, shard, bin) placement
+        sum(md5Long(concat_ws(":", col("__id"), col("__shard"),
+          col("__bin"))).cast(DecimalType(38, 0))).as("__sig"))
+      .select(col("k"), col("n_docs"), col("n_bins"), col("tok_sum"),
+        round((col("tok_sum").cast("double") /
+          (col("n_bins") * lit(capacity.toLong)).cast("double")).cast(dec8), 6)
+          .cast("double").as("fill_frac"),
+        col("__sig").cast("string").as("assign_sig"))
+      .orderBy(col("k"))
+  }
 }
