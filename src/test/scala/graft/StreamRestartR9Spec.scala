@@ -127,6 +127,41 @@ class StreamRestartR9Spec extends SparkSpec {
     assert(rows.last._4, "the level shift must alarm")
   }
 
+  test("pack stream: the per-(class, shard) rank counter survives restart") {
+    import graft.streaming.PackStream
+    val src = tmp("graft-pk-src")
+    val ckpt = tmp("graft-pk-ckpt")
+    val out = tmp("graft-pk-out")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_tokens", LongType)))
+    def start() = PackStream.packStream(
+        spark.readStream.schema(schema).json(src).as[PackStream.DocIn],
+        capacity = 100, shards = 1)
+      .writeStream.format("json").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    // class 2 (45 tokens): 3 docs before the restart fill bin 0 and
+    // half of bin 1; 3 docs after must CONTINUE at ranks 4-6 (bins
+    // 1, 2, 2) — a lost counter would restart at bin 0
+    writeLines(src, "a.json", (0 until 3).map(i =>
+      s"""{"doc_id": $i, "n_tokens": 45}"""))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    writeLines(src, "b.json", (3 until 6).map(i =>
+      s"""{"doc_id": $i, "n_tokens": 45}"""))
+    val q2 = start()
+    q2.processAllAvailable()
+    val outSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("k", LongType), StructField("shard", LongType),
+      StructField("bin", LongType)))
+    val bins = spark.read.schema(outSchema).json(out)
+      .select("bin").as[Long].collect().sorted.toSeq
+    q2.stop()
+    assert(bins == Seq(0L, 0L, 1L, 1L, 2L, 2L),
+      s"rank counter did not survive the restart: $bins")
+  }
+
   test("semantic dedup: per-cell representative lists survive restart") {
     val src = tmp("graft-sd-src")
     val ckpt = tmp("graft-sd-ckpt")
