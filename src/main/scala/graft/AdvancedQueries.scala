@@ -291,6 +291,79 @@ object AdvancedQueries {
         |  TRUE AS decoded
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // S9 image NEAR-DUP pipeline (r10): synth gradient PNGs (pixel
+    // gray = (a·x + b·y + c) mod 256 with (a, b, c) derived from
+    // doc_id mod 50 — so docs share an image in groups of ~10) →
+    // REAL ImageIO decode → 64-bit perceptual dHash (integer block
+    // average to a 9×8 grid, horizontal-gradient sign bits) → hash
+    // groups = duplicate-image clusters. The whole encode→decode→
+    // fingerprint→dedup chain runs on real JDK image machinery, and
+    // because the pixels are closed-form and every hash step is
+    // integer math, DuckDB predicts the exact 64-bit hashes — and
+    // therefore the exact clusters — with no image reader at all.
+    // Payloads never shuffle: only the 8-byte hash reaches the
+    // aggregate, which is the production shape (fingerprint at scan,
+    // cluster by hash — at 100 TB with banded Hamming buckets for
+    // near-misses, the MinHash-LSH discipline applied to pixels).
+    QueryDef("multimodal_phash_dedup",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val hashSchema = base.schema
+          .add("dhash", org.apache.spark.sql.types.LongType)
+        val hashed = base.mapPartitions { it: Iterator[Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val sd = id % 50L
+            // coefficients large enough that the gradient WRAPS mod
+            // 256 inside the image — an unwrapped monotone gradient
+            // sets every dHash bit (degenerate all-equal hashes)
+            val a = ((sd % 5L) + 1L).toInt * 29
+            val b = ((sd % 7L) + 1L).toInt * 23
+            val c = ((sd * 13L) % 256L).toInt
+            val png = Multimodal.encodeGrayPng(18, 16,
+              (x, y) => (a * x + b * y + c) % 256)
+            Row(id, Multimodal.dHash64(png).get)
+          }
+        }(Encoders.row(hashSchema))
+        hashed.groupBy(col("dhash"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("doc_id")).as("rep_id"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("dhash"))
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, ((doc_id % 50) % 5 + 1) * 29 AS a,
+        |    ((doc_id % 50) % 7 + 1) * 23 AS b,
+        |    (doc_id % 50) * 13 % 256 AS c
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, x.i AS x, y.i AS y,
+        |    (a * x.i + b * y.i + c) % 256 AS g
+        |  FROM p, (SELECT unnest(range(0, 18)) AS i) x,
+        |       (SELECT unnest(range(0, 16)) AS i) y),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, sum(g) // 4 AS cell
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy, l.cx,
+        |    CASE WHEN r.cell > l.cell THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |hs AS (
+        |  -- pack in HUGEINT (bit 63 overflows a checked BIGINT
+        |  -- shift), then wrap to the signed long Spark produces
+        |  SELECT doc_id, CAST(CASE
+        |      WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END
+        |    AS BIGINT) AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << (cy * 8 + cx))) AS h
+        |    FROM bits GROUP BY doc_id))
+        |SELECT dhash, count(*) AS n_members, min(doc_id) AS rep_id,
+        |  sum(doc_id)::BIGINT AS id_sum
+        |FROM hs GROUP BY dhash ORDER BY dhash""".stripMargin)),
+
     // Rendezvous (highest-random-weight) shard assignment — the
     // consistent-placement primitive for growing a 100 TB corpus from
     // N to N+1 shards: each doc goes to argmax over shards of

@@ -143,6 +143,86 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection: downsample
+    * to a 9×8 luminance grid (block average, integer floor), then
+    * bit(cy·8+cx) = [cell(cx+1, cy) > cell(cx, cy)] over horizontal
+    * neighbors. Identical images hash identically; small crops /
+    * re-encodes flip few bits (Hamming distance is the dedup metric).
+    * Everything is integer math on the decoded pixels — exact floor
+    * block sums, no float resampling — so the hash is reproducible
+    * across engines and, for analytically-constructed images,
+    * PREDICTABLE in closed form (the multimodal_phash_dedup gate).
+    * Uses the red channel as luminance (gray images: R = G = B).
+    * None when the payload doesn't decode.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      // cell (cx, cy) covers x ∈ [cx·w/9, (cx+1)·w/9) etc. — integer
+      // boundaries, every pixel in exactly one cell
+      val cells = Array.ofDim[Long](9, 8)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 9) {
+          val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+          val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+          var s = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              s += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1; n += 1
+            }
+            y += 1
+          }
+          cells(cx)(cy) = if (n == 0) 0L else s / n
+          cx += 1
+        }
+        cy += 1
+      }
+      var hash = 0L
+      cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          if (cells(cx + 1)(cy) > cells(cx)(cy))
+            hash |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      hash
+    }
+
+  /** Deterministic grayscale PNG from a pixel function (losslessly
+    * round-trips like [[encodeSplitPng]]): pixel (x, y) gets gray
+    * level f(x, y) ∈ [0, 256) in all three channels.
+    */
+  def encodeGrayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Deterministic synthetic PNG: left half `leftRgb`, right half
     * `rightRgb` (0xRRGGBB), split at floor(w/2). PNG over TYPE_INT_RGB
     * is lossless, so decode recovers the exact pixel values — which

@@ -48,6 +48,22 @@ class ImageDecodeSpec extends SparkSpec {
     assert(out(2L) == ((false, -1L)), "garbage must not fail the scan")
   }
 
+  test("dHash: identical images collide, perturbations stay near, distinct gradients differ") {
+    def grad(a: Int, b: Int, c: Int, noise: Int = 0) =
+      Multimodal.encodeGrayPng(18, 16, (x, y) =>
+        ((a * x + b * y + c) % 256 + (if (x == 9 && y == 7) noise else 0)) % 256)
+    def ham(p: Long, q: Long) = java.lang.Long.bitCount(p ^ q)
+    val h1 = Multimodal.dHash64(grad(29, 23, 5)).get
+    val h1b = Multimodal.dHash64(grad(29, 23, 5)).get
+    assert(h1 == h1b, "same image must hash identically")
+    // one perturbed pixel moves at most the 2 cells it touches
+    val hNear = Multimodal.dHash64(grad(29, 23, 5, noise = 40)).get
+    assert(ham(h1, hNear) <= 4, s"near-dup too far: ${ham(h1, hNear)}")
+    val h2 = Multimodal.dHash64(grad(87, 69, 200)).get
+    assert(ham(h1, h2) > 8, s"distinct gradients too close: ${ham(h1, h2)}")
+    assert(Multimodal.dHash64("junk".getBytes).isEmpty)
+  }
+
   test("gated-query shape: synth PNGs decode to the analytic sums at sf0.001") {
     val base = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id")).limit(50)
