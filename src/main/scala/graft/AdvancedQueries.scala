@@ -364,6 +364,54 @@ object AdvancedQueries {
         |  sum(doc_id)::BIGINT AS id_sum
         |FROM hs GROUP BY dhash ORDER BY dhash""".stripMargin)),
 
+    // S9 AUDIO census (r10): 16-bit LE PCM payloads (a square wave
+    // whose amplitude and half-period derive from doc_id) parsed back
+    // from raw bytes on the executors — PCM "decode" is byte
+    // arithmetic, so unlike compressed codecs it is fully REAL here —
+    // into per-frame energy (Σ s², exact BIGINT) and zero-crossing
+    // counts. The audio twin of multimodal_image_stats: payloads never
+    // shuffle, only the thin (doc, frame) feature rows reach the sort,
+    // and the oracle predicts every feature from the closed-form
+    // waveform (lag-window sign flips, integer sums) with no audio
+    // stack at all.
+    QueryDef("multimodal_audio_features",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val schema = base.schema
+          .add("payload", org.apache.spark.sql.types.BinaryType)
+        val withPcm = base.mapPartitions { it: Iterator[Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val amp = (1000L + (id % 8L) * 1000L).toInt
+            val halfP = (8L + (id % 16L)).toInt
+            val samples = Array.tabulate(2048)(t =>
+              if ((t / halfP) % 2 == 0) amp else -amp)
+            Row(id, Multimodal.encodePcm16(samples))
+          }
+        }(Encoders.row(schema))
+        Multimodal.extractPcmFeatures(withPcm, "payload", frameSamples = 512)
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, 1000 + (doc_id % 8) * 1000 AS amp,
+        |    8 + (doc_id % 16) AS halfp
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t.i AS i,
+        |    CASE WHEN (t.i // halfp) % 2 = 0 THEN amp ELSE -amp END AS v
+        |  FROM p, (SELECT unnest(range(0, 2048)) AS i) t),
+        |w AS (
+        |  SELECT doc_id, i // 512 AS frame_idx, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+        |    i % 512 AS fpos
+        |  FROM s)
+        |SELECT doc_id, frame_idx, count(*)::BIGINT AS n_samples,
+        |  sum(v * v)::BIGINT AS energy,
+        |  coalesce(sum(CASE WHEN fpos > 0 AND v * pv < 0
+        |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_zero_cross
+        |FROM w GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // Rendezvous (highest-random-weight) shard assignment — the
     // consistent-placement primitive for growing a 100 TB corpus from
     // N to N+1 shards: each doc goes to argmax over shards of

@@ -200,6 +200,87 @@ object Multimodal {
       hash
     }
 
+  /** 16-bit little-endian signed PCM encode — the raw audio wire
+    * format (WAV minus the header). Exact: integers in [−32768,
+    * 32767] round-trip bit-for-bit, which is what makes audio
+    * features oracle-checkable without any codec.
+    */
+  def encodePcm16(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      require(s >= Short.MinValue && s <= Short.MaxValue,
+        s"sample out of 16-bit range: $s")
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Per-frame features of a 16-bit LE PCM payload: (frame_idx,
+    * n_samples, energy = Σ s², zero_crossings = adjacent sign flips
+    * WITHIN the frame, strict product < 0). All integer math — the
+    * audio analog of [[decodeImage]]'s exact channel sums. PCM
+    * parsing is byte arithmetic, so unlike compressed audio this
+    * "decode" is fully real in this container. The trailing partial
+    * frame (and a trailing odd byte) is kept with its actual count.
+    */
+  def pcm16Frames(bytes: Array[Byte], frameSamples: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    require(frameSamples >= 2, s"frameSamples must be >= 2: $frameSamples")
+    val n = bytes.length / 2
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    var f = 0
+    while (f * frameSamples < n) {
+      val start = f * frameSamples
+      val end = math.min(start + frameSamples, n)
+      var energy = 0L
+      var zcr = 0L
+      var prev = 0
+      var i = start
+      while (i < end) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1)
+        val v = ((hi << 8) | lo).toShort.toInt
+        energy += v.toLong * v.toLong
+        if (i > start && prev.toLong * v.toLong < 0L) zcr += 1
+        prev = v
+        i += 1
+      }
+      out += ((f.toLong, (end - start).toLong, energy, zcr))
+      f += 1
+    }
+    out.result()
+  }
+
+  /** Frame-feature extraction through the partition bridge: one
+    * output row per (input row, frame) with (frame_idx, n_samples,
+    * energy, n_zero_cross) appended — the scan-shaped audio census
+    * (binary payloads never shuffle; only the thin feature rows do).
+    */
+  def extractPcmFeatures(df: DataFrame, bytesCol: String,
+                         frameSamples: Int): DataFrame = {
+    val schema = df.schema
+    val idx = schema.fieldIndex(bytesCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == bytesCol))
+      .add("frame_idx", LongType).add("n_samples", LongType)
+      .add("energy", LongType).add("n_zero_cross", LongType)
+    val keep = schema.fields.zipWithIndex
+      .filterNot(_._1.name == bytesCol).map(_._2)
+    df.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val base = keep.map(row.get).toSeq
+        pcm16Frames(bytes, frameSamples).map { case (f, n, e, z) =>
+          Row.fromSeq(base :+ f :+ n :+ e :+ z)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Deterministic grayscale PNG from a pixel function (losslessly
     * round-trips like [[encodeSplitPng]]): pixel (x, y) gets gray
     * level f(x, y) ∈ [0, 256) in all three channels.

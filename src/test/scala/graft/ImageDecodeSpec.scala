@@ -64,6 +64,25 @@ class ImageDecodeSpec extends SparkSpec {
     assert(Multimodal.dHash64("junk".getBytes).isEmpty)
   }
 
+  test("PCM16: byte round-trip, per-frame energy/zcr, partial trailing frame") {
+    // 5 samples, frame size 2: frames (2, 2, 1); crossings only count
+    // adjacent pairs INSIDE a frame
+    val samples = Array(100, -200, 300, 300, -32768)
+    val bytes = Multimodal.encodePcm16(samples)
+    assert(bytes.length == 10)
+    val frames = Multimodal.pcm16Frames(bytes, frameSamples = 2)
+    assert(frames == Seq(
+      (0L, 2L, 100L * 100 + 200L * 200, 1L),   // 100 → −200 flips
+      (1L, 2L, 2L * 300 * 300, 0L),            // 300 → 300 no flip
+      (2L, 1L, 32768L * 32768L, 0L)))          // partial frame, no pair
+    // the frame boundary between −200 and 300 must NOT count
+    val one = Multimodal.pcm16Frames(bytes, frameSamples = 5)
+    assert(one.head._4 == 3L, s"whole-payload zcr: ${one.head}")
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePcm16(Array(40000))
+    }
+  }
+
   test("gated-query shape: synth PNGs decode to the analytic sums at sf0.001") {
     val base = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id")).limit(50)
