@@ -364,6 +364,108 @@ object AdvancedQueries {
         |  sum(doc_id)::BIGINT AS id_sum
         |FROM hs GROUP BY dhash ORDER BY dhash""".stripMargin)),
 
+    // S9 image NEAR-dup pairs (r10): the Hamming-banded companion to
+    // multimodal_phash_dedup — docs with id mod 100 ≥ 50 carry a
+    // one-pixel-perturbed variant of their class image, so each class
+    // splits into two exact-hash clusters a few dHash bits apart. The
+    // fingerprint table collapses to DISTINCT hashes FIRST (the scale
+    // move: band-join fingerprints, never docs), bands are four 16-bit
+    // hash slices (the MinHash-LSH banding discipline applied to
+    // Hamming space: ≤ 3 flipped bits cannot touch all 4 bands), and
+    // candidates verify with bit_count(xor) ∈ [1, 6] — 0 excluded
+    // (exact dups are the other gate's job). Unsigned band slicing via
+    // shiftrightunsigned / HUGEINT wrap keeps both engines identical
+    // on negative hashes.
+    QueryDef("multimodal_phash_near",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val hashSchema = base.schema
+          .add("dhash", org.apache.spark.sql.types.LongType)
+        val hashed = base.mapPartitions { it: Iterator[Row] =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val sd = id % 50L
+            val a = ((sd % 5L) + 1L).toInt * 29
+            val b = ((sd % 7L) + 1L).toInt * 23
+            val c = ((sd * 13L) % 256L).toInt
+            val noisy = id % 100L >= 50L
+            val png = Multimodal.encodeGrayPng(18, 16, (x, y) => {
+              val g = (a * x + b * y + c) % 256
+              if (noisy && x == 9 && y == 7) (g + 40) % 256 else g
+            })
+            Row(id, Multimodal.dHash64(png).get)
+          }
+        }(Encoders.row(hashSchema))
+        val clusters = hashed.groupBy(col("dhash"))
+          .agg(count(lit(1)).as("n")).localCheckpoint(true)
+        val bands = clusters.select(col("dhash"), col("n"),
+          explode(array((0 until 4).map(b =>
+            shiftrightunsigned(col("dhash"), 16 * b)
+              .bitwiseAND(lit(65535L))
+              * lit(4L) + lit(b.toLong)): _*)).as("bv"))
+        bands.as("x").join(bands.as("y"),
+            col("x.bv") === col("y.bv") &&
+              col("x.dhash") < col("y.dhash"))
+          .select(col("x.dhash").as("dhash_a"), col("y.dhash").as("dhash_b"),
+            col("x.n").as("n_a"), col("y.n").as("n_b"))
+          .distinct()
+          .withColumn("hamming",
+            expr("bit_count(dhash_a ^ dhash_b)").cast("long"))
+          .where(col("hamming") >= 1 && col("hamming") <= 6)
+          .select(col("dhash_a"), col("dhash_b"), col("hamming"),
+            (col("n_a") * col("n_b")).as("n_doc_pairs"))
+          .orderBy(col("dhash_a"), col("dhash_b"))
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id, ((doc_id % 50) % 5 + 1) * 29 AS a,
+        |    ((doc_id % 50) % 7 + 1) * 23 AS b,
+        |    (doc_id % 50) * 13 % 256 AS c,
+        |    CASE WHEN doc_id % 100 >= 50 THEN 1 ELSE 0 END AS noisy
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, x.i AS x, y.i AS y,
+        |    CASE WHEN noisy = 1 AND x.i = 9 AND y.i = 7
+        |      THEN ((a * x.i + b * y.i + c) % 256 + 40) % 256
+        |      ELSE (a * x.i + b * y.i + c) % 256 END AS g
+        |  FROM p, (SELECT unnest(range(0, 18)) AS i) x,
+        |       (SELECT unnest(range(0, 16)) AS i) y),
+        |cells AS (
+        |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, sum(g) // 4 AS cell
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.doc_id, l.cy, l.cx,
+        |    CASE WHEN r.cell > l.cell THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8),
+        |hs AS (
+        |  SELECT doc_id, CAST(CASE
+        |      WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END
+        |    AS BIGINT) AS dhash
+        |  FROM (SELECT doc_id,
+        |      sum(bit * (1::HUGEINT << (cy * 8 + cx))) AS h
+        |    FROM bits GROUP BY doc_id)),
+        |cl AS (SELECT dhash, count(*) AS n FROM hs GROUP BY dhash),
+        |bands AS (
+        |  SELECT dhash, n,
+        |    ((CASE WHEN dhash < 0
+        |        THEN dhash::HUGEINT + 18446744073709551616::HUGEINT
+        |        ELSE dhash::HUGEINT END >> (16 * bb.i)) % 65536)
+        |      * 4 + bb.i AS bv
+        |  FROM cl, (SELECT unnest(range(0, 4)) AS i) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.dhash AS dhash_a, y.dhash AS dhash_b,
+        |    x.n AS n_a, y.n AS n_b
+        |  FROM bands x JOIN bands y
+        |    ON x.bv = y.bv AND x.dhash < y.dhash)
+        |SELECT dhash_a, dhash_b,
+        |  bit_count(xor(dhash_a, dhash_b))::BIGINT AS hamming,
+        |  (n_a * n_b)::BIGINT AS n_doc_pairs
+        |FROM cand
+        |WHERE bit_count(xor(dhash_a, dhash_b)) BETWEEN 1 AND 6
+        |ORDER BY dhash_a, dhash_b""".stripMargin)),
+
     // S9 AUDIO census (r10): 16-bit LE PCM payloads (a square wave
     // whose amplitude and half-period derive from doc_id) parsed back
     // from raw bytes on the executors — PCM "decode" is byte
