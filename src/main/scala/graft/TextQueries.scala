@@ -3704,7 +3704,8 @@ object TextQueries {
        |      - (CAST(s AS DOUBLE) / n::DOUBLE)
        |        * (CAST(s AS DOUBLE) / n::DOUBLE))) AS nw
        |  FROM m),
-       |t AS (SELECT sum(nw) AS tot, sum(n) AS nn FROM w2),
+       |t AS (SELECT CAST(sum(CAST(nw AS DECIMAL(38,10))) AS DOUBLE)
+       |    AS tot, sum(n) AS nn FROM w2),
        |a2 AS (SELECT g, n, sig,
        |    CAST(floor($NeymanBudget.0 * share) AS BIGINT) AS base,
        |    $NeymanBudget.0 * share

@@ -225,7 +225,8 @@ object Multimodal {
     * audio analog of [[decodeImage]]'s exact channel sums. PCM
     * parsing is byte arithmetic, so unlike compressed audio this
     * "decode" is fully real in this container. The trailing partial
-    * frame (and a trailing odd byte) is kept with its actual count.
+    * frame is kept with its actual count; a trailing odd byte can
+    * never form a 16-bit sample and is ignored.
     */
   def pcm16Frames(bytes: Array[Byte], frameSamples: Int)
       : Seq[(Long, Long, Long, Long)] = {

@@ -669,7 +669,13 @@ object Relational {
       col("__s2").cast("double") / nD - mean * mean))
     val weighted = mom.withColumn("__sig", sigma)
       .withColumn("__nw", nD * col("__sig"))
-    val tot = weighted.agg(sum(col("__nw")).as("__tot"),
+    // the allocation total is summed through DECIMAL(38,10) like the
+    // moments: decimal addition is exact, so the total (and every
+    // share/ideal/rem derived from it) is independent of partition
+    // count and engine aggregation order — a plain double sum could
+    // flip a floor() or largest-remainder boundary on a near-tie
+    val tot = weighted.agg(
+      sum(col("__nw").cast(dec)).cast("double").as("__tot"),
       sum(col("__n")).as("__nsum")) // not "__N": Spark resolves case-insensitively
     val alloc0 = weighted.crossJoin(broadcast(tot))
       // all-constant strata (σ ≡ 0 everywhere) degrade to

@@ -18,6 +18,24 @@ trait Sandbox extends Serializable {
   def run(code: String): String
 }
 
+object Sandbox {
+  /** The reference's bounded edge-strip, exactly:
+    * `stdout.strip("\n").strip(" ").strip("\n").strip(" ")`
+    * (tableqa_codeact.py:167) — at most two newline/space
+    * alternations per edge, NOT an unlimited mixed strip, so an
+    * output with ≥3 alternating layers keeps its inner layers.
+    */
+  def referenceStrip(s: String): String = {
+    @annotation.tailrec
+    def dropEdges(t: String, c: Char): String = {
+      val a = if (t.nonEmpty && t.head == c) t.tail else t
+      val b = if (a.nonEmpty && a.last == c) a.init else a
+      if (b.length == t.length) t else dropEdges(b, c)
+    }
+    dropEdges(dropEdges(dropEdges(dropEdges(s, '\n'), ' '), '\n'), ' ')
+  }
+}
+
 /** Deterministic sandbox stand-in: fails with a Traceback when the
   * first hex digit of sha256(code) < '4', else returns OK:<hash8>.
   * SQL mirror in CodeAct.sandboxSql.
@@ -93,15 +111,20 @@ final class ProcessSandbox(pythonExe: String = "python3",
       reader.start()
       val finished = p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       if (!finished) p.destroyForcibly()
-      reader.join(2000)
-      val out = sb.synchronized {
-        // the reference strips alternating '\n' and ' ' from both ends
-        sb.toString.dropWhile(c => c == '\n' || c == ' ')
-          .reverse.dropWhile(c => c == '\n' || c == ' ').reverse
+      // loop the join until the reader is dead: a slow force-kill of a
+      // runaway child can keep the pipe open past a single bounded
+      // join, and the output/truncated snapshot below must not race
+      // with a still-appending reader
+      while (reader.isAlive) { p.destroyForcibly(); reader.join(2000) }
+      // snapshot output AND the truncated flag under the same lock the
+      // reader writes them with, so the truncation marker can't be
+      // missed on a torn read
+      val (out, wasTruncated) = sb.synchronized {
+        (Sandbox.referenceStrip(sb.toString), truncated)
       }
       if (!finished)
         s"Traceback: SandboxTimeout after ${timeoutMs} ms\n$out"
-      else if (truncated)
+      else if (wasTruncated)
         s"$out\n[sandbox: output truncated at $maxOutputChars chars]"
       else out
     } finally {

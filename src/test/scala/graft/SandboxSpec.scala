@@ -19,6 +19,18 @@ class SandboxSpec extends SparkSpec {
     assert(!CodeAct.isExecError(out))
   }
 
+  test("edge strip is the reference's BOUNDED four-step chain") {
+    // strip('\n').strip(' ').strip('\n').strip(' '): at most two
+    // newline/space alternations per edge — a third alternating layer
+    // survives (an unlimited mixed strip would erase it)
+    assert(Sandbox.referenceStrip("\n  hello  \n") == "hello")
+    assert(Sandbox.referenceStrip(" \n hi \n ") == "hi")
+    assert(Sandbox.referenceStrip("\n \n \nx") == "\nx")
+    assert(Sandbox.referenceStrip("x\n \n \n") == "x\n")
+    assert(Sandbox.referenceStrip("a b") == "a b")
+    assert(Sandbox.referenceStrip("") == "")
+  }
+
   test("a real exception surfaces as a Traceback (stderr merged)") {
     val out = sandbox.run("x = 1/0")
     assert(CodeAct.isExecError(out), s"expected Traceback in <$out>")
