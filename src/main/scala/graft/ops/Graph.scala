@@ -447,17 +447,29 @@ object Graph {
     * is what an unrolled oracle replays bit-for-bit (the same
     * discipline as [[kCore]]'s peel).
     *
-    * Scale shape per round: one equi-join of the persisted
-    * both-directions edge frame to the |nodes|-row label frame on
-    * the neighbor end, one (node, label) count aggregate, one
-    * per-node argmax. The argmax is a single codegen'd
-    * HashAggregate `max` over a packed long — count·2³¹ +
+    * Scale shape per round — TWO exchanges total, neither
+    * edge-frame-sized twice (r11 rework; was four):
+    * 1. the |nodes|-row label frame exchanges to meet the edge
+    *    frame, which is cached as a PLAIN DataFrame pre-partitioned
+    *    and pre-sorted on the neighbor end (`v`) — an
+    *    InMemoryTableScan keeps the cached plan's partitioning and
+    *    ordering, so the join never re-exchanges or re-sorts the big
+    *    side (an RDD-rooted cache erases both and paid an edge-sized
+    *    exchange + sort EVERY round);
+    * 2. one `repartition(node)` exchange carries the raw
+    *    (node, label) pairs, and BOTH aggregates ride it: the
+    *    (node, label) count and the per-node argmax are each
+    *    satisfied by hashpartitioning(node) (grouping keys ⊇
+    *    partitioning keys), so they run partition-local as
+    *    codegen'd HashAggregates with no further exchange.
+    * The argmax is a single `max` over a packed long — count·2³¹ +
     * (2³¹−1−label) — the hard_negatives_pool trick: no sort, no
-    * window, full map-side combine. All shuffles key on node ids;
-    * rounds chain through lazy RDD roots (plan truncation without
-    * per-round jobs) exactly like [[pageRank]], so the whole
-    * iteration evaluates as ONE job. Node ids must fit [0, 2³¹) for
-    * the packing (checked); counts are ≤ n < 2³¹ by the same bound.
+    * window, and NOT `mode()` (the r10 A/B measured the
+    * TypedImperativeAggregate 2.3× worse — SCALING.md). Rounds chain
+    * through lazy RDD roots (plan truncation without per-round jobs)
+    * exactly like [[pageRank]], so the whole iteration evaluates as
+    * ONE job. Node ids must fit [0, 2³¹) for the packing (checked);
+    * counts are ≤ n < 2³¹ by the same bound.
     *
     * `edges` may be directed/duplicated; normalized to an undirected
     * simple graph first. Returns (node, community) where community
@@ -477,8 +489,14 @@ object Graph {
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct()
-    val e = materialize(und.select(col("a").as("u"), col("b").as("v"))
-      .union(und.select(col("b"), col("a"))))
+    // plain-DataFrame cache, deliberately NOT an RDD root: the
+    // InMemoryTableScan advertises hashpartitioning(v) + ordering,
+    // so every round's neighbor join leaves the edge frame in place
+    val e = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b"), col("a")))
+      .repartition(col("v"))
+      .sortWithinPartitions(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shift = 1L << 31
     val maxId = e.agg(coalesce(max(col("u")), lit(-1L))).head().getLong(0)
     require(maxId < shift,
@@ -489,6 +507,7 @@ object Graph {
     for (_ <- 1 to iters) {
       val nbr = e.join(l.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("lab"))
+        .repartition(col("node"))
       val cnt = nbr.groupBy(col("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
       l = root(cnt.groupBy(col("node"))
