@@ -125,11 +125,90 @@ object Bench {
       s"bench ran ${results.size} of ${SparkEntry.queries.size} declared queries")
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Same-session DuckDB oracle anchor (VERDICT r10 #4): the r9→r10
+    // suite drift (+12% on untouched queries, zero plan changes) was
+    // VM state, but proving that burned a round. A FIXED 10-oracle
+    // basket — chosen once to span the oracle cost classes (sub-0.1 s
+    // reports, ~0.3 s single-window stats, the 2.5 s LSH chain, the
+    // 4.5 s iterative-graph CTE) — is timed by DuckDB in the SAME
+    // session right after the suite, so cross-round comparisons can
+    // divide VM state out via suite_over_basket instead of arguing
+    // about warm days. Driver-side python3+duckdb (the oracle
+    // toolchain, not a library dependency); min-of-2 per oracle
+    // (min is the steady estimator for short single-process runs);
+    // non-fatal and skippable (SPARK_GRAFT_BENCH_ORACLE=0).
+    val basketNames = Seq("q3_topk_revenue", "dedup_exact",
+      "text_token_stats", "judge_metrics", "events_sessionize",
+      "cost_report", "stats_winsorized", "group_quantiles_exact",
+      "dedup_minhash_lsh", "graph_pagerank_parts")
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val basketWanted = sys.env.get("SPARK_GRAFT_BENCH_ORACLE") match {
+      case Some("0") => false
+      case Some("1") => true // force in a subset run (dev testing)
+      case _ => only.isEmpty
+    }
+    val basket: Seq[(String, Double)] =
+      if (!basketWanted) Nil
+      else try {
+        val sqls = basketNames.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+        val dir = java.nio.file.Files.createTempDirectory("bench_oracle_")
+        val sqlFile = dir.resolve("basket.json")
+        java.nio.file.Files.writeString(sqlFile, sqls.map { case (n, q) =>
+          s""""${jesc(n)}":"${jesc(q)}"""" }.mkString("{", ",", "}"))
+        val py = dir.resolve("basket.py")
+        java.nio.file.Files.writeString(py,
+          """import duckdb, glob, json, os, sys, time
+            |sf, sqlf = sys.argv[1], sys.argv[2]
+            |con = duckdb.connect(); con.execute("SET threads=32")
+            |for p in glob.glob(os.path.join(sf, "*.parquet")):
+            |    con.execute("CREATE VIEW %s AS SELECT * FROM '%s'"
+            |                % (os.path.basename(p)[:-8], p))
+            |out = {}
+            |for n, q in json.load(open(sqlf)).items():
+            |    best = None
+            |    for _ in range(2):
+            |        t0 = time.time(); con.execute(q).fetchall()
+            |        dt = time.time() - t0
+            |        best = dt if best is None or dt < best else best
+            |    out[n] = round(best, 3)
+            |print(json.dumps(out))
+            |""".stripMargin)
+        val pb = new ProcessBuilder("python3", py.toString, sfDir,
+          sqlFile.toString)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        p.getOutputStream.close()
+        val outTxt = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { p.destroyForcibly(); Nil }
+        else """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(outTxt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] oracle basket skipped: $e"); Nil
+      }
+    val basketExtra =
+      if (basket.isEmpty) ""
+      else {
+        val bq = basket.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        val bs = basket.map(_._2).sum
+        val ratio = if (bs > 0) results.values.sum / bs else 0.0
+        s""","oracle_basket_s":${fmt(bs)},"suite_over_basket":${fmt(ratio)},"oracle_basket":$bq"""
+      }
     def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$extra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$extra$basketExtra}"""
     }
     val all = results.toSeq
     val full = jsonLine(all, "")
