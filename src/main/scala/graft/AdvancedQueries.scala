@@ -671,6 +671,114 @@ object AdvancedQueries {
           |FROM a GROUP BY before_shard ORDER BY before_shard""".stripMargin
       }),
 
+    // Rendezvous DRAIN — shard REMOVAL, the operational twin of the
+    // weighted upgrade above (decommission a box / retire a bucket):
+    // drop shard 5 from the same weighted candidate set (shard 3
+    // carries weight 3, the rest 1) and re-argmax over the seven
+    // survivors. Rendezvous gives the two drain invariants for free,
+    // and the report makes them VALUES the oracle hashes: a doc not
+    // on the drained shard keeps its argmax (removing a non-winning
+    // candidate changes nothing) → n_lost ≡ 0 on every surviving
+    // shard; the drained docs redistribute onto survivors in
+    // proportion to weight (recv_frac ≈ w_s/Σw). A mod-hash drain
+    // reshuffles nearly everything. Plan: scan-local argmax twice
+    // (when-chains over seeded md5Long/ln scores, zero shuffle),
+    // a 2-rows-per-doc explode carrying (role, shard, received)
+    // indicators so ONE ≤16-group hash aggregate yields before/after/
+    // received counts in a single pass — no self-join, full map-side
+    // combine; cross-engine-exact because ln and IEEE division are
+    // stable on identical operands (the prioritySample precedent).
+    QueryDef("shard_rendezvous_drain",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val nSh = 8
+        val heavy = 3   // weight-3 shard from shard_rendezvous_weighted
+        val drained = 5
+        val id = col("doc_id").cast("string")
+        val M = 1152921504606846976d // 2^60, exact double
+        def u(i: Int) =
+          (md5Long(i, id) + lit(1L)).cast("double") / lit(M)
+        def score(i: Int) = {
+          val w = if (i == heavy) 3.0 else 1.0
+          lit(-w) / log(u(i))
+        }
+        def argmaxChain(pairs: Seq[(org.apache.spark.sql.Column, Int)]) = {
+          val g = greatest(pairs.map(_._1): _*)
+          pairs.foldLeft(null: org.apache.spark.sql.Column) {
+            case (acc, (c, i)) =>
+              if (acc == null) when(c === g, i.toLong)
+              else acc.when(c === g, i.toLong)
+          }
+        }
+        val before = argmaxChain((0 until nSh).map(i => score(i) -> i))
+        val after = argmaxChain(
+          (0 until nSh).filter(_ != drained).map(i => score(i) -> i))
+        val assigned = Tables.load(s, dir, "documents")
+          .select(before.as("b"), after.as("a"))
+        val roles = assigned.select(explode(array(
+            struct(lit(0).as("role"), col("b").as("shard"), lit(0L).as("recv")),
+            struct(lit(1).as("role"), col("a").as("shard"),
+              when(col("b") === drained.toLong, 1L).otherwise(0L).as("recv"))))
+            .as("r"))
+          .select(col("r.role"), col("r.shard"), col("r.recv"))
+        val perShard = roles.groupBy(col("shard"))
+          .agg(
+            sum(when(col("role") === 0, 1L).otherwise(0L)).as("n_before"),
+            sum(when(col("role") === 1, 1L).otherwise(0L)).as("n_after"),
+            sum(when(col("role") === 1, col("recv")).otherwise(0L))
+              .as("n_received"))
+        perShard
+          .crossJoin(broadcast(perShard.agg(
+            sum(col("n_received")).as("__drained_total"))))
+          .select(col("shard"), col("n_before"), col("n_after"),
+            col("n_received"),
+            // docs that LEFT this shard: all of a drained shard,
+            // identically zero on every survivor
+            (col("n_before") - (col("n_after") - col("n_received")))
+              .as("n_lost"),
+            round((col("n_received").cast("double") /
+              col("__drained_total").cast("double")).cast(dec), 6)
+              .cast("double").as("recv_frac"))
+          .orderBy(col("shard"))
+      },
+      Some {
+        def u(i: Int) =
+          s"((('0x' || substring(md5('$i:' || doc_id::VARCHAR), 1, 15))::BIGINT" +
+            s" + 1) / 1152921504606846976.0)"
+        def score(i: Int) = {
+          val w = if (i == 3) "-3.0" else "-1.0"
+          s"(($w) / ln(${u(i)}))"
+        }
+        def argmax(pairs: Seq[(String, Int)], alias: String) = {
+          val g = s"greatest(${pairs.map(_._1).mkString(", ")})"
+          val cases = pairs
+            .map { case (e, i) => s"WHEN $e = $g THEN ${i}::BIGINT" }
+            .mkString(" ")
+          s"CASE $cases END AS $alias"
+        }
+        val before = argmax((0 until 8).map(i => score(i) -> i), "b")
+        val after = argmax((0 until 8).filter(_ != 5)
+          .map(i => score(i) -> i), "a")
+        s"""WITH asg AS (
+          |  SELECT $before, $after FROM documents),
+          |bef AS (SELECT b AS shard, COUNT(*) AS n_before
+          |  FROM asg GROUP BY b),
+          |aft AS (SELECT a AS shard, COUNT(*) AS n_after,
+          |    SUM(CASE WHEN b = 5 THEN 1 ELSE 0 END)::BIGINT AS n_received
+          |  FROM asg GROUP BY a),
+          |j AS (SELECT coalesce(bef.shard, aft.shard) AS shard,
+          |    coalesce(n_before, 0)::BIGINT AS n_before,
+          |    coalesce(n_after, 0)::BIGINT AS n_after,
+          |    coalesce(n_received, 0)::BIGINT AS n_received
+          |  FROM bef FULL OUTER JOIN aft ON bef.shard = aft.shard),
+          |t AS (SELECT SUM(n_received) AS drained_total FROM j)
+          |SELECT shard, n_before, n_after, n_received,
+          |  (n_before - (n_after - n_received))::BIGINT AS n_lost,
+          |  CAST(round(CAST(n_received::DOUBLE / t.drained_total::DOUBLE
+          |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS recv_frac
+          |FROM j, t ORDER BY shard""".stripMargin
+      }),
+
     // Data profiling — the validation pass an ingest pipeline runs
     // before training: per-column row/null/exact-distinct counts. One
     // column-pruned scan per column (each aggregate reads only its own

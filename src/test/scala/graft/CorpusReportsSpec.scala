@@ -380,4 +380,27 @@ class CorpusReportsSpec extends SparkSpec {
     // expected share growth 3/10 − 1/8 = 0.175; loose small-corpus band
     assert(frac > 0.08 && frac < 0.30, s"moved $frac")
   }
+
+  test("shard_rendezvous_drain: survivors lose nothing, the drained " +
+    "shard loses everything, recipients split by weight") {
+    val rows = SparkEntry.queries("shard_rendezvous_drain")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    val drained = rows.find(_._1 == 5L).get
+    // the drained shard empties, receives nothing, loses all its docs
+    assert(drained._3 == 0L && drained._4 == 0L && drained._2 == drained._5,
+      s"drained row: $drained")
+    // NO surviving shard loses a doc — removing a non-winning
+    // candidate cannot change anyone else's argmax
+    assert(rows.filter(_._1 != 5L).forall(_._5 == 0L),
+      s"survivor churn: ${rows.toSeq}")
+    // every drained doc lands somewhere among the survivors
+    assert(rows.map(_._4).sum == drained._2)
+    // the weight-3 shard receives the largest share of the drain
+    val recv = rows.filter(_._1 != 5L).map(r => r._1 -> r._4).toMap
+    assert(recv(3L) == recv.values.max,
+      s"weight-3 shard should absorb the most: $recv")
+  }
 }
