@@ -25,6 +25,63 @@ object SimilarityQueries {
   // with the corpus — the one latent quadratic VERDICT r10 flagged)
   private val JlAuditK = 128
 
+  /** The embedding_jl_distortion pipeline on an arbitrary
+    * (vec_id, emb: array<double>) frame — shared by the gated query
+    * and the StressBench amortization row (which feeds it N shifted
+    * copies of the corpus to prove the audit cost is FLAT in corpus
+    * size: the only corpus-linear work is the top-K scan).
+    */
+  private[graft] def jlDistortion(s: org.apache.spark.sql.SparkSession,
+                                  vecs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = vecs
+      .orderBy(graft.functions.GraftFunctions
+        .md5Long(col("vec_id").cast("string")), col("vec_id"))
+      .limit(JlAuditK)
+    val dims = e.select(col("vec_id"),
+      posexplode(col("emb")).as(Seq("i", "x")))
+    val signs = s.range(JlDims * JlK)
+      .select((col("id") / JlK).cast("long").as("i"),
+        (col("id") % JlK).as("j"))
+      .select(col("i"), col("j"),
+        (pmod(hash60(concat(col("i").cast("string"), lit(":"),
+          col("j").cast("string"))), lit(2L)) * 2L - 1L).as("sgn"))
+    val proj = dims.join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum((col("x") * col("sgn")).cast(DecimalType(18, 8))).as("s"))
+      .select(col("vec_id"), col("j"),
+        (round(col("s"), 6).cast("double") / 4.0).as("y"))
+    def pairDist(df: org.apache.spark.sql.DataFrame, dimCol: String,
+                 valCol: String) = {
+      val a = df.select(col("vec_id").as("ia"), col(dimCol).as("d"),
+        col(valCol).as("va"))
+      val b = df.select(col("vec_id").as("ib"), col(dimCol).as("d"),
+        col(valCol).as("vb"))
+      a.join(b, Seq("d")).where(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(sum(round((col("va") - col("vb"))
+          * (col("va") - col("vb")), 12).cast(DecimalType(28, 12)))
+          .as("d2"))
+    }
+    val dOrig = pairDist(dims, "i", "x")
+      .select(col("ia"), col("ib"), sqrt(col("d2").cast("double")).as("do_"))
+    val dProj = pairDist(proj, "j", "y")
+      .select(col("ia"), col("ib"), sqrt(col("d2").cast("double")).as("dp"))
+    dOrig.join(dProj, Seq("ia", "ib"))
+      .where(col("do_") > 0)
+      .select(round(col("dp") / col("do_"), 6).as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round((sum(col("ratio").cast(DecimalType(18, 6))) / count(lit(1)))
+          .cast(DecimalType(18, 8)), 6).cast("double").as("mean_ratio"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        round((sum(when(abs(col("ratio") - 1.0) <= 0.3, 1L).otherwise(0L))
+          .cast("double") / count(lit(1))
+          ).cast(DecimalType(18, 8)), 6).cast("double")
+          .as("frac_within_30pct"))
+  }
+
   // PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords
   // per subspace (NumCells doubles as k so the deterministic fallback
   // codebook — first-k subslices — mirrors the IVF fallback).
@@ -1304,55 +1361,10 @@ object SimilarityQueries {
     // VERDICT r10). All sums are DECIMAL so both distances and the
     // report hash bit-identical.
     QueryDef("embedding_jl_distortion",
-      (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
-        val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-          .orderBy(graft.functions.GraftFunctions
-            .md5Long(col("vec_id").cast("string")), col("vec_id"))
-          .limit(JlAuditK)
-        val dims = e.select(col("vec_id"),
-          posexplode(col("emb")).as(Seq("i", "x")))
-        val signs = s.range(JlDims * JlK)
-          .select((col("id") / JlK).cast("long").as("i"),
-            (col("id") % JlK).as("j"))
-          .select(col("i"), col("j"),
-            (pmod(hash60(concat(col("i").cast("string"), lit(":"),
-              col("j").cast("string"))), lit(2L)) * 2L - 1L).as("sgn"))
-        val proj = dims.join(broadcast(signs), "i")
-          .groupBy(col("vec_id"), col("j"))
-          .agg(sum((col("x") * col("sgn")).cast(DecimalType(18, 8))).as("s"))
-          .select(col("vec_id"), col("j"),
-            (round(col("s"), 6).cast("double") / 4.0).as("y"))
-        def pairDist(df: org.apache.spark.sql.DataFrame, dimCol: String,
-                     valCol: String) = {
-          val a = df.select(col("vec_id").as("ia"), col(dimCol).as("d"),
-            col(valCol).as("va"))
-          val b = df.select(col("vec_id").as("ib"), col(dimCol).as("d"),
-            col(valCol).as("vb"))
-          a.join(b, Seq("d")).where(col("ia") < col("ib"))
-            .groupBy(col("ia"), col("ib"))
-            .agg(sum(round((col("va") - col("vb"))
-              * (col("va") - col("vb")), 12).cast(DecimalType(28, 12)))
-              .as("d2"))
-        }
-        val dOrig = pairDist(dims, "i", "x")
-          .select(col("ia"), col("ib"), sqrt(col("d2").cast("double")).as("do_"))
-        val dProj = pairDist(proj, "j", "y")
-          .select(col("ia"), col("ib"), sqrt(col("d2").cast("double")).as("dp"))
-        dOrig.join(dProj, Seq("ia", "ib"))
-          .where(col("do_") > 0)
-          .select(round(col("dp") / col("do_"), 6).as("ratio"))
-          .agg(count(lit(1)).as("n_pairs"),
-            round((sum(col("ratio").cast(DecimalType(18, 6))) / count(lit(1)))
-              .cast(DecimalType(18, 8)), 6).cast("double").as("mean_ratio"),
-            min(col("ratio")).as("min_ratio"),
-            max(col("ratio")).as("max_ratio"),
-            round((sum(when(abs(col("ratio") - 1.0) <= 0.3, 1L).otherwise(0L))
-              .cast("double") / count(lit(1))
-              ).cast(DecimalType(18, 8)), 6).cast("double")
-              .as("frac_within_30pct"))
-      },
+      (s, dir) => jlDistortion(s,
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))),
       Some(s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         |  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,

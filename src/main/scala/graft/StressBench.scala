@@ -106,6 +106,25 @@ object StressBench {
         k = 4, subPlanes = 4, maxBlockSize = 256).count()
     }
 
+    // JL distortion-audit amortization (VERDICT r10 #2): the audit
+    // sample is a FIXED K = 128 detHash top-K, so its pair stage is
+    // K²/2 at any corpus size — the only corpus-linear work is the
+    // top-K scan. ×1 vs ×16 (shifted-id copies) must be near-flat;
+    // the old 1-in-10 fractional sample would have grown its pair
+    // work 256×.
+    def jlVecs(copies: Int) = {
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      (0 until copies).map(i =>
+          e.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            col("emb")))
+        .reduce(_ union _)
+    }
+    timed("jlDistortionX1")(
+      SimilarityQueries.jlDistortion(spark, jlVecs(1)).count())
+    timed("jlDistortionX16")(
+      SimilarityQueries.jlDistortion(spark, jlVecs(16)).count())
+
     // sketch-vs-exact distinct at high cardinality: 50M values over
     // 64 groups, ~780k distinct per group — the regime where exact
     // COUNT(DISTINCT) shuffles every key and the KMV sketch shuffles
