@@ -37,6 +37,9 @@ object DedupQueries {
     */
   private val MaxShingleDf = 1000
   private val MaxBucketSize = 1000
+  // chain-audit member sample per cluster: intra-cluster pair work is
+  // ≤ cap²/2 regardless of cluster (or corpus) size
+  private val ChainAuditCap = 8
 
   /** cv_folds_leakage_safe: fold count (K in group-aware K-fold). */
   private val CvFolds = 5L
@@ -379,6 +382,118 @@ object DedupQueries {
         |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
         |  FROM reach GROUP BY src)
         |SELECT doc_id, cluster FROM cc ORDER BY doc_id""".stripMargin)),
+
+    // Chain-transitivity audit of the CC dup clusters — the known
+    // failure mode of connected-component dedup: a∼b and b∼c chain
+    // a≁c into one cluster, and keep-one-per-cluster then deletes
+    // documents that are NOT near-dups of the survivor. The audit
+    // measures it: per cluster, the MINIMUM exact pairwise Jaccard
+    // over a fixed-size member sample (ChainAuditCap lowest
+    // (md5Long, doc_id) members — the JlAuditK discipline, so pair
+    // work per cluster is ≤ cap²/2 at any corpus size), histogrammed
+    // by (cluster_size, chained = min < the LSH threshold 0.5).
+    // Pairs sharing no shingle at all never reach the hash join and
+    // coalesce to similarity 0 — precisely the chained pairs the
+    // audit exists to find, so the all-pairs frame comes from a
+    // bounded per-cluster self-join, not from the index. Scale
+    // shape: the corpus-sized stages are the same signature/banding
+    // machinery the dedup gates already run; everything after cc is
+    // bounded by clusters × cap (sampled shingle index, pair join,
+    // keyed rank window).
+    QueryDef("dedup_chain_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text",
+          NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands,
+          Rows, MaxBucketSize)
+        val cc = Similarity.connectedComponents(pairs)
+        val sizes = cc.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val wS = Window.partitionBy(col("cluster"))
+          .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+        val sampled = cc.withColumn("rk", row_number().over(wS))
+          .where(col("rk") <= ChainAuditCap)
+          .select(col("cluster"), col("doc_id"))
+        val dex = d.join(sampled, "doc_id")
+          .select(col("cluster"), col("doc_id"),
+            explode(Similarity.shingleHashes(col("text"), ShingleN)).as("h"))
+          .distinct()
+        val cnts = dex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val allPairs = sampled.select(col("cluster"), col("doc_id").as("ia"))
+          .join(sampled.select(col("cluster"), col("doc_id").as("ib")),
+            "cluster")
+          .where(col("ia") < col("ib"))
+        val common = dex.select(col("doc_id").as("ia"), col("h"))
+          .join(dex.select(col("doc_id").as("ib"), col("h")), "h")
+          .where(col("ia") < col("ib"))
+          .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+        val jac = allPairs
+          .join(common, Seq("ia", "ib"), "left")
+          .join(cnts.withColumnRenamed("doc_id", "ia")
+            .withColumnRenamed("n", "na"), "ia")
+          .join(cnts.withColumnRenamed("doc_id", "ib")
+            .withColumnRenamed("n", "nb"), "ib")
+          .select(col("cluster"),
+            coalesce(round(col("common").cast("double") /
+              (col("na") + col("nb") - col("common")), 6), lit(0.0))
+              .as("jac"))
+        jac.groupBy(col("cluster")).agg(min(col("jac")).as("min_sim"))
+          .join(sizes, "cluster")
+          .withColumn("chained",
+            when(col("min_sim") < 0.5, 1L).otherwise(0L))
+          .groupBy(col("cluster_size"), col("chained"))
+          .agg(count(lit(1)).as("n_clusters"),
+            min(col("min_sim")).as("min_pair_sim"))
+          .orderBy(col("cluster_size"), col("chained"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc
+        |  GROUP BY cluster),
+        |smp AS (
+        |  SELECT cluster, doc_id FROM (
+        |    SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY ${md5LongSql("doc_id::VARCHAR")}, doc_id) AS rk
+        |    FROM cc) r WHERE rk <= $ChainAuditCap),
+        |w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM smp)),
+        |sh2 AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w2),
+        |dex2 AS (SELECT DISTINCT doc_id, ${md5LongSql("s")} AS h FROM sh2),
+        |cnt2 AS (SELECT doc_id, COUNT(*) AS n FROM dex2 GROUP BY doc_id),
+        |ap AS (
+        |  SELECT a.cluster, a.doc_id AS ia, b.doc_id AS ib
+        |  FROM smp a JOIN smp b
+        |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+        |cm AS (
+        |  SELECT x.doc_id AS ia, y.doc_id AS ib, COUNT(*) AS common
+        |  FROM dex2 x JOIN dex2 y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT ap.cluster,
+        |    coalesce(round(cm.common::DOUBLE
+        |      / (ca.n + cb.n - cm.common), 6), 0.0) AS jac
+        |  FROM ap
+        |  LEFT JOIN cm ON cm.ia = ap.ia AND cm.ib = ap.ib
+        |  JOIN cnt2 ca ON ca.doc_id = ap.ia
+        |  JOIN cnt2 cb ON cb.doc_id = ap.ib),
+        |mn AS (SELECT cluster, min(jac) AS min_sim FROM jac
+        |  GROUP BY cluster)
+        |SELECT cluster_size,
+        |  CASE WHEN min_sim < 0.5 THEN 1 ELSE 0 END::BIGINT AS chained,
+        |  COUNT(*) AS n_clusters, min(min_sim) AS min_pair_sim
+        |FROM mn JOIN sz USING (cluster)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Benchmark decontamination: fraction of each source's documents
     // sharing at least one 5-gram shingle hash with a "benchmark" set
