@@ -721,12 +721,15 @@ object AdvancedQueries {
               when(col("b") === drained.toLong, 1L).otherwise(0L).as("recv"))))
             .as("r"))
           .select(col("r.role"), col("r.shard"), col("r.recv"))
+        // ≤|shards| rows, read twice (report + drained-total):
+        // checkpoint so the corpus argmax scan runs once
         val perShard = roles.groupBy(col("shard"))
           .agg(
             sum(when(col("role") === 0, 1L).otherwise(0L)).as("n_before"),
             sum(when(col("role") === 1, 1L).otherwise(0L)).as("n_after"),
             sum(when(col("role") === 1, col("recv")).otherwise(0L))
               .as("n_received"))
+          .localCheckpoint(true)
         perShard
           .crossJoin(broadcast(perShard.agg(
             sum(col("n_received")).as("__drained_total"))))

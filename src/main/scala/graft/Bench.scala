@@ -239,7 +239,13 @@ object Bench {
         val prior = try {
           val txt = java.nio.file.Files.readString(path)
           val m = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-          m.findAllMatchIn(txt.substring(txt.indexOf("queries")))
+          // parse ONLY the queries object (up to its closing brace):
+          // the record now carries oracle_basket entries AFTER it
+          // whose names collide with real query names — swallowing
+          // them here would overwrite suite medians with oracle times
+          val fromQ = txt.substring(txt.indexOf("\"queries\":{"))
+          val qObj = fromQ.substring(0, fromQ.indexOf("}") + 1)
+          m.findAllMatchIn(qObj)
             .map(x => x.group(1) -> x.group(2).toDouble)
             .filterNot { case (k, _) => k == "runs" || k == "omitted" }
             .toSeq
