@@ -1358,11 +1358,23 @@ object AdvancedQueries {
     * u<v part pairs sharing >= 2 distinct orders. One aggregate over
     * [[coPurchasePairs]]'s pair stream — each order contributes a
     * pair at most once (sets), so count(*) IS the shared-order count.
+    *
+    * The pair stream is raw-repartitioned on the pair key BEFORE the
+    * count (partial+final then fuse into one post-exchange aggregate)
+    * instead of the default map-side partial aggregation: pair keys
+    * are NEAR-UNIQUE (×300 shape: 270M pairs → 1.07M repeat edges),
+    * so the map-side hash table reduces almost nothing while paying
+    * its build + spill — measured at the ×300 shape the default form
+    * runs 155–200 s vs 90–94 s for this one (equivalent ≤×100 where
+    * the per-task table still fits; SCALING.md round-11). Reducer
+    * partition count is NOT the lever — the spill is map-side —
+    * which is why the 32→128 shuffle-partition A/B was a wash.
     */
   private def repeatCoPurchaseEdges(s: org.apache.spark.sql.SparkSession,
                                     dir: String)
       : org.apache.spark.sql.DataFrame =
     coPurchasePairs(s, dir, directed = false)
+      .repartition(col("src"), col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
       .select(col("src"), col("dst"))
