@@ -782,6 +782,104 @@ object AdvancedQueries {
           |FROM j, t ORDER BY shard""".stripMargin
       }),
 
+    // Rendezvous REBALANCE — a FRACTIONAL weight change on live
+    // shards (shard 3 partially downgraded 3 → 2, shard 6 upgraded
+    // 1 → 1.5), the day-2 capacity operation between the all-or-
+    // nothing upgrade (shard_rendezvous_weighted) and removal
+    // (shard_rendezvous_drain): shrink a hot box a little, grow a
+    // cold one a little, move the minimum. Rendezvous localizes the
+    // churn and the report pins it as VALUES the oracle hashes: a
+    // doc on an UNCHANGED shard can only move TO the upgraded shard
+    // (its own score and every other unchanged score are untouched;
+    // the downgraded shard's score only fell) → n_moved_invalid ≡ 0
+    // on every row; the upgraded shard loses nothing (its score only
+    // rose) → shard 6's n_moved ≡ 0. Only the downgraded shard
+    // scatters, and only by its share loss (3/10 → 2/9.5 ≈ 9 % of
+    // its docs stay put per-doc decided). Plan: one scan-local
+    // double argmax (when-chains over seeded md5Long/ln scores, no
+    // shuffle) + one ≤|shards|-group hash aggregate — identical
+    // cross-engine because ln and IEEE division are stable on
+    // identical operands (the prioritySample precedent).
+    QueryDef("shard_rendezvous_rebalance",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val nSh = 8
+        val heavy = 3     // weight 3 → 2 (fractional downgrade)
+        val upgraded = 6  // weight 1 → 1.5 (fractional upgrade)
+        val id = col("doc_id").cast("string")
+        val M = 1152921504606846976d // 2^60, exact double
+        def u(i: Int) =
+          (md5Long(i, id) + lit(1L)).cast("double") / lit(M)
+        def score(i: Int, w: Double) = lit(-w) / log(u(i))
+        def argmaxChain(scores: Seq[org.apache.spark.sql.Column]) = {
+          val g = greatest(scores: _*)
+          scores.zipWithIndex.foldLeft(null: org.apache.spark.sql.Column) {
+            case (acc, (c, i)) =>
+              if (acc == null) when(c === g, i.toLong)
+              else acc.when(c === g, i.toLong)
+          }
+        }
+        val before = argmaxChain((0 until nSh).map(i =>
+          score(i, if (i == heavy) 3.0 else 1.0)))
+        val after = argmaxChain((0 until nSh).map(i =>
+          score(i, if (i == heavy) 2.0
+                   else if (i == upgraded) 1.5 else 1.0)))
+        Tables.load(s, dir, "documents")
+          .select(before.as("before_shard"), after.as("after_shard"))
+          .groupBy(col("before_shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("after_shard") =!= col("before_shard"), 1L)
+              .otherwise(0L)).as("n_moved"),
+            sum(when(col("after_shard") =!= col("before_shard") &&
+              col("after_shard") === upgraded.toLong, 1L)
+              .otherwise(0L)).as("n_to_upgraded"),
+            // a move that is neither FROM the downgraded shard nor
+            // ONTO the upgraded one would break rendezvous locality
+            sum(when(col("after_shard") =!= col("before_shard") &&
+              col("before_shard") =!= heavy.toLong &&
+              col("after_shard") =!= upgraded.toLong, 1L)
+              .otherwise(0L)).as("n_moved_invalid"))
+          .withColumn("moved_frac",
+            round((col("n_moved").cast("double") /
+              col("n_docs").cast("double")).cast(dec), 6).cast("double"))
+          .orderBy(col("before_shard"))
+      },
+      Some {
+        def u(i: Int) =
+          s"((('0x' || substring(md5('$i:' || doc_id::VARCHAR), 1, 15))::BIGINT" +
+            s" + 1) / 1152921504606846976.0)"
+        def score(i: Int, w: String) = s"(($w) / ln(${u(i)}))"
+        def argmax(exprs: Seq[String], alias: String) = {
+          val g = s"greatest(${exprs.mkString(", ")})"
+          val cases = exprs.zipWithIndex
+            .map { case (e, i) => s"WHEN $e = $g THEN ${i}::BIGINT" }
+            .mkString(" ")
+          s"CASE $cases END AS $alias"
+        }
+        val before = argmax((0 until 8).map(i =>
+          score(i, if (i == 3) "-3.0" else "-1.0")), "before_shard")
+        val after = argmax((0 until 8).map(i =>
+          score(i, if (i == 3) "-2.0"
+                   else if (i == 6) "-1.5" else "-1.0")), "after_shard")
+        s"""WITH a AS (
+          |  SELECT $before,
+          |    $after
+          |  FROM documents)
+          |SELECT before_shard, COUNT(*) AS n_docs,
+          |  SUM(CASE WHEN after_shard <> before_shard THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_moved,
+          |  SUM(CASE WHEN after_shard <> before_shard AND after_shard = 6
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_to_upgraded,
+          |  SUM(CASE WHEN after_shard <> before_shard AND before_shard <> 3
+          |      AND after_shard <> 6 THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_moved_invalid,
+          |  CAST(round(CAST(SUM(CASE WHEN after_shard <> before_shard
+          |      THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+          |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS moved_frac
+          |FROM a GROUP BY before_shard ORDER BY before_shard""".stripMargin
+      }),
+
     // Data profiling — the validation pass an ingest pipeline runs
     // before training: per-column row/null/exact-distinct counts. One
     // column-pruned scan per column (each aggregate reads only its own

@@ -403,4 +403,31 @@ class CorpusReportsSpec extends SparkSpec {
     assert(recv(3L) == recv.values.max,
       s"weight-3 shard should absorb the most: $recv")
   }
+
+  test("shard_rendezvous_rebalance: fractional weight change moves docs " +
+    "only off the downgraded shard or onto the upgraded one") {
+    val rows = SparkEntry.queries("shard_rendezvous_rebalance")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    // rendezvous locality: no move is both from an unchanged shard
+    // and to a non-upgraded shard
+    assert(rows.forall(_._5 == 0L), s"invalid moves: ${rows.toSeq}")
+    // the upgraded shard never loses a doc (its score only rose)
+    assert(rows.find(_._1 == 6L).get._3 == 0L)
+    // unchanged shards move docs ONLY onto the upgraded shard
+    rows.filter(r => r._1 != 3L && r._1 != 6L).foreach { r =>
+      assert(r._3 == r._4, s"unchanged shard ${r._1} moved off-target: $r")
+    }
+    // the downgraded shard scatters: its moved docs exceed its
+    // to-upgraded slice (it redistributes per-weight to everyone)
+    val down = rows.find(_._1 == 3L).get
+    assert(down._3 > down._4, s"downgraded row: $down")
+    // aggregate movement is the share delta, not a reshuffle:
+    // shard 3 loses 3/10−2/9.5 ≈ 8.9 %, shard 6 gains ≈ 5.8 % of the
+    // corpus → total ≲ 15 %; loose small-corpus band
+    val frac = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(frac > 0.03 && frac < 0.30, s"moved $frac")
+  }
 }
