@@ -3271,6 +3271,25 @@ object TextQueries {
       },
       Some(probeRidgeOracle)),
 
+    // CLOSED-FORM ridge path — the exact (A + nλI)w = b solve the GD
+    // path above approaches: same ONE moments scan (the λ grid is
+    // free), then O(d³) driver Gaussian elimination instead of
+    // iteration. The point of having both gates: the GD path is the
+    // shape that generalizes to losses without closed forms; this is
+    // the exact answer for squared loss, and its oracle proves a
+    // driver-side linear SOLVE can be made engine-exact (unrolled
+    // elimination CTEs, every update in the driver's IEEE shape).
+    // mse here is the true minimum at λ = 0 — the quality_probe
+    // family's convergence anchor (spec-pinned ≤ the GD-path mse).
+    QueryDef("quality_probe_ridge_exact",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.ops.LinearProbe.ridgeExact(s, d, probeFeatsSpark,
+          expr("CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DECIMAL(18,6))"),
+          ProbeWeightNames, RidgeLambdas)
+      },
+      Some(probeRidgeExactOracle)),
+
     // Vocabulary coverage curve: what fraction of all corpus tokens
     // the top-k types cover, for k on a doubling grid — the
     // tokenizer/vocab-sizing census (how big a vocab buys how much of
@@ -3886,6 +3905,89 @@ object TextQueries {
        |    $fCols,
        |    $probeLabelSql AS y
        |  FROM documents),
+       |$chains
+       |$arms
+       |ORDER BY lambda""".stripMargin
+  }
+
+  /** Closed-form ridge oracle: the moments aggregate, then per λ an
+    * UNROLLED Gaussian elimination (4 stage CTEs, no pivoting — safe
+    * because A + nλI is positive definite, see
+    * LinearProbe.gaussSolve) and a back-substitution CTE chain, all
+    * 1-row and MATERIALIZED per the standing unrolled-oracle rule
+    * (each stage references the previous ~4× per entry — inlining
+    * would re-expand the expression tree exponentially). Every
+    * update is spelled `mIJ - (mIK / mKK) * mKJ` and every
+    * back-substitution as a left-associated subtraction chain — the
+    * exact IEEE shapes the driver solve evaluates, so the weights
+    * match bit-for-bit before the DECIMAL(18,8)→6 guard.
+    */
+  private def probeRidgeExactOracle: String = {
+    val d = ProbeWeightNames.size
+    val fCols = probeFeatsSql.zipWithIndex
+      .map { case (e, i) => s"$e AS f$i" }.mkString(",\n    ")
+    def aN(i: Int, j: Int) = if (i <= j) s"a$i$j" else s"a$j$i"
+    def chain(lamIdx: Int, lam: Double): String = {
+      val p = s"e$lamIdx"
+      val g0Cols = ((for (i <- 0 until d; j <- 0 until d) yield {
+        val base = aN(i, j)
+        val e =
+          if (i == j && lam != 0.0) s"$base + n * $lam::DOUBLE" else base
+        s"$e AS m$i$j"
+      }) ++ (0 until d).map(j => s"b$j AS r$j")).mkString(",\n    ")
+      val stages = (0 until d - 1).map { k =>
+        val cols = ((for (i <- 0 until d; j <- 0 until d) yield {
+          if (i <= k || j < k) s"m$i$j"
+          else s"m$i$j - (m$i$k / m$k$k) * m$k$j AS m$i$j"
+        }) ++ (0 until d).map { i =>
+          if (i <= k) s"r$i"
+          else s"r$i - (m$i$k / m$k$k) * r$k AS r$i"
+        }).mkString(",\n    ")
+        s"""${p}g${k + 1} AS MATERIALIZED (
+           |  SELECT $cols
+           |  FROM ${p}g$k)""".stripMargin
+      }
+      val backs = (d - 1 to 0 by -1).map { j =>
+        val src = if (j == d - 1) s"${p}g${d - 1}" else s"${p}w${j + 1}"
+        val num = ((j + 1) until d)
+          .foldLeft(s"r$j")((acc, k) => s"$acc - m$j$k * w$k")
+        s"""${p}w$j AS MATERIALIZED (
+           |  SELECT *, ($num) / m$j$j AS w$j FROM $src)""".stripMargin
+      }
+      (s"""${p}g0 AS MATERIALIZED (
+         |  SELECT $g0Cols
+         |  FROM m)""".stripMargin +: stages) ++ backs
+    }.mkString(",\n")
+    def mseExpr = {
+      val wAw = (0 until d).map(j => s"w$j*(${probeDot(j)})").mkString(" + ")
+      val wb = (0 until d).map(j => s"w$j*b$j").mkString(" + ")
+      s"(($wAw) - 2*($wb) + syy) / n"
+    }
+    val chains = RidgeLambdas.zipWithIndex
+      .map { case (lam, i) => chain(i, lam) }.mkString(",\n")
+    val arms = RidgeLambdas.zipWithIndex.map { case (lam, i) =>
+      val ws = ProbeWeightNames.zipWithIndex
+        .map { case (nm, j) =>
+          s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
+        .mkString(", ")
+      s"SELECT $lam::DOUBLE AS lambda, $ws, CAST(round(CAST($mseExpr" +
+        s" AS DECIMAL(18,8)), 6) AS DOUBLE) AS mse FROM e${i}w0, m"
+    }.mkString("\nUNION ALL\n")
+    val mAggs = (
+      Seq("COUNT(*)::DOUBLE AS n") ++
+        (for (j <- 0 until d; k <- j until d)
+          yield s"SUM(f$j*f$k)::DOUBLE AS a$j$k") ++
+        (0 until d).map(j => s"SUM(f$j*y)::DOUBLE AS b$j") :+
+        "SUM(y*y)::DOUBLE AS syy").mkString(",\n    ")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT
+       |    $fCols,
+       |    $probeLabelSql AS y
+       |  FROM documents),
+       |m AS MATERIALIZED (
+       |  SELECT
+       |    $mAggs
+       |  FROM f),
        |$chains
        |$arms
        |ORDER BY lambda""".stripMargin

@@ -77,6 +77,91 @@ object LinearProbe {
     (n, a, b, syy)
   }
 
+  /** Unpenalized training MSE at weights w from the moments:
+    * (wᵀAw − 2wᵀb + Σy²)/n in the ONE IEEE shape the SQL oracles
+    * spell (per-row dots, then left-associated combination).
+    */
+  private def mseOf(a: Array[Array[Double]], b: Array[Double], syy: Double,
+                    n: Double, w: Array[Double]): Double = {
+    val d = b.length
+    val dots = Array.tabulate(d)(j => dotL(a(j), w))
+    val wAw = dotL(w, dots)
+    val wb = dotL(w, b)
+    ((wAw - 2 * wb) + syy) / n
+  }
+
+  /** Solve Mw = r by Gaussian elimination WITHOUT pivoting, in the
+    * exact operation order the unrolled SQL oracle spells: stage k
+    * eliminates column k from rows i > k via
+    * m(i)(j) − (m(i)(k)/m(k)(k))·m(k)(j) (one division per row,
+    * reused across j — bit-identical to the oracle's inlined
+    * division, since IEEE division is deterministic on identical
+    * operands); back-substitution is a left-associated subtraction
+    * chain. No pivoting is safe here BY CONSTRUCTION: callers pass
+    * M = A + nλI with A a Gram matrix, so M is positive definite
+    * (λ > 0) or generically so (λ = 0, independent features), and
+    * every leading principal minor — hence every pivot — is > 0.
+    * Destroys its inputs (callers pass copies).
+    */
+  private def gaussSolve(m: Array[Array[Double]], r: Array[Double])
+      : Array[Double] = {
+    val d = r.length
+    for (k <- 0 until d - 1; i <- k + 1 until d) {
+      val f = m(i)(k) / m(k)(k)
+      require(!f.isNaN && !f.isInfinite,
+        s"gaussSolve: zero pivot at stage $k")
+      for (j <- k until d) m(i)(j) = m(i)(j) - f * m(k)(j)
+      r(i) = r(i) - f * r(k)
+    }
+    val w = new Array[Double](d)
+    for (j <- d - 1 to 0 by -1) {
+      var acc = r(j)
+      var k = j + 1
+      while (k < d) { acc = acc - m(j)(k) * w(k); k += 1 }
+      w(j) = acc / m(j)(j)
+    }
+    w
+  }
+
+  /** CLOSED-FORM ridge path: solve (A + nλI)w = b exactly per λ by
+    * [[gaussSolve]] instead of iterating GD — the answer gdSteps
+    * approaches as steps → ∞, from the SAME one-scan moments (the λ
+    * grid still costs zero extra corpus passes; the solve is O(d³)
+    * driver arithmetic). Output matches [[ridgePath]]'s shape:
+    * (lambda, <weight columns>, mse — the UNPENALIZED training MSE),
+    * one row per λ, through the DECIMAL(18,8)→6 guard. Cross-engine
+    * exact because the moments are decimal-exact before the double
+    * cast and the elimination/back-substitution expression shapes are
+    * mirrored term for term by the unrolled SQL oracle.
+    */
+  def ridgeExact(spark: SparkSession, df: DataFrame, feats: Seq[Column],
+                 label: Column, weightNames: Seq[String],
+                 lambdas: Seq[Double]): DataFrame = {
+    require(weightNames.size == feats.size, "one name per feature")
+    require(lambdas.nonEmpty && lambdas.forall(_ >= 0), s"bad grid: $lambdas")
+    val (n, a, b, syy) = moments(df, feats, label)
+    val d = b.length
+    val rows = lambdas.map { lam =>
+      val m = Array.tabulate(d, d) { (i, j) =>
+        // λ = 0 keeps the bare aii (no `+ n*0.0` term — mirror the
+        // λ-free oracle shape exactly, the gdSteps convention)
+        if (i == j && lam != 0.0) a(i)(j) + n * lam else a(i)(j)
+      }
+      val w = gaussSolve(m, b.clone())
+      Row.fromSeq(lam +: w.toSeq :+ mseOf(a, b, syy, n, w))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      ("lambda" +: weightNames :+ "mse").map(c => org.apache.spark.sql.types
+        .StructField(c, org.apache.spark.sql.types.DoubleType,
+          nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .select(col("lambda") +:
+        (weightNames :+ "mse").map(c =>
+          round(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
+            .cast("double").as(c)): _*)
+      .orderBy(col("lambda"))
+  }
+
   /** Fixed-step gradient descent on the moments: w ← w − η((Aw − b)/n
     * + λw) from w = 0, emitting (step, w, mse) for step 0..steps where
     * mse = (wᵀAw − 2wᵀb + Σy²)/n — the UNPENALIZED training MSE (λ

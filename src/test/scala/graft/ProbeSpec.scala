@@ -58,4 +58,37 @@ class ProbeSpec extends SparkSpec {
       0.2, 3).collect()
     assert(one.toSeq == many.toSeq)
   }
+
+  test("ridgeExact solves the normal equations: residual ~0, lambda=0 mse " +
+    "is the global minimum, mse monotone in lambda") {
+    val y = expr("CAST(y AS DECIMAL(18,6))")
+    val names = Seq("w_bias", "w_1", "w_2")
+    val lambdas = Seq(0.0, 0.05, 0.5)
+    val rows = LinearProbe.ridgeExact(spark, df, feats, y, names, lambdas)
+      .collect()
+    assert(rows.map(_.getDouble(0)).toSeq == lambdas)
+    val (n, a, b, _) = LinearProbe.moments(df, feats, y)
+    rows.foreach { r =>
+      val lam = r.getDouble(0)
+      val w = names.indices.map(j => r.getDouble(j + 1))
+      // (A + nλI)w − b ≈ 0 relative to |b| (w is rounded to 6dp,
+      // so the residual bar is loose, not machine-epsilon)
+      for (j <- b.indices) {
+        val aw = b.indices.map(k =>
+          (a(j)(k) + (if (j == k) n * lam else 0.0)) * w(k)).sum
+        assert(math.abs(aw - b(j)) < 1e-3 * (math.abs(b(j)) + 1.0),
+          s"normal-equation residual at lambda=$lam row $j: $aw vs ${b(j)}")
+      }
+    }
+    // λ=0 closed form is the least-squares optimum: no GD path can
+    // beat it, and more shrinkage can only raise the unpenalized mse
+    val mses = rows.map(r => r.getDouble(r.length - 1))
+    val gdFinal = LinearProbe.gdSteps(a, b,
+      LinearProbe.moments(df, feats, y)._4, n, 0.2, 50).last.mse
+    assert(mses(0) <= gdFinal + 1e-9,
+      s"exact lambda=0 mse ${mses(0)} must not exceed GD mse $gdFinal")
+    for (t <- 1 until mses.length)
+      assert(mses(t) >= mses(t - 1) - 1e-9,
+        s"unpenalized mse must be nondecreasing in lambda at $t")
+  }
 }
