@@ -495,6 +495,174 @@ object DedupQueries {
         |FROM mn JOIN sz USING (cluster)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Diameter audit of the CC dup clusters — dedup_chain_audit's
+    // companion: min pairwise similarity says HOW DISSIMILAR a
+    // chained cluster's extremes got; the hop diameter says HOW LONG
+    // the chain is. Per cluster, over the same fixed-size member
+    // sample, build the VERIFIED similarity graph (exact Jaccard
+    // ≥ 0.5 between sampled members) and take its diameter by
+    // min-plus DOUBLING — 3 rounds reach paths of length 8 > cap−1,
+    // so the fixed unroll is exact at any corpus size. diameter 1 =
+    // the sample is a clique at the threshold (CC chained nothing);
+    // ≥ 3 = keep-one-per-cluster deletes docs that are only
+    // transitively similar through 3+ hops; a DISCONNECTED sample
+    // (unreached pairs) is the strongest chaining evidence — the
+    // members aren't even transitively ≥ 0.5-similar among
+    // themselves. Scale shape: the corpus-side machinery is the
+    // dedup_chain_audit chain verbatim; every distance round is
+    // bounded by clusters × cap³ rows and checkpointed (the CC
+    // pointer-jumping lineage lesson).
+    QueryDef("dedup_chain_diameter",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text",
+          NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands,
+          Rows, MaxBucketSize)
+        val cc = Similarity.connectedComponents(pairs)
+        val sizes = cc.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val wS = Window.partitionBy(col("cluster"))
+          .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+        val sampled = cc.withColumn("rk", row_number().over(wS))
+          .where(col("rk") <= ChainAuditCap)
+          .select(col("cluster"), col("doc_id"))
+        val dex = d.join(sampled, "doc_id")
+          .select(col("cluster"), col("doc_id"),
+            explode(Similarity.shingleHashes(col("text"), ShingleN)).as("h"))
+          .distinct()
+        val cnts = dex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val allPairs = sampled.select(col("cluster"), col("doc_id").as("ia"))
+          .join(sampled.select(col("cluster"), col("doc_id").as("ib")),
+            "cluster")
+          .where(col("ia") < col("ib"))
+        val common = dex.select(col("doc_id").as("ia"), col("h"))
+          .join(dex.select(col("doc_id").as("ib"), col("h")), "h")
+          .where(col("ia") < col("ib"))
+          .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("common"))
+        val edges = allPairs
+          .join(common, Seq("ia", "ib"))
+          .join(cnts.withColumnRenamed("doc_id", "ia")
+            .withColumnRenamed("n", "na"), "ia")
+          .join(cnts.withColumnRenamed("doc_id", "ib")
+            .withColumnRenamed("n", "nb"), "ib")
+          .where(round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6) >= 0.5)
+          .select(col("cluster"), col("ia"), col("ib"))
+        var dist = edges
+          .select(col("cluster"), col("ia").as("x"), col("ib").as("y"),
+            lit(1L).as("dd"))
+          .union(edges.select(col("cluster"), col("ib").as("x"),
+            col("ia").as("y"), lit(1L).as("dd")))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val via = dist.as("l").join(dist.as("r"),
+              col("l.cluster") === col("r.cluster") &&
+                col("l.y") === col("r.x") && col("l.x") =!= col("r.y"))
+            .select(col("l.cluster").as("cluster"), col("l.x").as("x"),
+              col("r.y").as("y"), (col("l.dd") + col("r.dd")).as("dd"))
+          dist = dist.union(via)
+            .groupBy(col("cluster"), col("x"), col("y"))
+            .agg(min(col("dd")).as("dd"))
+            .localCheckpoint(true)
+        }
+        val reach = dist.where(col("x") < col("y"))
+          .groupBy(col("cluster"))
+          .agg(max(col("dd")).as("diam"), count(lit(1)).as("n_reached"))
+        val sampN = sampled.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("ns"))
+        sampN.join(reach, Seq("cluster"), "left")
+          .join(sizes, "cluster")
+          .select(col("cluster_size"),
+            coalesce(col("diam"), lit(0L)).as("diameter"),
+            when(expr("ns * (ns - 1) DIV 2") >
+              coalesce(col("n_reached"), lit(0L)), 1L).otherwise(0L)
+              .as("disconnected"))
+          .groupBy(col("cluster_size"), col("diameter"), col("disconnected"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("cluster_size"), col("diameter"), col("disconnected"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc
+        |  GROUP BY cluster),
+        |smp AS (
+        |  SELECT cluster, doc_id FROM (
+        |    SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY ${md5LongSql("doc_id::VARCHAR")}, doc_id) AS rk
+        |    FROM cc) r WHERE rk <= $ChainAuditCap),
+        |w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM smp)),
+        |sh2 AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w2),
+        |dex2 AS (SELECT DISTINCT doc_id, ${md5LongSql("s")} AS h FROM sh2),
+        |cnt2 AS (SELECT doc_id, COUNT(*) AS n FROM dex2 GROUP BY doc_id),
+        |ap AS (
+        |  SELECT a.cluster, a.doc_id AS ia, b.doc_id AS ib
+        |  FROM smp a JOIN smp b
+        |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+        |cm AS (
+        |  SELECT x.doc_id AS ia, y.doc_id AS ib, COUNT(*) AS common
+        |  FROM dex2 x JOIN dex2 y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT ap.cluster, ap.ia, ap.ib
+        |  FROM ap
+        |  JOIN cm ON cm.ia = ap.ia AND cm.ib = ap.ib
+        |  JOIN cnt2 ca ON ca.doc_id = ap.ia
+        |  JOIN cnt2 cb ON cb.doc_id = ap.ib
+        |  WHERE round(cm.common::DOUBLE / (ca.n + cb.n - cm.common), 6)
+        |    >= 0.5),
+        |d0 AS MATERIALIZED (
+        |  SELECT cluster, ia AS x, ib AS y, 1::BIGINT AS dd FROM e
+        |  UNION ALL
+        |  SELECT cluster, ib, ia, 1::BIGINT FROM e),
+        |d1 AS MATERIALIZED (SELECT cluster, x, y, min(dd) AS dd FROM (
+        |    SELECT cluster, x, y, dd FROM d0
+        |    UNION ALL
+        |    SELECT l.cluster, l.x, r.y, l.dd + r.dd
+        |    FROM d0 l JOIN d0 r
+        |      ON l.cluster = r.cluster AND l.y = r.x AND l.x <> r.y)
+        |  GROUP BY 1, 2, 3),
+        |d2 AS MATERIALIZED (SELECT cluster, x, y, min(dd) AS dd FROM (
+        |    SELECT cluster, x, y, dd FROM d1
+        |    UNION ALL
+        |    SELECT l.cluster, l.x, r.y, l.dd + r.dd
+        |    FROM d1 l JOIN d1 r
+        |      ON l.cluster = r.cluster AND l.y = r.x AND l.x <> r.y)
+        |  GROUP BY 1, 2, 3),
+        |d3 AS MATERIALIZED (SELECT cluster, x, y, min(dd) AS dd FROM (
+        |    SELECT cluster, x, y, dd FROM d2
+        |    UNION ALL
+        |    SELECT l.cluster, l.x, r.y, l.dd + r.dd
+        |    FROM d2 l JOIN d2 r
+        |      ON l.cluster = r.cluster AND l.y = r.x AND l.x <> r.y)
+        |  GROUP BY 1, 2, 3),
+        |rch AS (SELECT cluster, max(dd) AS diam, COUNT(*) AS n_reached
+        |  FROM d3 WHERE x < y GROUP BY cluster),
+        |nsc AS (SELECT cluster, COUNT(*) AS ns FROM smp GROUP BY cluster),
+        |per AS (
+        |  SELECT sz.cluster_size,
+        |    coalesce(rch.diam, 0)::BIGINT AS diameter,
+        |    (CASE WHEN nsc.ns * (nsc.ns - 1) // 2
+        |        > coalesce(rch.n_reached, 0) THEN 1 ELSE 0 END)::BIGINT
+        |      AS disconnected
+        |  FROM nsc
+        |  LEFT JOIN rch ON nsc.cluster = rch.cluster
+        |  JOIN sz ON sz.cluster = nsc.cluster)
+        |SELECT cluster_size, diameter, disconnected,
+        |  COUNT(*) AS n_clusters
+        |FROM per GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // Benchmark decontamination: fraction of each source's documents
     // sharing at least one 5-gram shingle hash with a "benchmark" set
     // (stand-in: the 20 lowest-id docs — a real benchmark table drops

@@ -46,4 +46,44 @@ class ChainAuditSpec extends SparkSpec {
     assert(out == Seq((2L, 0L, 1L, 1.0)),
       s"expected one clean 2-cluster: $out")
   }
+
+  private def runDiam(rows: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory("chaind").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("dedup_chain_diameter")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("a sliding-window 5-doc chain has diameter 2 (the ends meet only " +
+    "through the middle)") {
+    // 64-token windows stepping 6 over one 88-token stream: exact
+    // J(lag ℓ) = (60−6ℓ)/(60+6ℓ) → 0.818/0.667/0.538/0.429, so the
+    // verified ≥0.5 edge set is lags 1..3 and the lag-4 end pair is
+    // 2 hops apart. Adjacent pairs at J=0.818 band-collide with
+    // near-certainty (1−(1−0.818⁴)¹⁶ ≈ 0.9999) — pinned for this
+    // fixed token salt like the chain-audit corpus above.
+    val t = (0 until 88).map(i => s"tk$i")
+    val out = runDiam((0 until 5).map(i =>
+      (i + 1).toLong -> t.slice(6 * i, 6 * i + 64).mkString(" ")))
+    assert(out == Seq((5L, 2L, 0L, 1L)),
+      s"expected one connected diameter-2 5-cluster: $out")
+  }
+
+  test("an exact-duplicate cluster has diameter 1; a zero-overlap chain " +
+    "is disconnected at the threshold") {
+    val t = (0 until 40).map(i => s"tok$i").mkString(" ")
+    assert(runDiam(Seq(1L -> t, 2L -> t)) == Seq((2L, 1L, 0L, 1L)))
+    // the chained X / X++Y / Y cluster: pairwise J ≈ 0.47 < 0.5 —
+    // NO verified edge survives, the sample is disconnected
+    val x = (0 until 40).map(i => s"xa$i")
+    val y = (0 until 40).map(i => s"ya$i")
+    val out = runDiam(Seq(
+      1L -> x.mkString(" "),
+      2L -> (x ++ y).mkString(" "),
+      3L -> y.mkString(" ")))
+    assert(out == Seq((3L, 0L, 1L, 1L)),
+      s"expected one disconnected 3-cluster: $out")
+  }
 }
