@@ -1018,6 +1018,49 @@ object DedupQueries {
         |FROM e ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // J1-storage — b-BIT minhash estimate quality (Li & König 2010):
+    // what truncating every signature slot to its lowest 2 bits (a
+    // 32× smaller signature — 16 bytes/doc instead of 512 at 100 TB)
+    // costs in estimate error, per LSH candidate, next to the
+    // full-width estimate and the exact set Jaccard. The corrected
+    // estimator (p̂ − ¼)/¾ removes the random low-bit collision mass;
+    // both engines compute it from the same integer match counts.
+    QueryDef("dedup_minhash_bbit",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Similarity.minhashBbitReport(d, "doc_id", "text", 2,
+            NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val estTerms = (0 until NumPerms)
+          .map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+        val bTerms = (0 until NumPerms)
+          .map(i => s"CAST(sa.m$i % 4 = sb.m$i % 4 AS INT)").mkString(" + ")
+        s"""$lshPairsSql,
+        |ss AS (SELECT doc_id,
+        |  list_distinct(list_transform($shinglesSql,
+        |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS ss FROM w),
+        |e AS (
+        |  SELECT p.id_a, p.id_b,
+        |    ($estTerms)::DOUBLE / ${NumPerms}.0 AS est,
+        |    greatest(0.0, (($bTerms)::DOUBLE / ${NumPerms}.0 - 0.25)
+        |      / 0.75) AS estb,
+        |    len(list_intersect(a.ss, b.ss))::DOUBLE /
+        |      (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS tru
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.id_a
+        |  JOIN sig sb ON sb.doc_id = p.id_b
+        |  JOIN ss a ON a.doc_id = p.id_a
+        |  JOIN ss b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, round(est, 6) AS est_full,
+        |  round(estb, 6) AS est_bbit,
+        |  round(tru, 6) AS true_jaccard,
+        |  round(abs(est - tru), 6) AS err_full,
+        |  round(abs(estb - tru), 6) AS err_bbit
+        |FROM e ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // J1-tuning — LSH band-probability curve: per true-Jaccard bin,
     // observed candidate rate (exact-recall PPJoin denominator, band
     // bucket numerator) vs the analytic 1−(1−s^r)^b. The report that

@@ -69,16 +69,42 @@ object GraphProbe {
       })
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
-    for ((name, df) <- variants; r <- 1 to runs)
+    // dev-only variant filter (comma-separated names) for isolated A/Bs
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
+    // triangleCount NORMALIZATION A/B (TODO r12): feed the raw
+    // near-unique pair stream through the und-dedup stage exactly as
+    // triangleCount spells it — straight .distinct() (map-side
+    // partial agg over near-unique keys) vs raw-repartition-then-
+    // distinct (the repeatCoPurchaseEdges lesson). Duplication factor
+    // here is ~1-2 per key: the regime where the combine buys ~nothing.
+    val normVariants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "t1_norm_distinct" ->
+        pairs.select(
+            least(col("src"), col("dst")).cast("long").as("__u"),
+            greatest(col("src"), col("dst")).cast("long").as("__v"))
+          .where(col("__u") =!= col("__v")).distinct(),
+      "t2_norm_repart_distinct" ->
+        pairs.select(
+            least(col("src"), col("dst")).cast("long").as("__u"),
+            greatest(col("src"), col("dst")).cast("long").as("__v"))
+          .where(col("__u") =!= col("__v"))
+          .repartition(col("__u"), col("__v")).distinct())
+
+    for ((name, df) <- variants ++ normVariants; r <- 1 to runs
+         if only.forall(_.contains(name)))
       timed(s"$name run$r")(
         df.write.format("noop").mode("overwrite").save())
 
-    val edges = variants.head._2
-    timed("repeat edges count")(println("  edges=" + edges.count()))
-    val lpa = timed("labelPropagation(4) on top")(
-      graft.ops.Graph.labelPropagation(edges, "src", "dst", 4))
-    timed("lpa row count")(println("  nodes=" + lpa.count()))
-    lpa.unpersist()
+    if (only.isEmpty) {
+      val edges = variants.head._2
+      timed("repeat edges count")(println("  edges=" + edges.count()))
+      val lpa = timed("labelPropagation(4) on top")(
+        graft.ops.Graph.labelPropagation(edges, "src", "dst", 4))
+      timed("lpa row count")(println("  nodes=" + lpa.count()))
+      lpa.unpersist()
+    }
     spark.stop()
   }
 }

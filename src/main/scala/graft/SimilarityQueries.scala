@@ -665,6 +665,111 @@ object SimilarityQueries {
         |FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
         |ORDER BY t.query_id""".stripMargin)),
 
+    // 1-BIT sign quantization recall — the embedding sibling of
+    // dedup_minhash_bbit's storage argument: each 64-dim vector
+    // collapses to its 64 coordinate SIGNS, packed as 4×16-bit words
+    // (8 bytes/vector — 32× smaller than the floats; the form a
+    // 100 TB re-ranking index actually ships), candidates ranked by
+    // Hamming distance (popcount of the XOR — pure integer, no float
+    // scoring at all), graded against the exact cosine top-k. Sign
+    // agreement estimates the angle (Goemans–Williamson / sign-LSH:
+    // P[sign match per dim] = 1 − θ/π), so Hamming order ≈ cosine
+    // order and the recall number says what the 32× compression
+    // costs. Packing is 16 bits per word — every 2^i term is an
+    // exact small double before the BIGINT cast, no sign-bit or
+    // precision edge on either engine. Scale shape: codes build
+    // scan-local; queries broadcast; per-query top-k is one
+    // WindowGroupLimit — the brute-force path over codes is linear
+    // in the corpus with 8-byte rows, the regime where binary
+    // pre-ranking pays.
+    QueryDef("ann_binary_sign_recall",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val q = e.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+        def word(c: org.apache.spark.sql.Column, wIdx: Int) =
+          aggregate(
+            transform(slice(c, wIdx * 16 + 1, 16),
+              (x, i) => when(x > lit(0.0), pow(lit(2.0), i))
+                .otherwise(lit(0.0))),
+            lit(0.0), (a, v) => a + v).cast("long")
+        val coded = e.select(col("vec_id") +:
+          (0 until 4).map(wd => word(col("emb"), wd).as(s"c$wd")): _*)
+        val qc = coded.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id") +:
+            (0 until 4).map(wd => col(s"c$wd").as(s"q$wd")): _*)
+        val ham = (0 until 4)
+          .map(wd => expr(s"bit_count(c$wd ^ q$wd)").cast("long"))
+          .reduce(_ + _)
+        val hScored = coded
+          .join(broadcast(qc), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            ham.as("hamming"))
+        val wH = Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))
+        val approx = hScored.withColumn("rank", row_number().over(wH))
+          .where(col("rank") <= TopK)
+        Similarity.recallReport(approx, exact, "query_id", "neighbor_id")
+      },
+      Some {
+        def wordSql(src: String, wIdx: Int) =
+          s"list_sum(list_transform($src[${wIdx * 16 + 1}:${wIdx * 16 + 16}]," +
+            s" (v, i) -> CASE WHEN v > 0 THEN 2^(i-1) ELSE 0 END))::BIGINT"
+        val hamSql = (0 until 4)
+          .map(wd => s"bit_count(xor(e.c$wd, q.c$wd))::BIGINT")
+          .mkString(" + ")
+        s"""WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS query_id, emb AS qemb FROM em
+        |  WHERE vec_id < $NumQueryVecs),
+        |bf_scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb, e.emb), 6) AS cos
+        |  FROM em e JOIN q0 q ON e.vec_id <> q.query_id),
+        |bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM bf_scored)
+        |  WHERE rank <= $TopK),
+        |codes AS (SELECT vec_id,
+        |    ${wordSql("emb", 0)} AS c0, ${wordSql("emb", 1)} AS c1,
+        |    ${wordSql("emb", 2)} AS c2, ${wordSql("emb", 3)} AS c3
+        |  FROM em),
+        |hs AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    $hamSql AS hamming
+        |  FROM codes e JOIN codes q
+        |    ON q.vec_id < $NumQueryVecs AND e.vec_id <> q.vec_id),
+        |ap AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS rank FROM hs)
+        |  WHERE rank <= $TopK),
+        |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
+        |hits AS (
+        |  SELECT a.query_id, count(*) AS n_hit
+        |  FROM ap a JOIN bf b
+        |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.query_id, t.n_true, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+        |    CAST(t.n_true AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+        |ORDER BY t.query_id""".stripMargin
+      }),
+
     // Product quantization top-k (asymmetric): vectors stored as m=4
     // codebook codes (~100× smaller than raw floats at scale); scoring
     // sums the query's broadcast per-(sub, codeword) partial dots over

@@ -209,17 +209,30 @@ object Graph {
     * freed before returning.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
-                    broadcastMaxEdges: Long = 16000000L): DataFrame = {
+                    broadcastMaxEdges: Long = 16000000L,
+                    normRepartition: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // persisted: deg's two-scan union AND the orientation join all
     // read the normalized edge frame — unpersisted lineage re-ran the
     // caller's whole edge construction once per consumer (r8: the
     // edge build, not the counting, dominated the wall)
-    val und = edges.select(
+    val rawUnd = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("__u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("__v"))
-      .where(col("__u") =!= col("__v")).distinct()
+      .where(col("__u") =!= col("__v"))
+    // normalization-dedup strategy is SHAPE-DEPENDENT (both sides
+    // measured, GraphProbe ×300 + sf0.1 A/B — see SCALING.md
+    // round-11 "near-unique keys, second site"): when pair keys
+    // repeat (sf0.1 co-purchase stream, ~5× duplication) the default
+    // map-side partial aggregate shrinks the exchange and wins
+    // (4.9 vs 6.3 s); when keys are near-unique at spill scale the
+    // partial table is pure spill and raw repartition-then-distinct
+    // wins 3.6× (×300: 280 vs 77 s). Callers feeding a massive
+    // low-duplication pair stream set normRepartition = true.
+    val und = (if (normRepartition)
+        rawUnd.repartition(col("__u"), col("__v")).distinct()
+      else rawUnd.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("__u").as("__n"))
       .union(und.select(col("__v")))

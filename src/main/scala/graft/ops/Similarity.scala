@@ -574,6 +574,60 @@ object Similarity {
         round(abs(est - tru), 6).as("abs_err"))
   }
 
+  /** b-bit minhash estimate quality (Li & König, "b-Bit Minwise
+    * Hashing", WWW 2010): keep only the LOWEST b bits of each minhash
+    * slot and estimate J from the b-bit match rate with the collision
+    * correction Ĵ = (p̂ − C)/(1 − C), C = 2^−b — for uniform 60-bit
+    * hash values two DIFFERENT minima still agree on their low b bits
+    * with probability C (the large-domain simplification of the
+    * paper's r₁/r₂ form; exact here because the hash range is 2⁶⁰ ≫
+    * any set size). The 100 TB point is STORAGE: at b = 2 a 64-perm
+    * signature is 16 bytes instead of 512 — the difference between a
+    * signature index that fits executor memory and one that doesn't —
+    * and this report measures what that 32× compression costs in
+    * estimate error next to the full-width estimate, per LSH
+    * candidate pair. All three estimates derive from integer match
+    * counts / exact set intersections; the doubles are final-formula
+    * only.
+    */
+  def minhashBbitReport(df: DataFrame, idCol: String, textCol: String,
+                        b: Int = 2, numPerms: Int = 64, shingleN: Int = 5,
+                        bands: Int = 16, rows: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    require(b >= 1 && b < 60, s"bad bit width $b")
+    val m = 1L << b
+    val c = 1.0 / m // exact double for b ≤ 52
+    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val cand = lshCandidatePairs(sig, idCol, bands, rows, maxBucketSize)
+    val sigArr = sig.select(col(idCol),
+      array((0 until numPerms).map(i => col(s"m$i")): _*).as("__sig"))
+    val sets = df.select(col(idCol),
+      array_distinct(shingleHashes(col(textCol), shingleN)).as("__ss"))
+    val nEq = size(filter(zip_with(col("sa.__sig"), col("sb.__sig"),
+      (x, y) => x === y), k => k))
+    // minhash values are nonnegative (60-bit md5/xxhash range), so
+    // plain % is the low-b-bit mask on both engines
+    val nEqB = size(filter(zip_with(col("sa.__sig"), col("sb.__sig"),
+      (x, y) => (x % m) === (y % m)), k => k))
+    val common = size(array_intersect(col("a.__ss"), col("b.__ss")))
+    val estFull = nEq.cast("double") / lit(numPerms.toDouble)
+    val estB = greatest(lit(0.0),
+      (nEqB.cast("double") / lit(numPerms.toDouble) - lit(c)) / lit(1 - c))
+    val tru = common.cast("double") /
+      (size(col("a.__ss")) + size(col("b.__ss")) - common)
+    cand
+      .join(sigArr.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sigArr.as("sb"), col("id_b") === col(s"sb.$idCol"))
+      .join(sets.as("a"), col("id_a") === col(s"a.$idCol"))
+      .join(sets.as("b"), col("id_b") === col(s"b.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        round(estFull, 6).as("est_full"),
+        round(estB, 6).as("est_bbit"),
+        round(tru, 6).as("true_jaccard"),
+        round(abs(estFull - tru), 6).as("err_full"),
+        round(abs(estB - tru), 6).as("err_bbit"))
+  }
+
   /** Threshold-sweep dedup survival curve over the production LSH
     * path: for each candidate threshold t (in tenths), the candidate
     * pairs whose ESTIMATED Jaccard (signature-slot agreement, the

@@ -101,6 +101,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0, 1.0, 0.0)))
   }
 
+  test("minhashBbitReport: identical docs estimate 1.0 under both widths; " +
+    "the corrected b-bit estimate stays in [0,1]") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val near = ((0 until 30).map(i => s"tok$i") ++
+      (200 until 210).map(i => s"tok$i")).mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, near)).toDF("doc_id", "text")
+    val got = Similarity.minhashBbitReport(d, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    val dup = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup == ((1L, 2L, 1.0, 1.0, 1.0, 0.0, 0.0)), s"dup row: $dup")
+    got.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= 1.0, s"b-bit estimate out of range: $r")
+      assert(r._6 >= 0.0 && r._7 >= 0.0)
+    }
+  }
+
   test("recallReport: identical, partial, and missing-query overlap") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
