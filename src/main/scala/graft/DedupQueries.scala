@@ -495,6 +495,66 @@ object DedupQueries {
         |FROM mn JOIN sz USING (cluster)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Source purity of the CC dup clusters: per cluster, how many
+    // distinct sources its members span and how dominant the
+    // majority source is — the attribution view a curation pipeline
+    // reads BEFORE deleting: same-source clusters are intra-crawl
+    // dups (delete freely); cross-source low-majority clusters are
+    // templates/boilerplate shared across providers, where
+    // keep-one-per-cluster silently biases the source mix (the
+    // dedup_impact_by_source concern, measured at cluster grain).
+    // Scale shape: everything after the (already-gated) CC is
+    // cluster-keyed aggregation — one join to the thin (doc_id,
+    // source) projection, two bounded hash aggregates; the wide
+    // rollup runs on ≤|clusters| rows.
+    QueryDef("dedup_cluster_purity",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sig = Similarity.minhashSignatures(d, "doc_id", "text",
+          NumPerms, ShingleN)
+        val pairs = Similarity.lshCandidatePairs(sig, "doc_id", Bands,
+          Rows, MaxBucketSize)
+        val cc = Similarity.connectedComponents(pairs)
+        val perSrc = cc
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("cluster"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        perSrc.groupBy(col("cluster"))
+          .agg(sum(col("n")).as("cluster_size"),
+            count(lit(1)).as("n_sources"),
+            max(col("n")).as("maxn"))
+          .select(col("cluster_size"), col("n_sources"),
+            round(col("maxn").cast("double") /
+              col("cluster_size").cast("double"), 6).as("majority_frac"))
+          .groupBy(col("cluster_size"), col("n_sources"))
+          .agg(count(lit(1)).as("n_clusters"),
+            min(col("majority_frac")).as("min_majority_frac"))
+          .orderBy(col("cluster_size"), col("n_sources"))
+      },
+      Some(s"""${lshPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cc AS (
+        |  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster
+        |  FROM reach GROUP BY src),
+        |ps AS (
+        |  SELECT cc.cluster, d.source, COUNT(*) AS n
+        |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT SUM(n)::BIGINT AS cluster_size,
+        |    COUNT(*)::BIGINT AS n_sources,
+        |    round(MAX(n)::DOUBLE / SUM(n)::DOUBLE, 6) AS majority_frac
+        |  FROM ps GROUP BY cluster)
+        |SELECT cluster_size, n_sources, COUNT(*) AS n_clusters,
+        |  MIN(majority_frac) AS min_majority_frac
+        |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Diameter audit of the CC dup clusters — dedup_chain_audit's
     // companion: min pairwise similarity says HOW DISSIMILAR a
     // chained cluster's extremes got; the hop diameter says HOW LONG
