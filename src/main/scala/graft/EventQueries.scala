@@ -2462,8 +2462,85 @@ object EventQueries {
         |    ROWS UNBOUNDED PRECEDING))
         |SELECT event_type, day, i, ph::DOUBLE AS ph,
         |  ph::DOUBLE > $PageHinkleyLambda AS alarm
-        |FROM p ORDER BY event_type, day""".stripMargin))
+        |FROM p ORDER BY event_type, day""".stripMargin)),
+
+    // Adjusted, span-capped EWMA of the daily metric (the pandas
+    // `ewm(adjusted=True)` convention truncated at 8 lags):
+    // l_t = Σⱼ βʲ·y_{t−j} / Σⱼ βʲ over the OBSERVED days present in
+    // the window, β = 0.7 (the dropped tail beyond lag 7 carries
+    // < 6 % of the mass). The truncation is what makes the recursion
+    // a FIXED lag chain instead of an unbounded one: both engines
+    // evaluate the same 8-term left-associated numerator/denominator
+    // over round-6 daily totals — one IEEE shape, no recursive state
+    // to re-quantize (the events_page_hinkley trick is unnecessary
+    // here because the kernel is finite). Scale shape: one aggregate
+    // to the days × types frame, then one sorted window pass with 8
+    // lags — O(1) per-row state, the same contract as
+    // events_moving_avg_7d but with recency weighting.
+    QueryDef("events_ewma_daily",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(round(sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)), 6).cast("double").as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        def lagJ(j: Int) = if (j == 0) col("y") else lag(col("y"), j).over(w)
+        val num = (0 until EwmaLags).foldLeft(null: org.apache.spark.sql.Column) {
+          case (acc, j) =>
+            val term = lit(EwmaWeights(j)) * coalesce(lagJ(j), lit(0.0))
+            if (acc == null) term else acc + term
+        }
+        val den = (0 until EwmaLags).foldLeft(null: org.apache.spark.sql.Column) {
+          case (acc, j) =>
+            val term = when(lagJ(j).isNotNull, lit(EwmaWeights(j)))
+              .otherwise(lit(0.0))
+            if (acc == null) term else acc + term
+        }
+        val nl = (0 until EwmaLags).map(j =>
+          when(lagJ(j).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        daily
+          .select(col("event_type"), col("day"), col("y"),
+            nl.as("n_lags"),
+            round((num / den).cast(DecimalType(18, 8)), 6)
+              .cast("double").as("ewma"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some {
+        def lagJ(j: Int) = if (j == 0) "y" else s"lag(y, $j) OVER w"
+        val num = (0 until EwmaLags)
+          .map(j => s"${EwmaWeights(j)} * coalesce(${lagJ(j)}, 0.0)")
+          .mkString(" + ")
+        val den = (0 until EwmaLags)
+          .map(j => s"(CASE WHEN ${lagJ(j)} IS NULL THEN 0.0" +
+            s" ELSE ${EwmaWeights(j)} END)")
+          .mkString(" + ")
+        val nl = (0 until EwmaLags)
+          .map(j => s"(CASE WHEN ${lagJ(j)} IS NULL THEN 0 ELSE 1 END)")
+          .mkString(" + ")
+        s"""WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    CAST(round(SUM(value::DECIMAL(18,6))::DECIMAL(18,6), 6)
+        |      AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, y,
+        |  ($nl)::BIGINT AS n_lags,
+        |  CAST(round((($num) / ($den))::DECIMAL(18,8), 6) AS DOUBLE)
+        |    AS ewma
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin
+      })
   )
+
+  /** events_ewma_daily constants: β = 1 − α = 0.7, 8-lag span cap.
+    * Weights are the EXACT doubles of repeated multiplication by 0.7
+    * — interpolated into the oracle as shortest-round-trip literals
+    * (Java Double.toString ↔ DuckDB literal parse are both
+    * nearest-double, so the same 64 bits land on both engines).
+    */
+  private val EwmaLags = 8
+  private val EwmaWeights: IndexedSeq[Double] =
+    (1 until EwmaLags).scanLeft(1.0)((acc, _) => acc * 0.7).toIndexedSeq
 
   /** Page–Hinkley alarm threshold, shared by the query and its oracle
     * (daily totals at this corpus run ~3.4k ± 0.8k; 2000 of cumulative
