@@ -252,6 +252,59 @@ object JudgeQueries {
       }),
 
     // Reward-model calibration against the LLM-judge panel: bin the
+    // Spearman rank correlation between the two judges' scores —
+    // ORDER agreement, the calibration question kappa can't answer
+    // (two judges can label differently yet rank the same docs on
+    // top; a reward model only needs the ranking). Exact under the
+    // rubric's heavy ties via integer doubled-average-ranks and
+    // DECIMAL moments (see Judge.spearmanReport). One corpus pass +
+    // two ≤|levels|-row rank frames + one five-moment aggregate.
+    QueryDef("judge_spearman",
+      (s, dir) => {
+        val in = judgeInput(s, dir)
+        val labeled = Judge.panelLabels(in, Template,
+          Map("__SRC__" -> "src_text", "__GEN__" -> "gen_text"),
+          judges, Seq("label_a", "label_b"))
+        val sc = labeled.select(
+          when(col("label_a") === "supported", 1.0d)
+            .when(col("label_a") === "parse_fail", 0.5d)
+            .otherwise(0.0d).as("score_a"),
+          when(col("label_b") === "supported", 1.0d)
+            .when(col("label_b") === "parse_fail", 0.5d)
+            .otherwise(0.0d).as("score_b"))
+        Judge.spearmanReport(sc, "score_a", "score_b")
+      },
+      Some {
+        val sa = MockJudgeClient.scoreSql(JudgeModels.head, "prompt")
+        val sb = MockJudgeClient.scoreSql(JudgeModels.last, "prompt")
+        def rankCte(src: String, vc: String, kOut: String, rOut: String) =
+          s"""SELECT $vc AS $kOut, 2*(cum - c) + c + 1 AS $rOut FROM (
+             |  SELECT $vc, COUNT(*) AS c,
+             |    SUM(COUNT(*)) OVER (ORDER BY $vc
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM $src GROUP BY $vc)""".stripMargin
+        s"""WITH j AS ($judgeInputSql),
+        |p AS (SELECT doc_id, $promptSql AS prompt FROM j),
+        |sc AS MATERIALIZED (SELECT $sa AS va, $sb AS vb FROM p),
+        |ra AS (${rankCte("sc", "va", "ka", "ra")}),
+        |rb AS (${rankCte("sc", "vb", "kb", "rb")}),
+        |m AS (
+        |  SELECT COUNT(*)::DECIMAL(38,0) AS n,
+        |    SUM(ra::DECIMAL(38,0)) AS sx, SUM(rb::DECIMAL(38,0)) AS sy,
+        |    SUM((ra * rb)::DECIMAL(38,0)) AS sxy,
+        |    SUM((ra * ra)::DECIMAL(38,0)) AS sxx,
+        |    SUM((rb * rb)::DECIMAL(38,0)) AS syy
+        |  FROM sc JOIN ra ON sc.va = ra.ka JOIN rb ON sc.vb = rb.kb)
+        |SELECT n::BIGINT AS n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |   THEN CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |     AS DECIMAL(18,8)), 6) AS DOUBLE) END AS rho
+        |FROM m""".stripMargin
+      }),
+
     // cheap proxy reward (the 6-decimal quality score) into five
     // fixed-width bins and report the judge panel's mean factuality
     // per bin — the reliability curve that says whether the proxy

@@ -148,6 +148,55 @@ object Judge {
         when(pe < 1.0d, r6((po - pe) / (lit(1.0d) - pe))).as("kappa"))
   }
 
+  /** Spearman rank correlation between two numeric score columns —
+    * the ORDER-agreement complement to kappa's label agreement
+    * (judges can disagree on absolute scores yet rank the same docs
+    * highest; panel calibration reads this, not kappa). Computed the
+    * only way that is exact under heavy ties (a 3-level rubric is
+    * nothing but ties): AVERAGE (fractional) ranks, carried as the
+    * integer R(v) = 2·|{v′ < v}| + |{v′ = v}| + 1 — twice the
+    * fractional rank, and Pearson is affine-invariant, so ρ over R
+    * equals ρ over the true average ranks while every moment stays
+    * an exact integer. Scale shape: one ≤|levels|-row distinct-value
+    * frame per side (broadcast back), five DECIMAL(38,0) moment sums
+    * in ONE aggregate, one final IEEE formula — the
+    * events_corr_value_hour recipe applied to ranks. ρ is NULL when
+    * either side is constant (zero rank variance).
+    */
+  def spearmanReport(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    def ranked(c: String, vOut: String, rOut: String): DataFrame = {
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .select(col("__v").as(vOut),
+          (lit(2L) * (col("__cum") - col("__c")) + col("__c") + lit(1L))
+            .as(rOut))
+    }
+    val m = df.select(col(aCol).as("__va"), col(bCol).as("__vb"))
+      .join(broadcast(ranked(aCol, "__ka", "__ra")),
+        col("__va") === col("__ka"))
+      .join(broadcast(ranked(bCol, "__kb", "__rb")),
+        col("__vb") === col("__kb"))
+      .agg(count(lit(1)).cast(dec38).as("n"),
+        sum(col("__ra").cast(dec38)).as("sx"),
+        sum(col("__rb").cast(dec38)).as("sy"),
+        sum((col("__ra") * col("__rb")).cast(dec38)).as("sxy"),
+        sum((col("__ra") * col("__ra")).cast(dec38)).as("sxx"),
+        sum((col("__rb") * col("__rb")).cast(dec38)).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("n").cast("long").as("n"),
+      when(vx > 0.0d && vy > 0.0d,
+        round((num / (sqrt(vx) * sqrt(vy))).cast(dec), 6).cast("double"))
+        .as("rho"))
+  }
+
   /** Fleiss' kappa for an m-rater panel (Cohen's kappa only handles
     * two raters; a 3+ judge panel needs the multi-rater
     * generalization): with n raters per item and n_ik the count of

@@ -101,4 +101,30 @@ class JudgeGoldenSpec extends SparkSpec {
       .as[(Long, Double, Double, Option[Double])].head()
     assert(c._2 == 1.0 && c._3 == 1.0 && c._4.isEmpty)
   }
+
+  test("spearmanReport: monotone ties give 1, reversal gives -1, " +
+    "constant side gives NULL, textbook tied example matches") {
+    val mono = Seq((0.0, 0.0), (0.5, 0.5), (0.5, 0.5), (1.0, 1.0))
+      .toDF("a", "b")
+    assert(Judge.spearmanReport(mono, "a", "b")
+      .as[(Long, Option[Double])].head() == ((4L, Some(1.0))))
+    val rev = Seq((0.0, 1.0), (0.5, 0.5), (0.5, 0.5), (1.0, 0.0))
+      .toDF("a", "b")
+    assert(Judge.spearmanReport(rev, "a", "b")
+      .as[(Long, Option[Double])].head() == ((4L, Some(-1.0))))
+    val const = Seq((1.0, 0.0), (1.0, 0.5), (1.0, 1.0)).toDF("a", "b")
+    assert(Judge.spearmanReport(const, "a", "b")
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+    // Hand-worked tied case: a = (1,2,2,3), b = (1,3,3,2).
+    // Doubled avg ranks: Ra = (2,5,5,8); Rb = (2,7,7,4).
+    // Pearson over these: n=4, sx=sy=20, sxy=106, sxx=syy=118
+    // → num = 4·106 − 400 = 24, vx = vy = 4·118 − 400 = 72
+    // → ρ = 24/72 = 1/3
+    val tied = Seq((1.0, 1.0), (2.0, 3.0), (2.0, 3.0), (3.0, 2.0))
+      .toDF("a", "b")
+    val got = Judge.spearmanReport(tied, "a", "b")
+      .as[(Long, Option[Double])].head()
+    assert(got._1 == 4L && math.abs(got._2.get - 1.0 / 3.0) < 1e-6,
+      s"tied rho: $got")
+  }
 }
