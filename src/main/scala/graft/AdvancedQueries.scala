@@ -1338,6 +1338,77 @@ object AdvancedQueries {
     // graph structure. Exactness: ln() rounds to 6dp into DECIMAL
     // before the exact-decimal moment sums (the zipf discipline);
     // degree counts are exact BIGINTs on both engines.
+    // Adamic–Adar link prediction over the repeat-co-purchase graph:
+    // for every non-edge pair sharing ≥1 neighbor, AA(a,b) =
+    // Σ_z 1/ln(deg z) over common neighbors z — the classic "which
+    // edge appears next" score (rare shared neighbors count more
+    // than hub co-membership). Top-20 candidate links reported.
+    // Exactness: per-center weight rounds to 6dp BEFORE the
+    // DECIMAL(18,6) sum, so the score is addition-order-free on both
+    // engines; ln is stable on identical integer-degree operands.
+    // Scale shape: wedges enumerate per CENTER (one self-join of the
+    // adjacency keyed on the center node), bounded by Σ deg² with
+    // centers above AaMaxCenterDegree dropped — both the skew guard
+    // AND principled: a hub's 1/ln(deg) weight is the smallest in
+    // the graph, so high-degree centers contribute noise-level mass
+    // at quadratic cost (same cap discipline as the LSH bucket cap,
+    // mirrored by the oracle). Wedge centers always have deg ≥ 2,
+    // so ln never sees 1.
+    QueryDef("graph_adamic_adar",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = repeatCoPurchaseEdges(s, dir).localCheckpoint(true)
+        val und = e.select(col("src").as("n"), col("dst").as("nb"))
+          .union(e.select(col("dst"), col("src")))
+        val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
+        // d >= 2: degree-1 nodes center no wedge, and ln(1) = 0
+        // would trip the ANSI division before the join drops them
+        val wz = deg.where(col("d") >= 2 && col("d") <= AaMaxCenterDegree)
+          .select(col("n").as("cz"),
+            round((lit(1.0) / log(col("d").cast("double")))
+              .cast(DecimalType(18, 8)), 6).cast(DecimalType(18, 6))
+              .as("wz"))
+        val wedges = und.as("l")
+          .join(und.as("r"),
+            col("l.n") === col("r.n") && col("l.nb") < col("r.nb"))
+          .join(wz, col("l.n") === col("cz"))
+          .select(col("l.nb").as("a"), col("r.nb").as("b"), col("wz"))
+        val aa = wedges.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("n_common"), sum(col("wz")).as("aa"))
+        aa.join(e, aa("a") === e("src") && aa("b") === e("dst"),
+            "left_anti")
+          .select(col("a").as("part_a"), col("b").as("part_b"),
+            col("n_common"), col("aa").cast("double").as("aa_score"))
+          .orderBy(desc("aa_score"), col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some(s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (
+        |  SELECT a.pk AS src, b.pk AS dst FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS n, dst AS nb FROM p
+        |  UNION ALL SELECT dst, src FROM p),
+        |deg AS (SELECT n, COUNT(*) AS d FROM und GROUP BY n),
+        |wz AS (SELECT n,
+        |    CAST(round((1.0 / ln(d::DOUBLE))::DECIMAL(18,8), 6)
+        |      AS DECIMAL(18,6)) AS wz
+        |  FROM deg WHERE d >= 2 AND d <= $AaMaxCenterDegree),
+        |wedges AS (
+        |  SELECT l.nb AS a, r.nb AS b, wz.wz
+        |  FROM und l JOIN und r ON l.n = r.n AND l.nb < r.nb
+        |  JOIN wz ON wz.n = l.n),
+        |aa AS (
+        |  SELECT a, b, COUNT(*) AS n_common, SUM(wz) AS aa
+        |  FROM wedges GROUP BY 1, 2)
+        |SELECT a AS part_a, b AS part_b, n_common,
+        |  CAST(aa AS DOUBLE) AS aa_score
+        |FROM aa
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |  WHERE p.src = aa.a AND p.dst = aa.b)
+        |ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin)),
+
     QueryDef("graph_degree_powerlaw",
       (s, dir) => {
         val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
@@ -1476,6 +1547,13 @@ object AdvancedQueries {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
       .select(col("src"), col("dst"))
+
+  /** graph_adamic_adar wedge-center degree cap: hubs above this pay
+    * quadratic wedge cost for the graph's SMALLEST per-neighbor
+    * weight (1/ln d), so they are dropped — skew guard and principle
+    * agree. 256 keeps every center of the test graphs.
+    */
+  private val AaMaxCenterDegree = 256
 
   private val PageRankIters = 5
   // 3-core over the repeat-pair graph cascades ~10 peel rounds at
