@@ -2483,26 +2483,7 @@ object EventQueries {
         val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(round(sum(col("value").cast(DecimalType(18, 6)))
             .cast(DecimalType(18, 6)), 6).cast("double").as("y"))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-        def lagJ(j: Int) = if (j == 0) col("y") else lag(col("y"), j).over(w)
-        val num = (0 until EwmaLags).foldLeft(null: org.apache.spark.sql.Column) {
-          case (acc, j) =>
-            val term = lit(EwmaWeights(j)) * coalesce(lagJ(j), lit(0.0))
-            if (acc == null) term else acc + term
-        }
-        val den = (0 until EwmaLags).foldLeft(null: org.apache.spark.sql.Column) {
-          case (acc, j) =>
-            val term = when(lagJ(j).isNotNull, lit(EwmaWeights(j)))
-              .otherwise(lit(0.0))
-            if (acc == null) term else acc + term
-        }
-        val nl = (0 until EwmaLags).map(j =>
-          when(lagJ(j).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
-        daily
-          .select(col("event_type"), col("day"), col("y"),
-            nl.as("n_lags"),
-            round((num / den).cast(DecimalType(18, 8)), 6)
-              .cast("double").as("ewma"))
+        graft.ops.Smooth.ewmaAdjusted(daily, "event_type", "day", "y")
           .orderBy(col("event_type"), col("day"))
       },
       Some {
@@ -2532,15 +2513,14 @@ object EventQueries {
       })
   )
 
-  /** events_ewma_daily constants: β = 1 − α = 0.7, 8-lag span cap.
-    * Weights are the EXACT doubles of repeated multiplication by 0.7
-    * — interpolated into the oracle as shortest-round-trip literals
-    * (Java Double.toString ↔ DuckDB literal parse are both
+  /** events_ewma_daily constants (shared with the batch operator and
+    * streaming twin via ops/Smooth): β = 0.7, 8-lag span cap.
+    * Weights interpolate into the oracle as shortest-round-trip
+    * literals (Java Double.toString ↔ DuckDB literal parse are both
     * nearest-double, so the same 64 bits land on both engines).
     */
-  private val EwmaLags = 8
-  private val EwmaWeights: IndexedSeq[Double] =
-    (1 until EwmaLags).scanLeft(1.0)((acc, _) => acc * 0.7).toIndexedSeq
+  private def EwmaLags = graft.ops.Smooth.EwmaLags
+  private def EwmaWeights = graft.ops.Smooth.EwmaWeights
 
   /** Page–Hinkley alarm threshold, shared by the query and its oracle
     * (daily totals at this corpus run ~3.4k ± 0.8k; 2000 of cumulative
