@@ -896,6 +896,129 @@ object SimilarityQueries {
         |ORDER BY t.query_id""".stripMargin
       }),
 
+    // Two-stage binary retrieval — the PRODUCTION shape the two
+    // binary gates above build toward: the 8×8-bit band prefilter
+    // fetches candidates (cheap, indexable, 8-byte codes), then the
+    // float vectors are fetched ONLY for candidates and reranked by
+    // exact cosine. Same candidate sets as ann_hamming_band_topk, so
+    // the recall delta between the two gates is precisely what the
+    // rerank stage buys (hamming order ≈ cosine order only coarsely;
+    // rerank recovers every true neighbor the bands admitted). At
+    // scale this is binary-index + gather: the corpus float vectors
+    // are touched candidate-wise, never scanned.
+    QueryDef("ann_binary_rerank_recall",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", vectorNorm(col("emb")))
+        val q = e.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qemb"), col("emb")) /
+              (col("qnrm") * col("nrm")), 6).as("cos"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+        def word(c: org.apache.spark.sql.Column, wIdx: Int) =
+          aggregate(
+            transform(slice(c, wIdx * 8 + 1, 8),
+              (x, i) => when(x > lit(0.0), pow(lit(2.0), i))
+                .otherwise(lit(0.0))),
+            lit(0.0), (a, v) => a + v).cast("long")
+        val coded = e.select(col("vec_id") +:
+          (0 until 8).map(wd => word(col("emb"), wd).as(s"c$wd")): _*)
+          .localCheckpoint(true)
+        val qc = coded.where(col("vec_id") < NumQueryVecs)
+          .select(col("vec_id").as("query_id") +:
+            (0 until 8).map(wd => col(s"c$wd").as(s"q$wd")): _*)
+        val cand = (0 until 8).map { wd =>
+          coded.join(broadcast(qc),
+              col(s"c$wd") === col(s"q$wd") &&
+                col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        }.reduce(_ union _).distinct()
+        // rerank: float vectors fetched for CANDIDATES only
+        val rer = cand
+          .join(e.select(col("vec_id").as("neighbor_id"),
+            col("emb").as("cemb"), col("nrm").as("cnrm")), "neighbor_id")
+          .join(broadcast(q), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            round(dotProduct(col("qemb"), col("cemb")) /
+              (col("qnrm") * col("cnrm")), 6).as("cos"))
+        val wR = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("neighbor_id"))
+        val approx = rer.withColumn("rank", row_number().over(wR))
+          .where(col("rank") <= TopK)
+        val nCand = cand.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_cand"))
+        Similarity.recallReport(approx, exact, "query_id", "neighbor_id")
+          .join(nCand, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_cand"))
+          .select(col("query_id"), col("n_cand"), col("n_true"),
+            col("n_hit"), col("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        def wordSql(src: String, wIdx: Int) =
+          s"list_sum(list_transform($src[${wIdx * 8 + 1}:${wIdx * 8 + 8}]," +
+            s" (v, i) -> CASE WHEN v > 0 THEN 2^(i-1) ELSE 0 END))::BIGINT"
+        val bandJoins = (0 until 8).map(wd =>
+          s"""SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          |  FROM codes e JOIN codes q
+          |    ON q.vec_id < $NumQueryVecs AND e.c$wd = q.c$wd
+          |      AND e.vec_id <> q.vec_id""".stripMargin)
+          .mkString("\n  UNION\n")
+        s"""WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS query_id, emb AS qemb FROM em
+        |  WHERE vec_id < $NumQueryVecs),
+        |bf_scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qemb, e.emb), 6) AS cos
+        |  FROM em e JOIN q0 q ON e.vec_id <> q.query_id),
+        |bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM bf_scored)
+        |  WHERE rank <= $TopK),
+        |codes AS MATERIALIZED (SELECT vec_id,
+        |    ${(0 until 8).map(wd => s"${wordSql("emb", wd)} AS c$wd")
+               .mkString(", ")}
+        |  FROM em),
+        |cand AS (
+        |  $bandJoins),
+        |rer AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(q.qemb, e.emb), 6) AS cos
+        |  FROM cand c
+        |  JOIN em e ON e.vec_id = c.neighbor_id
+        |  JOIN q0 q ON q.query_id = c.query_id),
+        |ap AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM rer)
+        |  WHERE rank <= $TopK),
+        |nc AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+        |truth AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY 1),
+        |hits AS (
+        |  SELECT a.query_id, count(*) AS n_hit
+        |  FROM ap a JOIN bf b
+        |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.query_id, coalesce(nc.n_cand, 0) AS n_cand,
+        |  t.n_true, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+        |    CAST(t.n_true AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE) AS recall
+        |FROM truth t
+        |LEFT JOIN nc ON nc.query_id = t.query_id
+        |LEFT JOIN hits h ON h.query_id = t.query_id
+        |ORDER BY t.query_id""".stripMargin
+      }),
+
     // Product quantization top-k (asymmetric): vectors stored as m=4
     // codebook codes (~100× smaller than raw floats at scale); scoring
     // sums the query's broadcast per-(sub, codeword) partial dots over
