@@ -41,6 +41,49 @@ object DedupQueries {
   // ≤ cap²/2 regardless of cluster (or corpus) size
   private val ChainAuditCap = 8
 
+  /** Winnowing (MOSS) fingerprint knobs: k-word grams, window of w
+    * gram hashes — detects any shared run of ≥ w + k − 1 = 11 words.
+    * MaxDf caps the fingerprint inverted index; it is MUCH tighter
+    * than MaxShingleDf because winnow selections are window MINIMA —
+    * on a small vocabulary the globally-smallest gram hashes get
+    * selected by a large fraction of the corpus, so fingerprint df is
+    * adversarially hot by construction (a cap of 1000 measured ~500k
+    * pairs per hot bucket at sf0.1). A fingerprint shared by > 50
+    * docs is boilerplate, not local overlap — the standard MOSS
+    * noise-threshold reading. MinShared is the match bar (≥ 2 shared
+    * fingerprints ⇒ a 43-bit hash collision cannot fake a pair on
+    * its own).
+    */
+  private val WinnowK = 4
+  private val WinnowW = 8
+  private val WinnowMaxDf = 50
+  private val WinnowMinShared = 2L
+
+  /** DuckDB mirror of [[graft.ops.Text.winnowPacked]] (k=4, w=8) as a
+    * CTE chain ending in `s(doc_id, n_grams, sel)` — sel = the
+    * distinct packed (hash·2^20 + reversed-pos) window minima.
+    * DuckDB list lambdas index from 1, Spark's `transform` from 0, so
+    * the reversed position is `1048576 - i` here vs `M - 1 - i` in
+    * Scala — same values. Slices past the list end truncate on both
+    * engines (the < w-gram doc winnows one short window).
+    */
+  private val winnowSelSql: String =
+    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    |g AS (SELECT doc_id,
+    |  CASE WHEN len(ws) >= $WinnowK THEN
+    |    list_transform(range(1, len(ws) - ${WinnowK - 2}),
+    |      i -> array_to_string(ws[i:i+${WinnowK - 1}], ' '))
+    |  ELSE [] END AS grams FROM w),
+    |p AS (SELECT doc_id, list_transform(grams, (g, i) ->
+    |    (('0x' || substring(md5(g), 1, 15))::BIGINT % ${1L << 43}) * ${1L << 20}
+    |      + (${1L << 20} - i)) AS packed FROM g),
+    |s AS (SELECT doc_id, len(packed) AS n_grams,
+    |  CASE WHEN len(packed) >= 1 THEN
+    |    list_distinct(list_transform(
+    |      range(1, greatest(len(packed) - $WinnowW, 0) + 2),
+    |      i -> list_min(packed[i:i+${WinnowW - 1}])))
+    |  ELSE [] END AS sel FROM p)""".stripMargin
+
   /** cv_folds_leakage_safe: fold count (K in group-aware K-fold). */
   private val CvFolds = 5L
 
@@ -787,6 +830,107 @@ object DedupQueries {
         |FROM p JOIN cnt ca ON ca.doc_id = p.id_a
         |       JOIN cnt cb ON cb.doc_id = p.id_b
         |WHERE round(common::DOUBLE / (ca.n + cb.n - common), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Winnowing fingerprint census (Text.winnowPacked — the MOSS
+    // selection rule): per-doc fingerprint count, observed density
+    // (expectation 2/(w+1) ≈ 0.22), and a position-sensitive checksum
+    // gating the EXACT selections (sum of packed values mod 1e9+7 —
+    // a wrong tie-break or off-by-one window start flips it). Pure
+    // per-row array algebra: the scan projection is the only
+    // data-sized stage, nothing shuffles but the final sort.
+    QueryDef("text_winnow_fingerprints",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"),
+            greatest(size(split(lower(col("text")), " ")) - lit(WinnowK - 1),
+              lit(0)).cast("int").as("n_grams"),
+            graft.ops.Text.winnowPacked(col("text"), WinnowK, WinnowW).as("__sel"))
+          .withColumn("n_select", size(col("__sel")).cast("int"))
+          .withColumn("__nw", when(col("n_grams") >= 1,
+            greatest(col("n_grams") - lit(WinnowW), lit(0)) + lit(1))
+            .otherwise(lit(0)))
+          .withColumn("density", when(col("__nw") > 0,
+            round((col("n_select").cast("double") /
+              col("__nw").cast("double")).cast(dec), 6).cast("double"))
+            .otherwise(lit(0.0)))
+          .withColumn("fp_sum", coalesce(
+            aggregate(col("__sel"), lit(0L),
+              (a, x) => a + pmod(x, lit(1000000007L))), lit(0L)))
+          .select(col("doc_id"), col("n_grams"), col("n_select"),
+            col("density"), col("fp_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $winnowSelSql
+        |SELECT doc_id, n_grams::INT AS n_grams, len(sel)::INT AS n_select,
+        |  CASE WHEN n_grams >= 1 THEN
+        |    round((len(sel)::DOUBLE /
+        |      (greatest(n_grams - $WinnowW, 0) + 1)::DOUBLE)::DECIMAL(18,8),
+        |      6)::DOUBLE
+        |  ELSE 0.0 END AS density,
+        |  coalesce(list_sum(list_transform(sel, x -> x % 1000000007)),
+        |           0)::BIGINT AS fp_sum
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Winnow-fingerprint shared-pair detection — the MOSS match step:
+    // docs sharing ≥ 2 selected fingerprints, with overlap =
+    // n_shared / min(|fp_a|, |fp_b|) (the containment form — a short
+    // doc excerpted from a long one still scores high). The local
+    // guarantee is what MinHash whole-doc Jaccard lacks: any shared
+    // ≥ 11-word run fingerprints BOTH docs identically, so partial
+    // plagiarism/quotation survives dilution by unrelated content.
+    // Scale shape: the fingerprint inverted index is df-capped
+    // (cappedIdSets — hot boilerplate fingerprints are dropped, never
+    // exploded), pair work is bounded per bucket, and fingerprint
+    // sets are ~4.5× smaller than shingle sets (density 2/(w+1)) —
+    // the same discipline as dedup_ngram_jaccard at a fraction of the
+    // index size.
+    QueryDef("dedup_winnow_pairs",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val d = Tables.load(s, dir, "documents")
+        val fps = d.select(col("doc_id"),
+          explode(graft.ops.Text.winnowHashes(col("text"), WinnowK, WinnowW))
+            .as("__h"))
+        val cnts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+        // twoPass: count-prune the hot fingerprint buckets BEFORE any
+        // id set materializes — the fps lineage is one cheap scan
+        // projection, exactly the regime the strategy was measured for
+        val pairs = Similarity.cappedIdSets(
+            fps, Seq("__h"), "doc_id", WinnowMaxDf, "__ids", twoPass = true)
+          .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
+          .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= WinnowMinShared)
+        pairs
+          .join(cnts.select(col("doc_id").as("id_a"), col("__n").as("__na")),
+            "id_a")
+          .join(cnts.select(col("doc_id").as("id_b"), col("__n").as("__nb")),
+            "id_b")
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            round((col("n_shared").cast("double") /
+              least(col("__na"), col("__nb")).cast("double")).cast(dec), 6)
+              .cast("double").as("overlap"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $winnowSelSql,
+        |f AS (SELECT doc_id,
+        |  unnest(list_distinct(list_transform(sel, x -> x // ${1L << 20})))
+        |    AS h FROM s),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+        |ok AS (SELECT h FROM f GROUP BY h
+        |       HAVING count(*) BETWEEN 2 AND $WinnowMaxDf),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         count(*) AS n_shared
+        |       FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+        |       JOIN ok ON ok.h = a.h GROUP BY 1, 2)
+        |SELECT pr.id_a, pr.id_b, pr.n_shared,
+        |  round((pr.n_shared::DOUBLE / least(ca.n, cb.n)::DOUBLE)
+        |    ::DECIMAL(18,8), 6)::DOUBLE AS overlap
+        |FROM pr JOIN cnt ca ON ca.doc_id = pr.id_a
+        |        JOIN cnt cb ON cb.doc_id = pr.id_b
+        |WHERE pr.n_shared >= $WinnowMinShared
         |ORDER BY id_a, id_b""".stripMargin)),
 
     // J1-exact without the df cap — word-set Jaccard via PREFIX

@@ -3182,6 +3182,128 @@ object TextQueries {
         |    AS DOUBLE) AS theory_err
         |FROM kth ORDER BY k""".stripMargin)),
 
+    // KMV sketch SET ALGEBRA between sources — the mergeable-sketch
+    // answer to "how much does source A overlap source B" that never
+    // ships a vocabulary: per-source KMV-64 sketches of the distinct
+    // trigram hash space, then union cardinality from the k-th
+    // smallest of the MERGED sketch (k smallest of A∪B ⊆ kminA ∪
+    // kminB — the mergeability identity, so sketch-merge equals a
+    // from-scratch union sketch exactly), intersection via the
+    // standard n_both/k' estimator scaled by est_union, against exact
+    // ground truth for the error readout. At 100 TB the sketch legs
+    // are one distinct + one per-source top-k window (64 rows per
+    // source survive — WindowGroupLimit prunes map-side); the exact
+    // legs (the audit columns) are the only data-sized join and are
+    // what a production run would drop. Pure integer hashes + IEEE
+    // expressions both engines replay bit-exactly.
+    QueryDef("sketch_kmv_setops",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val k = 64
+        val d = Tables.load(s, dir, "documents")
+        val tris = d.select(col("source"), split(col("text"), " ").as("__w"))
+          .where(size(col("__w")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(slice(__w, 1, size(__w) - 2), " +
+              "(x, i) -> concat(x, ' ', __w[i + 1], ' ', __w[i + 2]))"))
+            .as("tri"))
+          .select(col("source"), hash60(col("tri")).as("h"))
+          .distinct()
+        val nd = tris.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+        val w = Window.partitionBy(col("source")).orderBy(col("h"))
+        val sk = tris.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= k)
+          .groupBy(col("source"))
+          .agg(sort_array(collect_list(col("h"))).as("arr"))
+          .join(nd, "source")
+        val inter = tris.as("a").join(tris.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        val p = sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+            col("x.arr").as("arr_a"), col("y.arr").as("arr_b"),
+            col("x.nd").as("nd_a"), col("y.nd").as("nd_b"))
+          .withColumn("__u",
+            array_sort(array_distinct(concat(col("arr_a"), col("arr_b")))))
+          .withColumn("__ks", slice(col("__u"), 1, k))
+          .withColumn("__kk", size(col("__ks")))
+          .withColumn("__hk", element_at(col("__ks"), col("__kk")))
+          .withColumn("__nboth", size(filter(col("__ks"),
+            x => array_contains(col("arr_a"), x) &&
+              array_contains(col("arr_b"), x))))
+          .withColumn("est_union",
+            when(size(col("__u")) < k, size(col("__u")).cast("long"))
+              .otherwise(floor(lit((k - 1).toDouble) *
+                lit(1152921504606846976.0) / col("__hk").cast("double"))
+                .cast("long")))
+          .withColumn("est_inter", floor(col("__nboth").cast("double") *
+            col("est_union").cast("double") / col("__kk").cast("double"))
+            .cast("long"))
+          .withColumn("est_jaccard", round((col("__nboth").cast("double") /
+            col("__kk").cast("double")).cast(dec), 6).cast("double"))
+        p.join(inter, Seq("src_a", "src_b"), "left")
+          .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+          .withColumn("exact_union",
+            col("nd_a") + col("nd_b") - col("exact_inter"))
+          .withColumn("exact_jaccard",
+            round((col("exact_inter").cast("double") /
+              col("exact_union").cast("double")).cast(dec), 6).cast("double"))
+          .select(col("src_a"), col("src_b"), col("est_union"),
+            col("exact_union"), col("est_inter"), col("exact_inter"),
+            col("est_jaccard"), col("exact_jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH ws AS (SELECT source, string_split(text, ' ') AS w
+        |            FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        ('0x' || substring(md5(array_to_string(w[i:i+2], ' ')),
+        |          1, 15))::BIGINT AS h
+        |      FROM (SELECT source, w,
+        |              unnest(generate_series(1, len(w) - 2)) AS i
+        |            FROM ws WHERE len(w) >= 3)),
+        |nd AS (SELECT source, count(*) AS nd FROM g GROUP BY source),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |      FROM g),
+        |sk AS (SELECT source, list_sort(list(h)) AS arr
+        |       FROM r WHERE rn <= 64 GROUP BY source),
+        |xi AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         count(*) AS exact_inter
+        |       FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |p AS (SELECT x.source AS src_a, y.source AS src_b,
+        |        x.arr AS arr_a, y.arr AS arr_b, na.nd AS nd_a, nb.nd AS nd_b,
+        |        list_sort(list_distinct(x.arr || y.arr)) AS u
+        |      FROM sk x JOIN sk y ON x.source < y.source
+        |      JOIN nd na ON na.source = x.source
+        |      JOIN nd nb ON nb.source = y.source),
+        |q AS (SELECT src_a, src_b, nd_a, nd_b, u,
+        |        len(u[1:64]) AS kk, u[least(64, len(u))] AS hk,
+        |        len(list_filter(u[1:64], x ->
+        |          list_contains(arr_a, x) AND list_contains(arr_b, x)))
+        |          AS nboth
+        |      FROM p),
+        |q2 AS (SELECT src_a, src_b, nd_a, nd_b, kk, nboth,
+        |        CASE WHEN len(u) < 64 THEN len(u)::BIGINT
+        |             ELSE CAST(floor(63::DOUBLE * 1152921504606846976::DOUBLE
+        |                             / hk::DOUBLE) AS BIGINT)
+        |        END AS est_union
+        |       FROM q)
+        |SELECT q2.src_a, q2.src_b, q2.est_union,
+        |  (q2.nd_a + q2.nd_b - coalesce(xi.exact_inter, 0)) AS exact_union,
+        |  CAST(floor(q2.nboth::DOUBLE * q2.est_union::DOUBLE /
+        |             q2.kk::DOUBLE) AS BIGINT) AS est_inter,
+        |  coalesce(xi.exact_inter, 0) AS exact_inter,
+        |  CAST(round(CAST(q2.nboth::DOUBLE / q2.kk::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS est_jaccard,
+        |  CAST(round(CAST(coalesce(xi.exact_inter, 0)::DOUBLE /
+        |    (q2.nd_a + q2.nd_b - coalesce(xi.exact_inter, 0))::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS exact_jaccard
+        |FROM q2 LEFT JOIN xi
+        |  ON xi.src_a = q2.src_a AND xi.src_b = q2.src_b
+        |ORDER BY q2.src_a, q2.src_b""".stripMargin)),
+
     // In-engine linear quality-probe training (ops/LinearProbe): learn
     // a cheap "is this English" surface from 4 scan-computable text
     // features + bias — the quality-classifier step of a curation

@@ -918,4 +918,46 @@ object Text {
         col("__sig").cast("string").as("assign_sig"))
       .orderBy(col("k"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS selection rule; the reference's dedup family at
+    * etl_slimpajama_dc_proc.py:119-166 stops at whole-document
+    * fingerprints, this is the sub-document guarantee variant). Hash
+    * every k-word gram, slide a window of w consecutive gram hashes,
+    * select each window's minimum with the RIGHTMOST-minimum tie rule;
+    * the distinct selections are the document's fingerprints. The two
+    * guarantees that make it the standard local-similarity sketch:
+    * any shared run of ≥ w + k − 1 words yields at least one SHARED
+    * fingerprint (detection threshold), and no run of w windows goes
+    * unfingerprinted (density ≈ 2/(w+1) in expectation).
+    *
+    * Both the (hash asc, position desc) tie rule and the window
+    * minimum collapse into ONE long comparison by packing hash and
+    * reversed position: packed = (h mod 2^43)·2^20 + (2^20−1−pos) —
+    * min(packed) IS argmin(hash asc, pos desc), and the max packed
+    * value (2^43−1)·2^20 + 2^20−1 = 2^63−1 exactly fills a signed
+    * long with no overflow. Gram hashing rides the native
+    * WordShingleHashes kernel and the pack + sliding minimum is the
+    * codegen'd [[graft.expressions.WinnowSelect]] monotonic-deque
+    * kernel (O(m) per doc — see its scaladoc for why the
+    * composed-builtins form is O(m²) after CollapseProject): zero
+    * shuffle, the parquet scan projection is the only data-sized
+    * stage, and the selection is still plain ANSI-SQL list algebra
+    * for the oracle. Docs with fewer than w grams winnow one
+    * truncated window, so any doc with ≥ 1 gram gets ≥ 1
+    * fingerprint.
+    */
+  def winnowPacked(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.WinnowSelect(
+      expression(graft.ops.Similarity.gramHashesAll(lower(text), k)), w))
+  }
+
+  /** Distinct selected fingerprint HASHES (packed >> 20) — the
+    * document identity set winnow-based dedup joins on.
+    */
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    array_distinct(transform(winnowPacked(text, k, w),
+      p => shiftrightunsigned(p, 20)))
 }
