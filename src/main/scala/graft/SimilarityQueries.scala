@@ -1266,6 +1266,47 @@ object SimilarityQueries {
         |FROM cells0 c LEFT JOIN rm ON rm.rid = c.vec_id
         |ORDER BY c.vec_id""".stripMargin)),
 
+    // Cluster-balanced diversity sample (Similarity.clusterQuotaSample):
+    // sqrt-proportional per-cell quotas over the IVF assignment — the
+    // embedding-space coverage cut a curation pipeline runs AFTER
+    // dedup: giant semantic modes shrink ~sqrt(n), rare clusters
+    // survive nearly whole, and the selection is detHash-ranked so
+    // the same members come out at any partitioning. Same first-N
+    // deterministic codebook as the semdedup family.
+    QueryDef("sample_cluster_quota",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.where(col("vec_id") < NumCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        Similarity.clusterQuotaSample(e, "vec_id", "embedding", cents)
+          .orderBy(col("cell"), col("rn"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < $NumCells),
+        |asn AS (
+        |  SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), 6) AS ccos
+        |  FROM embeddings e CROSS JOIN c),
+        |cells0 AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid) AS rn FROM asn)
+        |  WHERE rn = 1),
+        |sized AS (
+        |  SELECT vec_id, cell,
+        |    count(*) OVER (PARTITION BY cell) AS n_cell,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY ${detHashSql(DetHashPrime, Seq("vec_id"))}, vec_id)
+        |      AS rn
+        |  FROM cells0)
+        |SELECT cell, n_cell,
+        |  CAST(ceil(sqrt(n_cell::DOUBLE)) AS BIGINT) AS quota,
+        |  rn::BIGINT AS rn, vec_id
+        |FROM sized
+        |WHERE rn <= CAST(ceil(sqrt(n_cell::DOUBLE)) AS BIGINT)
+        |ORDER BY cell, rn""".stripMargin)),
+
     // Incremental semantic dedup (Similarity.semDedupIncremental) —
     // the embedding-space sibling of dedup_incremental_minhash: the
     // low-vec_id detHash half is the accepted corpus, the rest the

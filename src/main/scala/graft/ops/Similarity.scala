@@ -1521,6 +1521,40 @@ object Similarity {
     * pair join never leaves the (cell, block) key. Output: one row
     * per vector (id, cell, ccos, removed 0/1).
     */
+  /** Cluster-balanced "diversity" sample: assign every vector to its
+    * nearest codebook centroid, keep ceil(sqrt(n_cell)) members per
+    * cell, chosen by detHash rank (the sample_stratified_exact
+    * discipline — same members at any partitioning or cluster size).
+    * Square-root allocation is the standard coverage recipe for
+    * curating training data in embedding space: giant modes are cut
+    * ~sqrt-proportionally while rare clusters keep most members, so
+    * the cluster histogram flattens without dropping the tail.
+    *
+    * Scale shape: the assignment is the broadcast-codebook argmax
+    * (assignCells — scan-local, no corpus shuffle before the per-id
+    * combine); the quota cut is ONE shuffle on cell with two window
+    * functions over the same sort (count + row_number share the
+    * partition). Quotas are per-cell local — no global pass couples
+    * cells, so the operator composes with incremental ingest by
+    * re-running per cell. Output: (cell, n_cell, quota, rn, id) for
+    * the selected members.
+    */
+  def clusterQuotaSample(emb: DataFrame, idCol: String, embCol: String,
+                         centroids: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{detHash, DetHashPrime}
+    val e = emb.select(col(idCol), col(embCol).cast("array<double>").as("__emb"))
+      .withColumn("__nrm", vectorNorm(col("__emb")))
+    val cells = assignCells(e, centroids, idCol)
+    val w = Window.partitionBy(col("cell"))
+    val wr = w.orderBy(detHash(DetHashPrime, col(idCol)), col(idCol))
+    cells
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("quota", ceil(sqrt(col("n_cell").cast("double"))).cast("long"))
+      .where(col("rn") <= col("quota"))
+      .select(col("cell"), col("n_cell"), col("quota"), col("rn"), col(idCol))
+  }
+
   def semDedupCentroidRank(emb: DataFrame, idCol: String, embCol: String,
                            centroids: DataFrame, minCos: Double,
                            maxBlockSize: Int, subPlanes: Int): DataFrame = {
