@@ -880,6 +880,102 @@ object AdvancedQueries {
           |FROM a GROUP BY before_shard ORDER BY before_shard""".stripMargin
       }),
 
+    // Rendezvous MULTI-shard simultaneous re-weighting — the fleet
+    // operation (a whole capacity tier re-planned at once: two hot
+    // boxes shrunk, two cold ones grown in ONE step), completing the
+    // single-change family (weighted upgrade / drain / fractional
+    // rebalance). The locality law generalizes: a doc may move ONLY
+    // if its old winner's weight fell or its new winner's weight
+    // rose — before ∉ {downgraded} AND after ∉ {upgraded} is
+    // impossible (every other score is untouched), pinned as
+    // n_moved_invalid ≡ 0 on every row. With SEVERAL upgrades the
+    // per-shard no-loss rule weakens (two upgraded shards can trade
+    // docs — both scores rose, by different factors), but the
+    // MAX-RATIO shard still loses nothing: HRW scores scale linearly
+    // in weight, so r_A ≥ r_X and A > X force r_A·A > r_X·X — shard
+    // 6 (1 → 1.5, the largest w'/w) has n_moved ≡ 0, hashed. Same
+    // scan-local double-argmax + ≤|shards|-group aggregate plan as
+    // the rest of the family.
+    QueryDef("shard_rendezvous_reweight_multi",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+        val nSh = 8
+        // simultaneous change: 3: 3→2.4, 4: 2→1.8, 6: 1→1.5, 1: 1→1.2
+        val wBefore = Map(3 -> 3.0, 4 -> 2.0).withDefaultValue(1.0)
+        val wAfter = Map(3 -> 2.4, 4 -> 1.8, 6 -> 1.5, 1 -> 1.2)
+          .withDefaultValue(1.0)
+        val id = col("doc_id").cast("string")
+        val M = 1152921504606846976d // 2^60, exact double
+        def u(i: Int) =
+          (md5Long(i, id) + lit(1L)).cast("double") / lit(M)
+        def score(i: Int, w: Double) = lit(-w) / log(u(i))
+        def argmaxChain(scores: Seq[org.apache.spark.sql.Column]) = {
+          val g = greatest(scores: _*)
+          scores.zipWithIndex.foldLeft(null: org.apache.spark.sql.Column) {
+            case (acc, (c, i)) =>
+              if (acc == null) when(c === g, i.toLong)
+              else acc.when(c === g, i.toLong)
+          }
+        }
+        val before = argmaxChain((0 until nSh).map(i => score(i, wBefore(i))))
+        val after = argmaxChain((0 until nSh).map(i => score(i, wAfter(i))))
+        Tables.load(s, dir, "documents")
+          .select(before.as("before_shard"), after.as("after_shard"))
+          .groupBy(col("before_shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("after_shard") =!= col("before_shard"), 1L)
+              .otherwise(0L)).as("n_moved"),
+            sum(when(col("after_shard") =!= col("before_shard") &&
+              col("after_shard") === 1L, 1L).otherwise(0L)).as("n_to_up1"),
+            sum(when(col("after_shard") =!= col("before_shard") &&
+              col("after_shard") === 6L, 1L).otherwise(0L)).as("n_to_up6"),
+            sum(when(col("after_shard") =!= col("before_shard") &&
+              !col("before_shard").isin(3L, 4L) &&
+              !col("after_shard").isin(1L, 6L), 1L)
+              .otherwise(0L)).as("n_moved_invalid"))
+          .withColumn("moved_frac",
+            round((col("n_moved").cast("double") /
+              col("n_docs").cast("double")).cast(dec), 6).cast("double"))
+          .orderBy(col("before_shard"))
+      },
+      Some {
+        def u(i: Int) =
+          s"((('0x' || substring(md5('$i:' || doc_id::VARCHAR), 1, 15))::BIGINT" +
+            s" + 1) / 1152921504606846976.0)"
+        def score(i: Int, w: String) = s"(($w) / ln(${u(i)}))"
+        def argmax(exprs: Seq[String], alias: String) = {
+          val g = s"greatest(${exprs.mkString(", ")})"
+          val cases = exprs.zipWithIndex
+            .map { case (e, i) => s"WHEN $e = $g THEN ${i}::BIGINT" }
+            .mkString(" ")
+          s"CASE $cases END AS $alias"
+        }
+        val wb = Map(3 -> "-3.0", 4 -> "-2.0").withDefaultValue("-1.0")
+        val wa = Map(3 -> "-2.4", 4 -> "-1.8", 6 -> "-1.5", 1 -> "-1.2")
+          .withDefaultValue("-1.0")
+        val before = argmax((0 until 8).map(i => score(i, wb(i))), "before_shard")
+        val after = argmax((0 until 8).map(i => score(i, wa(i))), "after_shard")
+        s"""WITH a AS (
+          |  SELECT $before,
+          |    $after
+          |  FROM documents)
+          |SELECT before_shard, COUNT(*) AS n_docs,
+          |  SUM(CASE WHEN after_shard <> before_shard THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_moved,
+          |  SUM(CASE WHEN after_shard <> before_shard AND after_shard = 1
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_to_up1,
+          |  SUM(CASE WHEN after_shard <> before_shard AND after_shard = 6
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_to_up6,
+          |  SUM(CASE WHEN after_shard <> before_shard
+          |      AND before_shard NOT IN (3, 4) AND after_shard NOT IN (1, 6)
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_moved_invalid,
+          |  CAST(round(CAST(SUM(CASE WHEN after_shard <> before_shard
+          |      THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+          |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS moved_frac
+          |FROM a GROUP BY before_shard ORDER BY before_shard""".stripMargin
+      }),
+
     // Data profiling — the validation pass an ingest pipeline runs
     // before training: per-column row/null/exact-distinct counts. One
     // column-pruned scan per column (each aggregate reads only its own

@@ -430,4 +430,27 @@ class CorpusReportsSpec extends SparkSpec {
     val frac = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
     assert(frac > 0.03 && frac < 0.30, s"moved $frac")
   }
+
+  test("shard_rendezvous_reweight_multi: simultaneous re-weighting obeys " +
+    "the generalized locality law and the max-ratio shard never loses") {
+    val rows = SparkEntry.queries("shard_rendezvous_reweight_multi")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == (0L to 7L))
+    // a move must leave a downgraded shard or land on an upgraded one
+    assert(rows.forall(_._6 == 0L), s"invalid moves: ${rows.toSeq}")
+    // the max-ratio shard (6: 1 → 1.5) cannot be overtaken anywhere
+    assert(rows.find(_._1 == 6L).get._3 == 0L)
+    // unchanged shards move docs only onto the two upgraded shards
+    rows.filter(r => !Set(1L, 3L, 4L, 6L).contains(r._1)).foreach { r =>
+      assert(r._3 == r._4 + r._5, s"unchanged shard ${r._1} off-target: $r")
+    }
+    // both downgraded shards actually shed load
+    assert(rows.find(_._1 == 3L).get._3 > 0L)
+    assert(rows.find(_._1 == 4L).get._3 > 0L)
+    // movement stays a minority of the corpus (rendezvous, not mod-hash)
+    val frac = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(frac > 0.03 && frac < 0.35, s"moved $frac")
+  }
 }
