@@ -59,30 +59,32 @@ object DedupQueries {
   private val WinnowMaxDf = 50
   private val WinnowMinShared = 2L
 
-  /** DuckDB mirror of [[graft.ops.Text.winnowPacked]] (k=4, w=8) as a
-    * CTE chain ending in `s(doc_id, n_grams, sel)` — sel = the
-    * distinct packed (hash·2^20 + reversed-pos) window minima.
-    * DuckDB list lambdas index from 1, Spark's `transform` from 0, so
-    * the reversed position is `1048576 - i` here vs `M - 1 - i` in
+  /** DuckDB mirror of [[graft.ops.Text.winnowPacked]] (k=4, window
+    * `w`) as a CTE chain ending in `s$sfx(doc_id, n_grams, sel)` —
+    * sel = the distinct packed (hash·2^20 + reversed-pos) window
+    * minima; `sfx` suffixes the CTE names so several window sizes
+    * can coexist in one statement (the density curve). DuckDB list
+    * lambdas index from 1, Spark's `transform` from 0, so the
+    * reversed position is `1048576 - i` here vs `M - 1 - i` in
     * Scala — same values. Slices past the list end truncate on both
     * engines (the < w-gram doc winnows one short window).
     */
-  private val winnowSelSql: String =
-    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-    |g AS (SELECT doc_id,
+  private def winnowSelSql(w: Int, sfx: String = ""): String =
+    s"""w$sfx AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    |g$sfx AS (SELECT doc_id,
     |  CASE WHEN len(ws) >= $WinnowK THEN
     |    list_transform(range(1, len(ws) - ${WinnowK - 2}),
     |      i -> array_to_string(ws[i:i+${WinnowK - 1}], ' '))
-    |  ELSE [] END AS grams FROM w),
-    |p AS (SELECT doc_id, list_transform(grams, (g, i) ->
+    |  ELSE [] END AS grams FROM w$sfx),
+    |p$sfx AS (SELECT doc_id, list_transform(grams, (g, i) ->
     |    (('0x' || substring(md5(g), 1, 15))::BIGINT % ${1L << 43}) * ${1L << 20}
-    |      + (${1L << 20} - i)) AS packed FROM g),
-    |s AS (SELECT doc_id, len(packed) AS n_grams,
+    |      + (${1L << 20} - i)) AS packed FROM g$sfx),
+    |s$sfx AS (SELECT doc_id, len(packed) AS n_grams,
     |  CASE WHEN len(packed) >= 1 THEN
     |    list_distinct(list_transform(
-    |      range(1, greatest(len(packed) - $WinnowW, 0) + 2),
-    |      i -> list_min(packed[i:i+${WinnowW - 1}])))
-    |  ELSE [] END AS sel FROM p)""".stripMargin
+    |      range(1, greatest(len(packed) - $w, 0) + 2),
+    |      i -> list_min(packed[i:i+${w - 1}])))
+    |  ELSE [] END AS sel FROM p$sfx)""".stripMargin
 
   /** cv_folds_leakage_safe: fold count (K in group-aware K-fold). */
   private val CvFolds = 5L
@@ -862,7 +864,7 @@ object DedupQueries {
             col("density"), col("fp_sum"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $winnowSelSql
+      Some(s"""WITH ${winnowSelSql(WinnowW)}
         |SELECT doc_id, n_grams::INT AS n_grams, len(sel)::INT AS n_select,
         |  CASE WHEN n_grams >= 1 THEN
         |    round((len(sel)::DOUBLE /
@@ -914,7 +916,7 @@ object DedupQueries {
               .cast("double").as("overlap"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH $winnowSelSql,
+      Some(s"""WITH ${winnowSelSql(WinnowW)},
         |f AS (SELECT doc_id,
         |  unnest(list_distinct(list_transform(sel, x -> x // ${1L << 20})))
         |    AS h FROM s),
@@ -932,6 +934,66 @@ object DedupQueries {
         |        JOIN cnt cb ON cb.doc_id = pr.id_b
         |WHERE pr.n_shared >= $WinnowMinShared
         |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Winnow window-size tuning curve — observed fingerprint density
+    // vs the paper's analytic expectation 2/(w+1) per window size,
+    // the dial a user reads before sizing w (the lsh_band_curve /
+    // ann_nprobe_curve / sketch_kmv_error_curve pattern applied to
+    // winnowing): bigger w ⇒ sparser index but a longer detection
+    // threshold (w + k − 1 words). ONE corpus scan computes all
+    // three selections (the per-w kernels share the gram-hash child,
+    // and the kernel is O(m) in each), then a 3-row stack — nothing
+    // data-sized shuffles.
+    QueryDef("text_winnow_density_curve",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val ws = Seq(4, 8, 16)
+        val d = Tables.load(s, dir, "documents")
+        val m = greatest(size(split(lower(col("text")), " ")) - lit(WinnowK - 1),
+          lit(0))
+        val cols =
+          ws.map(w => size(graft.ops.Text.winnowPacked(col("text"), WinnowK, w))
+            .cast("long").as(s"sel$w")) ++
+          ws.map(w => when(m >= 1, greatest(m - lit(w), lit(0)) + lit(1))
+            .otherwise(lit(0)).cast("long").as(s"win$w"))
+        val agg = d.select(cols: _*).agg(
+          sum(col("sel4")).as("s4"), sum(col("win4")).as("w4"),
+          sum(col("sel8")).as("s8"), sum(col("win8")).as("w8"),
+          sum(col("sel16")).as("s16"), sum(col("win16")).as("w16"))
+        agg.select(expr(
+            "stack(3, 4L, s4, w4, 8L, s8, w8, 16L, s16, w16)" +
+              " AS (w, n_select, n_windows)"))
+          .select(col("w"), col("n_select"), col("n_windows"),
+            round((col("n_select").cast("double") /
+              col("n_windows").cast("double")).cast(dec), 6).cast("double")
+              .as("density"),
+            round((lit(2.0) / (col("w").cast("double") + lit(1.0))).cast(dec), 6)
+              .cast("double").as("analytic"))
+          .orderBy(col("w"))
+      },
+      Some {
+        def leg(w: Int) =
+          s"""SELECT ${w}::BIGINT AS w,
+          |  (SELECT CAST(coalesce(sum(len(sel)), 0) AS BIGINT) FROM s_$w)
+          |    AS n_select,
+          |  (SELECT CAST(coalesce(sum(CASE WHEN n_grams >= 1
+          |      THEN greatest(n_grams - $w, 0) + 1 ELSE 0 END), 0) AS BIGINT)
+          |    FROM s_$w) AS n_windows""".stripMargin
+        s"""WITH ${winnowSelSql(4, "_4")},
+        |${winnowSelSql(8, "_8")},
+        |${winnowSelSql(16, "_16")},
+        |u AS (${leg(4)}
+        |UNION ALL
+        |${leg(8)}
+        |UNION ALL
+        |${leg(16)})
+        |SELECT w, n_select, n_windows,
+        |  CAST(round(CAST(n_select::DOUBLE / n_windows::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS density,
+        |  CAST(round(CAST(2.0 / (w::DOUBLE + 1.0) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS analytic
+        |FROM u ORDER BY w""".stripMargin
+      }),
 
     // J1-exact without the df cap — word-set Jaccard via PREFIX
     // filtering (Similarity.jaccardPrefixPairs): rarity-ordered token
