@@ -61,6 +61,27 @@ object WinnowOps {
   private val HashMod = 1L << 43
   private val PosMod = 1L << 20
 
+  /** Plain-JVM winnow fingerprint HASHES of a text (k-word grams,
+    * window w) — the per-row twin streams use, sharing
+    * MinHashLocal's gram hashing and this object's selection, so
+    * stream and batch fingerprints are bit-identical (the
+    * MinHashStream/MinHashLocal discipline).
+    */
+  def selectHashes(text: String, k: Int, w: Int, xx: Boolean): Array[Long] = {
+    val hashes = graft.streaming.MinHashLocal
+      .shingleHashesAll(text.toLowerCase(java.util.Locale.ROOT), k, xx)
+    val sel = select(UnsafeArrayData.fromPrimitiveArray(hashes), w)
+    val n = sel.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(sel.getLong(i) >>> 20); i += 1 }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    res
+  }
+
   /** Distinct sliding-window minima of the packed (hash, reversed-pos)
     * array — one monotonic-deque pass, first-appearance order.
     */
