@@ -593,6 +593,96 @@ object StarQueries {
     // Revenue stays DECIMAL through the cumulative window (a double
     // running sum would be engine/order-dependent); the per-customer
     // LTV is exact integer cents via floor division — no FP anywhere.
+    // Kaplan–Meier retention — survival analysis of "days until the
+    // next order", censoring included: a customer's gap after their
+    // LAST order is censored at the corpus horizon (max order date),
+    // the estimator every retention/churn readout should use instead
+    // of naive averages (which silently drop or bias censored
+    // customers). S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over event times.
+    //
+    // Cross-engine product: each factor's ln is ROUNDED TO 6dp and
+    // the running sum runs in DECIMAL (exact, order-independent) —
+    // the Page–Hinkley re-quantization trick — then one exp at the
+    // end; a raw running double product would drift in the last ulp
+    // between engines. Scale shape: one lead window per customer
+    // (shuffle on custkey), then the KM table is bounded by the
+    // DURATION DOMAIN (≤ date-span days), so the two single-partition
+    // windows (reverse at-risk cumsum, survival cumsum) run over a
+    // bounded histogram — the token-budget discipline, never over
+    // corpus rows. The d = n edge (everyone at risk dies) floors the
+    // factor at 1e-12 identically on both engines → survival rounds
+    // to 0.
+    QueryDef("orders_survival_km",
+      (s, dir) => {
+        val dec6 = DecimalType(18, 6)
+        val dec8 = DecimalType(18, 8)
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+            col("o_orderkey"))
+        import org.apache.spark.sql.expressions.Window
+        val wCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d"), col("o_orderkey"))
+        val horizon = o.agg(max(col("d")).as("h"))
+        val gaps = o
+          .withColumn("nxt", lead(col("d"), 1).over(wCust))
+          .crossJoin(broadcast(horizon))
+          .select(
+            when(col("nxt").isNotNull, datediff(col("nxt"), col("d")))
+              .otherwise(datediff(col("h"), col("d"))).cast("long").as("t"),
+            when(col("nxt").isNotNull, 1L).otherwise(0L).as("event"))
+        val tbl = gaps.groupBy(col("t"))
+          .agg(sum(col("event")).as("n_event"),
+            sum(lit(1L) - col("event")).as("n_censored"))
+        val wT = Window.orderBy(col("t"))
+        val nRisk = sum(col("n_event") + col("n_censored"))
+          .over(wT.rowsBetween(0, Window.unboundedFollowing))
+        val term = when(col("n_event") > 0,
+          round(log(greatest(lit(1.0) -
+            col("n_event").cast("double") / col("n_risk").cast("double"),
+            lit(1e-12))), 6).cast(dec6))
+          .otherwise(lit(0).cast(dec6))
+        tbl.withColumn("n_risk", nRisk)
+          .withColumn("__term", term)
+          .withColumn("__cum", sum(col("__term"))
+            .over(wT.rowsBetween(Window.unboundedPreceding, 0)))
+          .where(col("n_event") > 0)
+          .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+            round(exp(col("__cum").cast("double")).cast(dec8), 6)
+              .cast("double").as("survival"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS d, o_orderkey FROM orders),
+        |h AS (SELECT max(d) AS hd FROM o),
+        |g AS (
+        |  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', d, nxt)
+        |              ELSE date_diff('day', d, (SELECT hd FROM h))
+        |         END::BIGINT AS t,
+        |         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS event
+        |  FROM (SELECT d, lead(d) OVER (PARTITION BY o_custkey
+        |          ORDER BY d, o_orderkey) AS nxt FROM o)),
+        |tbl AS (SELECT t, SUM(event)::BIGINT AS n_event,
+        |          SUM(1 - event)::BIGINT AS n_censored
+        |        FROM g GROUP BY t),
+        |r AS (SELECT *,
+        |        SUM(n_event + n_censored) OVER (ORDER BY t
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+        |          AS n_risk
+        |      FROM tbl),
+        |s AS (SELECT *,
+        |        SUM(CASE WHEN n_event > 0 THEN
+        |          CAST(round(ln(greatest(
+        |            1.0 - n_event::DOUBLE / n_risk::DOUBLE, 1e-12)), 6)
+        |            AS DECIMAL(18,6))
+        |          ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |          OVER (ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM r)
+        |SELECT t, n_risk, n_event, n_censored,
+        |  CAST(round(CAST(exp(cum::DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS survival
+        |FROM s WHERE n_event > 0 ORDER BY t""".stripMargin)),
+
     QueryDef("orders_cohort_ltv",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")

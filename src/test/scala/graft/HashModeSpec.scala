@@ -95,6 +95,27 @@ class HashModeSpec extends SparkSpec {
     }
   }
 
+  test("xx mode: winnow kernel matches the per-row JVM twin, and differs from md5 mode") {
+    val md5Fp = docs.select(col("doc_id"),
+        Text.winnowHashes(col("text"), 4, 8).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    withXx {
+      val xxFp = docs.select(col("doc_id"),
+          Text.winnowHashes(col("text"), 4, 8).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val texts = Seq(
+        0L -> "the quick brown fox jumps over the lazy dog in the garden today",
+        1L -> "the quick brown fox jumps over the lazy dog in the garden now",
+        2L -> "completely different content about spark query engines and shuffles here")
+      texts.foreach { case (id, t) =>
+        val twin = graft.expressions.WinnowOps
+          .selectHashes(t, 4, 8, xx = true).toSeq
+        assert(xxFp(id) == twin, s"xx-mode winnow column vs JVM twin, doc $id")
+        assert(xxFp(id) != md5Fp(id), s"mode flip changed nothing for doc $id")
+      }
+    }
+  }
+
   test("detHash in xx mode is deterministic, in range, and partition-stable") {
     withXx {
       val d = spark.range(1000).select(col("id"),
