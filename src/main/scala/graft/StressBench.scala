@@ -50,6 +50,23 @@ object StressBench {
       rows
     }
 
+    // winnow fingerprint pair generation under N-way duplication —
+    // every fingerprint's df multiplies by N, so base-df-1 fps become
+    // true N-doc dup buckets (N²/2 pairs each, the work the operator
+    // EXISTS to find) while base-df ≥ ⌈cap/N⌉+1 fps cross the MOSS
+    // noise cap and are count-pruned before any set materializes.
+    // The row to read: wall grows with emitted pairs, never with the
+    // uncapped bucket area.
+    timed("winnowPairGen") {
+      val fps = stressed.select(col("doc_id"),
+        explode(graft.ops.Text.winnowHashes(col("text"), 4, 8)).as("__h"))
+      Similarity.cappedIdSets(fps, Seq("__h"), "doc_id", 50, "__ids",
+          twoPass = true)
+        .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
+        .groupBy(col("__p.id_a"), col("__p.id_b"))
+        .agg(count(lit(1))).count()
+    }
+
     // adversarial hot bucket: ONE bucket holds 1M ids (an empty-text
     // length band / boilerplate shingle at corpus scale) next to 100k
     // normal 2-id buckets. BOTH cappedIdSets strategies are timed on
