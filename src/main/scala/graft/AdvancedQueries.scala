@@ -1450,6 +1450,70 @@ object AdvancedQueries {
     // at quadratic cost (same cap discipline as the LSH bucket cap,
     // mirrored by the oracle). Wedge centers always have deg ≥ 2,
     // so ln never sees 1.
+    // Neighborhood-Jaccard link prediction — the set-overlap sibling
+    // of graph_adamic_adar on the same capped-wedge machinery:
+    // J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|, where the common-neighbor
+    // count comes from wedges through ≤ AaMaxCenterDegree centers
+    // (hub centers carry no affinity signal and their wedge fan-out
+    // is the quadratic — the exact argument behind AA's 1/ln(d)
+    // weight, here applied as the same cap discipline), while the
+    // union denominator uses FULL degrees. AA ranks by rarity-weighted
+    // evidence, Jaccard by neighborhood agreement — a recommender
+    // reads both.
+    QueryDef("graph_jaccard_links",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = repeatCoPurchaseEdges(s, dir).localCheckpoint(true)
+        val und = e.select(col("src").as("n"), col("dst").as("nb"))
+          .union(e.select(col("dst"), col("src")))
+        val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val centers = deg.where(col("d") >= 2 && col("d") <= AaMaxCenterDegree)
+          .select(col("n").as("cz"))
+        val wedges = und.as("l")
+          .join(und.as("r"),
+            col("l.n") === col("r.n") && col("l.nb") < col("r.nb"))
+          .join(centers, col("l.n") === col("cz"))
+          .select(col("l.nb").as("a"), col("r.nb").as("b"))
+        val common = wedges.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+          .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+          .join(e, common("a") === e("src") && common("b") === e("dst"),
+            "left_anti")
+          .select(col("a").as("part_a"), col("b").as("part_b"),
+            col("n_common"),
+            round((col("n_common").cast("double") /
+              (col("__da") + col("__db") - col("n_common")).cast("double"))
+              .cast(DecimalType(18, 8)), 6).cast("double").as("jaccard"))
+          .orderBy(desc("jaccard"), col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some(s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (
+        |  SELECT a.pk AS src, b.pk AS dst FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS n, dst AS nb FROM p
+        |  UNION ALL SELECT dst, src FROM p),
+        |deg AS (SELECT n, COUNT(*) AS d FROM und GROUP BY n),
+        |centers AS (SELECT n FROM deg
+        |  WHERE d >= 2 AND d <= $AaMaxCenterDegree),
+        |wedges AS (
+        |  SELECT l.nb AS a, r.nb AS b
+        |  FROM und l JOIN und r ON l.n = r.n AND l.nb < r.nb
+        |  JOIN centers c ON c.n = l.n),
+        |cm AS (SELECT a, b, COUNT(*) AS n_common FROM wedges GROUP BY 1, 2)
+        |SELECT cm.a AS part_a, cm.b AS part_b, cm.n_common,
+        |  CAST(round((cm.n_common::DOUBLE /
+        |    (da.d + db.d - cm.n_common)::DOUBLE)::DECIMAL(18,8), 6)
+        |    AS DOUBLE) AS jaccard
+        |FROM cm JOIN deg da ON da.n = cm.a JOIN deg db ON db.n = cm.b
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |  WHERE p.src = cm.a AND p.dst = cm.b)
+        |ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin)),
+
     QueryDef("graph_adamic_adar",
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
