@@ -1422,34 +1422,6 @@ object AdvancedQueries {
         |JOIN e e2 ON e2.u = e1.v
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
 
-    // Degree-distribution power-law fit over the co-purchase graph:
-    // log-log OLS of (degree, #nodes at that degree) — the "is this
-    // graph scale-free" census that decides whether the iterative
-    // graph ops above need skew handling (a heavy power-law tail means
-    // hub nodes, which is exactly what the salting/AQE-skew machinery
-    // is for; a flat fit means uniform partitioning is safe). Scale
-    // shape: degree = one count per node off the edge list (one
-    // shuffle), the distribution is ≤ max-degree rows, and the OLS
-    // runs on THAT tiny frame — the vocab_zipf_fit recipe applied to
-    // graph structure. Exactness: ln() rounds to 6dp into DECIMAL
-    // before the exact-decimal moment sums (the zipf discipline);
-    // degree counts are exact BIGINTs on both engines.
-    // Adamic–Adar link prediction over the repeat-co-purchase graph:
-    // for every non-edge pair sharing ≥1 neighbor, AA(a,b) =
-    // Σ_z 1/ln(deg z) over common neighbors z — the classic "which
-    // edge appears next" score (rare shared neighbors count more
-    // than hub co-membership). Top-20 candidate links reported.
-    // Exactness: per-center weight rounds to 6dp BEFORE the
-    // DECIMAL(18,6) sum, so the score is addition-order-free on both
-    // engines; ln is stable on identical integer-degree operands.
-    // Scale shape: wedges enumerate per CENTER (one self-join of the
-    // adjacency keyed on the center node), bounded by Σ deg² with
-    // centers above AaMaxCenterDegree dropped — both the skew guard
-    // AND principled: a hub's 1/ln(deg) weight is the smallest in
-    // the graph, so high-degree centers contribute noise-level mass
-    // at quadratic cost (same cap discipline as the LSH bucket cap,
-    // mirrored by the oracle). Wedge centers always have deg ≥ 2,
-    // so ln never sees 1.
     // Neighborhood-Jaccard link prediction — the set-overlap sibling
     // of graph_adamic_adar on the same capped-wedge machinery:
     // J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|, where the common-neighbor
@@ -1514,6 +1486,22 @@ object AdvancedQueries {
         |  WHERE p.src = cm.a AND p.dst = cm.b)
         |ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin)),
 
+    // Adamic–Adar link prediction over the repeat-co-purchase graph:
+    // for every non-edge pair sharing ≥1 neighbor, AA(a,b) =
+    // Σ_z 1/ln(deg z) over common neighbors z — the classic "which
+    // edge appears next" score (rare shared neighbors count more
+    // than hub co-membership). Top-20 candidate links reported.
+    // Exactness: per-center weight rounds to 6dp BEFORE the
+    // DECIMAL(18,6) sum, so the score is addition-order-free on both
+    // engines; ln is stable on identical integer-degree operands.
+    // Scale shape: wedges enumerate per CENTER (one self-join of the
+    // adjacency keyed on the center node), bounded by Σ deg² with
+    // centers above AaMaxCenterDegree dropped — both the skew guard
+    // AND principled: a hub's 1/ln(deg) weight is the smallest in
+    // the graph, so high-degree centers contribute noise-level mass
+    // at quadratic cost (same cap discipline as the LSH bucket cap,
+    // mirrored by the oracle). Wedge centers always have deg ≥ 2,
+    // so ln never sees 1.
     QueryDef("graph_adamic_adar",
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
@@ -1569,6 +1557,18 @@ object AdvancedQueries {
         |  WHERE p.src = aa.a AND p.dst = aa.b)
         |ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin)),
 
+    // Degree-distribution power-law fit over the co-purchase graph:
+    // log-log OLS of (degree, #nodes at that degree) — the "is this
+    // graph scale-free" census that decides whether the iterative
+    // graph ops above need skew handling (a heavy power-law tail means
+    // hub nodes, which is exactly what the salting/AQE-skew machinery
+    // is for; a flat fit means uniform partitioning is safe). Scale
+    // shape: degree = one count per node off the edge list (one
+    // shuffle), the distribution is ≤ max-degree rows, and the OLS
+    // runs on THAT tiny frame — the vocab_zipf_fit recipe applied to
+    // graph structure. Exactness: ln() rounds to 6dp into DECIMAL
+    // before the exact-decimal moment sums (the zipf discipline);
+    // degree counts are exact BIGINTs on both engines.
     QueryDef("graph_degree_powerlaw",
       (s, dir) => {
         val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)

@@ -67,7 +67,11 @@ object DedupQueries {
     * lambdas index from 1, Spark's `transform` from 0, so the
     * reversed position is `1048576 - i` here vs `M - 1 - i` in
     * Scala — same values. Slices past the list end truncate on both
-    * engines (the < w-gram doc winnows one short window).
+    * engines (the < w-gram doc winnows one short window). Like the
+    * kernel, the reversed position is clamped at 0 from gram 2^20−1
+    * onward (`greatest(…, 0)`) so multi-million-gram docs never
+    * underflow the pack into the hash bits — see WinnowSelect's
+    * scaladoc for the degraded-tie-rule reading past the clamp.
     */
   private def winnowSelSql(w: Int, sfx: String = ""): String =
     s"""w$sfx AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
@@ -78,7 +82,7 @@ object DedupQueries {
     |  ELSE [] END AS grams FROM w$sfx),
     |p$sfx AS (SELECT doc_id, list_transform(grams, (g, i) ->
     |    (('0x' || substring(md5(g), 1, 15))::BIGINT % ${1L << 43}) * ${1L << 20}
-    |      + (${1L << 20} - i)) AS packed FROM g$sfx),
+    |      + greatest(${1L << 20} - i, 0)) AS packed FROM g$sfx),
     |s$sfx AS (SELECT doc_id, len(packed) AS n_grams,
     |  CASE WHEN len(packed) >= 1 THEN
     |    list_distinct(list_transform(

@@ -30,6 +30,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * in [0, 2^60). Fewer than w hashes winnow one truncated window
   * (≥ 1 fingerprint for any non-empty gram array); an empty array
   * selects nothing.
+  *
+  * Documents with ≥ 2^20 grams: the reversed-position component is
+  * CLAMPED at 0 from gram 2^20−1 onward (`max(2^20−1−pos, 0)`), so the
+  * packing never underflows into the hash bits and `>>> 20` hash
+  * recovery stays exact at any document length. Beyond the clamp
+  * point the (hash asc, pos desc) tie rule degrades to (hash asc,
+  * arbitrary-tail-pos) — the selected HASH set is unaffected (ties
+  * only arise between equal hashes), only which occurrence "won" is
+  * unspecified, and the MOSS detection/density guarantees still hold.
+  * The DuckDB mirror (DedupQueries.winnowSelSql) clamps identically.
   */
 case class WinnowSelect(child: Expression, w: Int)
     extends UnaryExpression {
@@ -65,11 +75,18 @@ object WinnowOps {
     * window w) — the per-row twin streams use, sharing
     * MinHashLocal's gram hashing and this object's selection, so
     * stream and batch fingerprints are bit-identical (the
-    * MinHashStream/MinHashLocal discipline).
+    * MinHashStream/MinHashLocal discipline). Null-safe (null text
+    * selects nothing, mirroring the batch column's null propagation),
+    * and lowercasing goes through UTF8String — the SAME code path as
+    * the batch `lower()` — so non-ASCII text cannot diverge under a
+    * non-ROOT default locale.
     */
   def selectHashes(text: String, k: Int, w: Int, xx: Boolean): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString
     val hashes = graft.streaming.MinHashLocal
-      .shingleHashesAll(text.toLowerCase(java.util.Locale.ROOT), k, xx)
+      .shingleHashesAll(lowered, k, xx)
     val sel = select(UnsafeArrayData.fromPrimitiveArray(hashes), w)
     val n = sel.numElements()
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -91,11 +108,17 @@ object WinnowOps {
     val packed = new Array[Long](m)
     var i = 0
     while (i < m) {
-      packed(i) = (hashes.getLong(i) % HashMod) * PosMod + (PosMod - 1 - i)
+      // position clamped at 0 beyond 2^20 grams (see class scaladoc):
+      // the pack must never borrow into the hash bits
+      val rev = PosMod - 1 - i
+      packed(i) = (hashes.getLong(i) % HashMod) * PosMod +
+        (if (rev > 0L) rev else 0L)
       i += 1
     }
     // deque of candidate indices, packed values increasing front→back;
-    // ties cannot occur (positions differ), so strict < suffices
+    // below the clamp point ties cannot occur (positions differ), and
+    // past it the strict > pop keeps the earliest tied index — the
+    // window-minimum VALUE is correct either way
     val deque = new Array[Int](m)
     var head = 0
     var tail = 0 // exclusive

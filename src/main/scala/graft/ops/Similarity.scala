@@ -1505,22 +1505,6 @@ object Similarity {
         when(col("__rm").isNull, lit(0)).otherwise(lit(1)).as("removed"))
   }
 
-  /** SemDeDup with the paper's exact representative rule (Abbas et
-    * al. 2023 §3: within a cluster, keep the duplicate pair member
-    * CLOSER to the centroid): a vector is removed iff some
-    * same-cluster vector with cosine ≥ minCos outranks it by
-    * (cosine-to-centroid desc, id asc). semDedup (above) is the
-    * id-ranked variant of the same rule class — both are one
-    * dominance pass over the within-cluster pair stream, not the
-    * paper's sequential greedy (which is order-dependent and
-    * unexpressible as a join); ties are id-broken so both engines
-    * agree bit-for-bit.
-    *
-    * Scale shape identical to semDedup: broadcast-centroid
-    * assignment, hot clusters degrade to sign-LSH sub-blocks, the
-    * pair join never leaves the (cell, block) key. Output: one row
-    * per vector (id, cell, ccos, removed 0/1).
-    */
   /** Cluster-balanced "diversity" sample: assign every vector to its
     * nearest codebook centroid, keep ceil(sqrt(n_cell)) members per
     * cell, chosen by detHash rank (the sample_stratified_exact
@@ -1555,6 +1539,22 @@ object Similarity {
       .select(col("cell"), col("n_cell"), col("quota"), col("rn"), col(idCol))
   }
 
+  /** SemDeDup with the paper's exact representative rule (Abbas et
+    * al. 2023 §3: within a cluster, keep the duplicate pair member
+    * CLOSER to the centroid): a vector is removed iff some
+    * same-cluster vector with cosine ≥ minCos outranks it by
+    * (cosine-to-centroid desc, id asc). semDedup (above) is the
+    * id-ranked variant of the same rule class — both are one
+    * dominance pass over the within-cluster pair stream, not the
+    * paper's sequential greedy (which is order-dependent and
+    * unexpressible as a join); ties are id-broken so both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape identical to semDedup: broadcast-centroid
+    * assignment, hot clusters degrade to sign-LSH sub-blocks, the
+    * pair join never leaves the (cell, block) key. Output: one row
+    * per vector (id, cell, ccos, removed 0/1).
+    */
   def semDedupCentroidRank(emb: DataFrame, idCol: String, embCol: String,
                            centroids: DataFrame, minCos: Double,
                            maxBlockSize: Int, subPlanes: Int): DataFrame = {

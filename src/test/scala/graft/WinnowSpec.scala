@@ -118,6 +118,48 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("position packing clamps at 2^20 grams: hash recovery stays exact on mega-docs") {
+    // a doc with > 2^20 grams used to underflow (PosMod - 1 - i) into
+    // the hash bits (ADVICE r11). Build the positional hash array
+    // directly (cheaper than a 1M-word string): a known globally-min
+    // hash planted BEYOND the clamp point must be recovered exactly.
+    val m = (1 << 20) + 4096
+    val hashes = Array.tabulate(m)(i => 1000000L + (i % 9973L) * 37L)
+    val minHash = 7L
+    hashes(m - 100) = minHash // beyond position 2^20 - 1
+    val sel = graft.expressions.WinnowOps.select(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(hashes), W)
+    val recovered = (0 until sel.numElements()).map(sel.getLong(_) >>> 20)
+    assert(recovered.contains(minHash),
+      "planted min hash past the clamp point was not recovered")
+    // every recovered hash must be one of the input hashes (no
+    // borrow corruption anywhere in the tail)
+    val inSet = hashes.toSet
+    recovered.foreach(h => assert(inSet.contains(h), s"corrupted hash $h"))
+    // and every packed value is non-negative with position bits < 2^20
+    (0 until sel.numElements()).foreach { i =>
+      assert(sel.getLong(i) >= 0L)
+    }
+  }
+
+  test("selectHashes is null-safe and lowercases like the batch lower()") {
+    import graft.expressions.WinnowOps
+    assert(WinnowOps.selectHashes(null, K, W, xx = false).isEmpty)
+    // non-ASCII text: the stream kernel must match the batch column
+    // (Spark lower() path) bit-for-bit — Turkish İ and German ß are
+    // the classic locale/width divergences
+    val text = ("İSTANBUL STRASSE ÉCOLE ÊTRE ÇOK GÜZEL İyi Größe Ñandú " +
+      "ЖУРНАЛ ΕΛΛΑΣ ü ö ä ß µ İ I ı i ÀÈÌÒÙ àèìòù " +
+      (1 to 20).map(i => s"W$i").mkString(" "))
+    val streamFps = WinnowOps.selectHashes(text, K, W, xx = false).toSeq.sorted
+    val batchFps = Seq(text).toDF("text")
+      .select(Text.winnowHashes(col("text"), K, W).as("h"))
+      .as[Seq[Long]].head().sorted
+    assert(streamFps == batchFps,
+      s"stream/batch fingerprint divergence on non-ASCII text")
+  }
+
   test("a long shared run is detected by the gated pairs query shape") {
     // 30-word shared run ⇒ 20 fully-interior windows ⇒ comfortably ≥ 2
     // distinct shared fingerprints for the MinShared = 2 bar
