@@ -81,6 +81,27 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Spark-side mini-basket (VERDICT r11 #4): the DuckDB oracle
+    // basket divides out HOST state, but r10→r11 showed the residual
+    // cross-session drift is JVM-side (JIT/GC/page-cache of the Spark
+    // process itself) — the suite got slower while the DuckDB basket
+    // got faster. A fixed 5-query basket timed at suite START and END
+    // in the SAME JVM brackets that: end/start >> 1 means the JVM
+    // degraded during the run (heap/metaspace pressure), and
+    // cross-round suite deltas can be normalized by the same-JVM
+    // basket instead of argued about. min-of-2 per query (min is the
+    // steady estimator for short in-process runs); spans the shape
+    // classes: join+agg, hash-groupBy dedup, native text kernel,
+    // chatml costing, session windows.
+    val sparkBasketNames = Seq("q3_topk_revenue", "dedup_exact",
+      "text_token_stats", "cost_report", "events_sessionize")
+      .filter(queries.contains)
+    def sparkBasket(): Seq[(String, Double)] =
+      sparkBasketNames.map { n =>
+        val ts = (1 to 2).map(_ => settleThenTime(n)._2)
+        n -> ts.min
+      }
+    val basketStart = if (only.isEmpty) sparkBasket() else Nil
     val perRound = (1 to runs).map { round =>
       val order = new scala.util.Random(round * 1009L).shuffle(names)
       order.map(settleThenTime).toMap
@@ -118,6 +139,8 @@ object Bench {
     val results = names.map { n =>
       n -> median(perRound.map(_(n)) ++ extraRuns.getOrElse(n, Nil))
     }.toMap
+    // same-JVM end anchor, after every timed pass (see basketStart)
+    val basketEnd = if (only.isEmpty) sparkBasket() else Nil
     // completeness tripwire: BENCH_LOCAL.json is the only full archive
     // (stdout keeps top-N); an accidentally-unregistered query must
     // fail the bench, not hide in the omitted tail
@@ -204,11 +227,19 @@ object Bench {
         val ratio = if (bs > 0) results.values.sum / bs else 0.0
         s""","oracle_basket_s":${fmt(bs)},"suite_over_basket":${fmt(ratio)},"oracle_basket":$bq"""
       }
+    val sparkBasketExtra =
+      if (basketStart.isEmpty || basketEnd.isEmpty) ""
+      else {
+        val s0 = basketStart.map(_._2).sum
+        val s1 = basketEnd.map(_._2).sum
+        val drift = if (s0 > 0) s1 / s0 else 0.0
+        s""","spark_basket_start_s":${fmt(s0)},"spark_basket_end_s":${fmt(s1)},"spark_basket_drift":${fmt(drift)}"""
+      }
     def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$extra$basketExtra}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$extra$basketExtra$sparkBasketExtra}"""
     }
     val all = results.toSeq
     val full = jsonLine(all, "")
