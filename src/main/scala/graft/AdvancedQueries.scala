@@ -1406,6 +1406,24 @@ object AdvancedQueries {
       },
       Some(lpaOracleSql(LpaRounds))),
 
+    // Convergence-gated LPA (VERDICT r11 #5) on the SPARSER repeat≥3
+    // co-purchase graph: production LPA stops when the label dynamics
+    // are STABLE (period ≤ 2 — a fixed point is unreachable here:
+    // isolated co-purchase pairs swap labels forever, measured
+    // through round 20) instead of paying all maxIters rounds. The
+    // parity contract (see Graph.labelPropagationConverged) makes the
+    // early-exiting loop bit-replayable by this full-unroll oracle in
+    // either regime; rounds_run < 10 in the output IS the proof the
+    // early exit fired (it reads 4 at sf0.01). osc marks nodes whose
+    // community is one phase of a surviving 2-cycle.
+    QueryDef("graph_label_prop_converged",
+      (s, dir) => {
+        val e = repeatCoPurchaseEdges(s, dir, minRepeat = 3)
+        graft.ops.Graph.labelPropagationConverged(e, "src", "dst",
+          maxIters = LpaConvMaxIters, checkEvery = 2)
+      },
+      Some(lpaConvergedOracleSql(LpaConvMaxIters))),
+
     QueryDef("graph_triangles_parts",
       (s, dir) => {
         // u<v pairs, not pre-distincted (triangleCount normalizes)
@@ -1700,12 +1718,12 @@ object AdvancedQueries {
     * which is why the 32→128 shuffle-partition A/B was a wash.
     */
   private def repeatCoPurchaseEdges(s: org.apache.spark.sql.SparkSession,
-                                    dir: String)
+                                    dir: String, minRepeat: Int = 2)
       : org.apache.spark.sql.DataFrame =
     coPurchasePairs(s, dir, directed = false)
       .repartition(col("src"), col("dst"))
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= minRepeat)
       .select(col("src"), col("dst"))
 
   /** graph_adamic_adar wedge-center degree cap: hubs above this pay
@@ -1729,6 +1747,10 @@ object AdvancedQueries {
   // 4 fixed rounds on BOTH sides (fixed-round contract, not a
   // convergence test — see Graph.labelPropagation)
   private val LpaRounds = 4
+  // converged-LPA budget: the repeat≥3 graph goes period-≤2 by round
+  // 4 at both gate SFs, so the 10-round cap leaves the early exit
+  // plenty of visible headroom (rounds_run = 4 ≠ 10 is the proof)
+  private val LpaConvMaxIters = 10
 
   /** Unrolled-CTE oracle for graph_coreness_parts: the layered peel
     * (level k = `rounds` peel rounds at threshold k over the previous
@@ -1769,6 +1791,54 @@ object AdvancedQueries {
     * operator's packed-long max, expressed as a window. MATERIALIZED
     * for the same inlining reason as the kcore oracle.
     */
+  /** Full-unroll oracle for graph_label_prop_converged: `rounds` LPA
+    * rounds over the repeat≥3 graph, then (a) community/osc read from
+    * the FINAL two label frames — equal to the early-exiting loop's
+    * exit frames by the parity induction in
+    * Graph.labelPropagationConverged's scaladoc — and (b) rounds_run
+    * reconstructed as the first even boundary r with l_r = l_{r−2}
+    * (the exact condition the Spark loop tests at its checkEvery=2
+    * boundaries; forward-propagating, so "first zero" is well-defined).
+    */
+  private def lpaConvergedOracleSql(rounds: Int): String = {
+    require(rounds >= 2 && rounds % 2 == 0)
+    val roundCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.u AS node, l.lab AS lab, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY c DESC, lab ASC) AS rn
+         |    FROM c$i) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val diffCols = (2 to rounds by 2).map { r =>
+      s"""(SELECT count(*) FROM l$r a JOIN l${r - 2} b
+         |   ON a.node = b.node AND a.lab <> b.lab) AS c$r""".stripMargin
+    }.mkString(",\n  ")
+    val caseArms = (2 to rounds by 2)
+      .map(r => s"WHEN c$r = 0 THEN $r").mkString(" ")
+    s"""WITH li AS (
+    |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    |p AS (
+    |  SELECT a.pk AS u, b.pk AS v FROM li a
+    |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    |  GROUP BY 1, 2 HAVING count(*) >= 3),
+    |e AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+    |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e),
+    |$roundCtes,
+    |d AS (SELECT
+    |  $diffCols),
+    |rr AS (SELECT CAST(CASE $caseArms ELSE $rounds END AS BIGINT)
+    |  AS rounds_run FROM d)
+    |SELECT f.node, f.lab AS community,
+    |  CAST(CASE WHEN f.lab <> g.lab THEN 1 ELSE 0 END AS BIGINT) AS osc,
+    |  rr.rounds_run
+    |FROM l$rounds f JOIN l${rounds - 1} g ON g.node = f.node
+    |CROSS JOIN rr ORDER BY f.node""".stripMargin
+  }
+
   private def lpaOracleSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""c$i AS MATERIALIZED (

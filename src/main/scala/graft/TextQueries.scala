@@ -3311,6 +3311,111 @@ object TextQueries {
         |  ON xi.src_a = q2.src_a AND xi.src_b = q2.src_b
         |ORDER BY q2.src_a, q2.src_b""".stripMargin)),
 
+    // The PRODUCTION form of sketch_kmv_setops (VERDICT r11 #6): the
+    // gated audit query above carries exact-truth legs whose
+    // vocabulary-sized self-join is exactly what a 100 TB run would
+    // drop — this variant IS that deployable plan, oracle-gated and
+    // plan-censused in its own right. Shape: ONE distinct over
+    // (source, trigram-hash), ONE per-source top-64 window
+    // (WindowGroupLimit prunes map-side — 64 rows per source survive
+    // the exchange), then all set algebra on the ≤ 64·|sources| rows.
+    // Per-source cardinality is itself the KMV estimate (est_nd_*)
+    // — nothing in the plan touches data volume after the distinct.
+    // Same bit-exact IEEE estimator discipline as the audit query.
+    QueryDef("sketch_kmv_setops_prod",
+      (s, dir) => {
+        val dec = DecimalType(18, 8)
+        val k = 64
+        val hSpace = 1152921504606846976.0 // 2^60 — hash60's range
+        val d = Tables.load(s, dir, "documents")
+        val tris = d.select(col("source"), split(col("text"), " ").as("__w"))
+          .where(size(col("__w")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(slice(__w, 1, size(__w) - 2), " +
+              "(x, i) -> concat(x, ' ', __w[i + 1], ' ', __w[i + 2]))"))
+            .as("tri"))
+          .select(col("source"), hash60(col("tri")).as("h"))
+          .distinct()
+        val w = Window.partitionBy(col("source")).orderBy(col("h"))
+        def estFromKth(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(size(arr) < k, size(arr).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble) * lit(hSpace) /
+              element_at(arr, k).cast("double")).cast("long"))
+        val sk = tris.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= k)
+          .groupBy(col("source"))
+          .agg(sort_array(collect_list(col("h"))).as("arr"))
+        sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+            col("x.arr").as("arr_a"), col("y.arr").as("arr_b"))
+          .withColumn("est_nd_a", estFromKth(col("arr_a")))
+          .withColumn("est_nd_b", estFromKth(col("arr_b")))
+          .withColumn("__u",
+            array_sort(array_distinct(concat(col("arr_a"), col("arr_b")))))
+          .withColumn("__ks", slice(col("__u"), 1, k))
+          .withColumn("__kk", size(col("__ks")))
+          .withColumn("__hk", element_at(col("__ks"), col("__kk")))
+          .withColumn("__nboth", size(filter(col("__ks"),
+            x => array_contains(col("arr_a"), x) &&
+              array_contains(col("arr_b"), x))))
+          .withColumn("est_union",
+            when(size(col("__u")) < k, size(col("__u")).cast("long"))
+              .otherwise(floor(lit((k - 1).toDouble) * lit(hSpace) /
+                col("__hk").cast("double")).cast("long")))
+          .withColumn("est_inter", floor(col("__nboth").cast("double") *
+            col("est_union").cast("double") / col("__kk").cast("double"))
+            .cast("long"))
+          .withColumn("est_jaccard", round((col("__nboth").cast("double") /
+            col("__kk").cast("double")).cast(dec), 6).cast("double"))
+          .select(col("src_a"), col("src_b"), col("est_nd_a"),
+            col("est_nd_b"), col("est_union"), col("est_inter"),
+            col("est_jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH ws AS (SELECT source, string_split(text, ' ') AS w
+        |            FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        ('0x' || substring(md5(array_to_string(w[i:i+2], ' ')),
+        |          1, 15))::BIGINT AS h
+        |      FROM (SELECT source, w,
+        |              unnest(generate_series(1, len(w) - 2)) AS i
+        |            FROM ws WHERE len(w) >= 3)),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |      FROM g),
+        |sk AS (SELECT source, list_sort(list(h)) AS arr
+        |       FROM r WHERE rn <= 64 GROUP BY source),
+        |p AS (SELECT x.source AS src_a, y.source AS src_b,
+        |        x.arr AS arr_a, y.arr AS arr_b,
+        |        list_sort(list_distinct(x.arr || y.arr)) AS u
+        |      FROM sk x JOIN sk y ON x.source < y.source),
+        |q AS (SELECT src_a, src_b, arr_a, arr_b, u,
+        |        len(u[1:64]) AS kk, u[least(64, len(u))] AS hk,
+        |        len(list_filter(u[1:64], x ->
+        |          list_contains(arr_a, x) AND list_contains(arr_b, x)))
+        |          AS nboth
+        |      FROM p),
+        |q2 AS (SELECT src_a, src_b, kk, nboth,
+        |        CASE WHEN len(arr_a) < 64 THEN len(arr_a)::BIGINT
+        |             ELSE CAST(floor(63::DOUBLE * 1152921504606846976::DOUBLE
+        |                             / arr_a[64]::DOUBLE) AS BIGINT)
+        |        END AS est_nd_a,
+        |        CASE WHEN len(arr_b) < 64 THEN len(arr_b)::BIGINT
+        |             ELSE CAST(floor(63::DOUBLE * 1152921504606846976::DOUBLE
+        |                             / arr_b[64]::DOUBLE) AS BIGINT)
+        |        END AS est_nd_b,
+        |        CASE WHEN len(u) < 64 THEN len(u)::BIGINT
+        |             ELSE CAST(floor(63::DOUBLE * 1152921504606846976::DOUBLE
+        |                             / hk::DOUBLE) AS BIGINT)
+        |        END AS est_union
+        |       FROM q)
+        |SELECT src_a, src_b, est_nd_a, est_nd_b, est_union,
+        |  CAST(floor(nboth::DOUBLE * est_union::DOUBLE /
+        |             kk::DOUBLE) AS BIGINT) AS est_inter,
+        |  CAST(round(CAST(nboth::DOUBLE / kk::DOUBLE
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS est_jaccard
+        |FROM q2 ORDER BY src_a, src_b""".stripMargin)),
+
     // In-engine linear quality-probe training (ops/LinearProbe): learn
     // a cheap "is this English" surface from 4 scan-computable text
     // features + bias — the quality-classifier step of a curation

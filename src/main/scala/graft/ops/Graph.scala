@@ -537,6 +537,123 @@ object Graph {
     out
   }
 
+  /** Convergence-gated [[labelPropagation]] (VERDICT r11 #5): stop as
+    * soon as the dynamics are STABLE instead of always paying
+    * `maxIters` rounds — the production contract — while staying
+    * replayable by a fixed-round unrolled oracle.
+    *
+    * "Stable" is period ≤ 2, NOT a fixed point: synchronous LPA
+    * provably never fixes on many graphs (an isolated edge swaps its
+    * two labels forever — measured on the repeat≥3 co-purchase graph,
+    * where zero-change never fires through round 20 while l_r = l_{r−2}
+    * holds from round 4), so the deployable test is label equality at
+    * distance 2. The oracle argument is a parity induction: if
+    * l_R = l_{R−2} then determinism gives l_{t+2} = l_t for every
+    * t ≥ R−2, so with R and `maxIters` both EVEN, the exit labels
+    * l_R equal the full-unroll labels l_maxIters, and the per-node
+    * oscillation flag (l_R ≠ l_{R−1}) equals (l_M ≠ l_{M−1}) —
+    * bit-for-bit replayable in either regime (early exit, or no
+    * stability by maxIters ⇒ both sides run exactly maxIters rounds).
+    * Hence the evenness requirements on both knobs.
+    *
+    * Each label row carries the previous two labels (p1, p2); the
+    * previous label rides each round's own aggregate as a zero-count
+    * tagged row in the (node, lab) union (own=1, c=0) rather than a
+    * second join against the previous frame — one consumer per round
+    * keeps the in-chunk lazy chain linear. Scale shape per round is
+    * [[labelPropagation]]'s TWO exchanges (the tagged union adds
+    * |nodes| rows to an edge-sized exchange — noise). Rounds run in
+    * chunks of `checkEvery` chained through lazy RDD roots (one job
+    * per chunk); the stability test is one aggregate over the
+    * persisted node-sized boundary frame.
+    *
+    * Returns (node, community, osc, rounds_run): community = the
+    * label at exit (= at maxIters), osc = 1 iff the node was still
+    * alternating at exit (its community is one phase of a 2-cycle —
+    * callers break the tie however they like; the smaller of the two
+    * phases' labels is the common choice), rounds_run = the exit
+    * boundary (< maxIters PROVES the early exit fired). Persisted;
+    * caller owns `.unpersist()`.
+    */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String,
+                                dstCol: String, maxIters: Int,
+                                checkEvery: Int = 2): DataFrame = {
+    require(maxIters >= 2 && maxIters % 2 == 0,
+      s"maxIters must be even and >= 2 for the period-2 parity: $maxIters")
+    require(checkEvery >= 2 && checkEvery % 2 == 0,
+      s"checkEvery must be even for the period-2 parity: $checkEvery")
+    require(maxIters % checkEvery == 0,
+      s"maxIters must be a multiple of checkEvery: $maxIters/$checkEvery")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def root(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b"), col("a")))
+      .repartition(col("v"))
+      .sortWithinPartitions(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shift = 1L << 31
+    val maxId = e.agg(coalesce(max(col("u")), lit(-1L))).head().getLong(0)
+    require(maxId < shift,
+      s"node ids must be < 2^31 for the packed argmax: max id $maxId")
+    // p1/p2 = labels one/two rounds back; init values never reach a
+    // stability test (first check is at round 2, where p2 is l0)
+    var l = materialize(e.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .withColumn("p1", col("node"))
+      .withColumn("p2", col("node")))
+    var done = 0
+    var stable = false
+    while (!stable && done < maxIters) {
+      val rounds = math.min(checkEvery, maxIters - done)
+      var cur = root(l)
+      for (_ <- 1 to rounds) {
+        val nbr = e.join(cur.select(col("node").as("v"), col("lab")), "v")
+          .select(col("u").as("node"), col("lab"),
+            lit(1L).as("c"), lit(0L).as("own"), lit(0L).as("p1t"))
+        val tagged = nbr.unionAll(cur.select(col("node"), col("lab"),
+          lit(0L).as("c"), lit(1L).as("own"), col("p1").as("p1t")))
+          .repartition(col("node"))
+        val cnt = tagged.groupBy(col("node"), col("lab"))
+          .agg(sum(col("c")).as("c"), max(col("own")).as("own"),
+            max(col("p1t")).as("p1t"))
+        cur = root(cnt.groupBy(col("node"))
+          .agg(max(when(col("c") > 0L,
+              col("c") * lit(shift) + (lit(shift - 1) - col("lab"))))
+            .as("p"),
+            max(when(col("own") === 1L, col("lab"))).as("old"),
+            max(when(col("own") === 1L, col("p1t"))).as("p1old"))
+          .select(col("node"),
+            (lit(shift - 1) - (col("p") % lit(shift))).as("lab"),
+            col("old").as("p1"), col("p1old").as("p2")))
+      }
+      val next = materialize(cur)
+      next.count() // ONE job materializes the chunk
+      l.unpersist()
+      l = next
+      done += rounds
+      // period <= 2 iff the boundary labels equal two rounds back
+      stable = l.where(col("lab") =!= col("p2")).isEmpty
+    }
+    val roundsRun = done.toLong
+    val out = materialize(
+      l.select(col("node"), col("lab").as("community"),
+          (col("lab") =!= col("p1")).cast("long").as("osc"),
+          lit(roundsRun).as("rounds_run"))
+        .orderBy(col("node")))
+    out.count()
+    l.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** BFS hop distances from a seed set — fixed-round frontier
     * expansion, the Pregel primitive behind reachability, influence
     * radius, and "how far is everything from the seeds" audits.

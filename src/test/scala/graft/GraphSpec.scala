@@ -238,6 +238,57 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("labelPropagationConverged: period-2 exit on an isolated edge, " +
+    "fixed-point exit on a triangle, labels match the full unroll") {
+    // triangle 1-2-3 fixes (all adopt label 1 in round 1); isolated
+    // edge 10-11 swaps labels FOREVER (the synchronous 2-cycle that
+    // makes zero-change detection unusable as an exit test)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+    val e = pairs.toDF("src", "dst").repartition(5)
+    val out = Graph.labelPropagationConverged(e, "src", "dst",
+      maxIters = 8, checkEvery = 2)
+    val rows = out.as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out.unpersist()
+    // triangle: all on community 1, not oscillating
+    assert(Seq(1L, 2L, 3L).forall(n => rows(n)._1 == 1L && rows(n)._2 == 0L))
+    // isolated edge: both oscillate; community = one 2-cycle phase,
+    // which by the parity contract is the label after an EVEN number
+    // of rounds = each node's own id (swapped twice = home)
+    assert(rows(10L) == ((10L, 1L, rows(10L)._3)))
+    assert(rows(11L) == ((11L, 1L, rows(11L)._3)))
+    // the triangle reaches its fixed point at round 2 (so l2 ≠ l0 —
+    // nodes 2,3 changed — but l4 = l2): the exit fires at boundary 4,
+    // well before the cap of 8
+    assert(rows.values.map(_._3).toSet == Set(4L))
+    // exit labels equal the fixed-round run at maxIters (parity)
+    val full = Graph.labelPropagation(
+      pairs.toDF("src", "dst"), "src", "dst", iters = 8)
+    val fullMap = full.as[(Long, Long)].collect().toMap
+    full.unpersist()
+    assert(rows.view.mapValues(_._1).toMap == fullMap)
+  }
+
+  test("labelPropagationConverged: unstable-by-cap regime runs exactly " +
+    "maxIters and still matches the full unroll") {
+    // 4-cycle with a pendant per corner mixes slowly enough that the
+    // first boundaries see change; whatever the regime, labels must
+    // equal the fixed-round contract at maxIters (the oracle identity)
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (1L, 5L), (2L, 6L), (3L, 7L), (4L, 8L))
+    val out = Graph.labelPropagationConverged(
+      ring.toDF("src", "dst"), "src", "dst", maxIters = 4, checkEvery = 2)
+    val got = out.as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val roundsRun = out.as[(Long, Long, Long, Long)].collect().head._4
+    out.unpersist()
+    val full = Graph.labelPropagation(
+      ring.toDF("src", "dst"), "src", "dst", iters = 4)
+    val fullMap = full.as[(Long, Long)].collect().toMap
+    full.unpersist()
+    assert(got == fullMap, s"roundsRun=$roundsRun")
+  }
+
   test("bfsHops: path distances, horizon cutoff, unreachable absent, " +
     "partition-independent") {
     // undirected path 1-2-3-4-5-6 plus isolated pair 10-11
