@@ -105,11 +105,13 @@ object TextQueries {
     * trainer oracle and the encode-apply oracle; t_r holds round r's
     * winning (a, b) pair.
     */
-  private def bpeCtes(rounds: Int, topW: Int): String = {
+  private def bpeCtes(rounds: Int, topW: Int,
+                      textExpr: String = "text",
+                      wordRe: String = "^[A-Za-z0-9]+$"): String = {
     val head = s"""WITH w0 AS (
       |  SELECT w, count(*) AS cnt FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')
+      |    SELECT unnest(string_split($textExpr, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '$wordRe')
       |  GROUP BY w ORDER BY cnt DESC, w LIMIT $topW),
       |v0 AS (
       |  SELECT '|' || array_to_string(list_transform(
@@ -149,7 +151,9 @@ object TextQueries {
   /** Encode-apply oracle: replay the trained merges over every corpus
     * word (same piped representation) and roll up per source.
     */
-  private def bpeEncodeOracle(rounds: Int, topW: Int): String = {
+  private def bpeEncodeOracle(rounds: Int, topW: Int,
+                              textExpr: String = "text",
+                              wordRe: String = "^[A-Za-z0-9]+$"): String = {
     val enc = (1 to rounds).map { r =>
       s"""enc$r AS (
       |  SELECT source, n_chars, replace(s,
@@ -163,8 +167,8 @@ object TextQueries {
     // comment prevents recurring)
     val tail = s"""dw AS (
     |  SELECT source, w FROM (
-    |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
-    |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')),
+    |    SELECT source, unnest(string_split($textExpr, ' ')) AS w FROM documents)
+    |  WHERE regexp_matches(w, '$wordRe')),
     |enc0 AS (
     |  SELECT source, length(w) AS n_chars,
     |    '|' || array_to_string(list_transform(
@@ -179,7 +183,8 @@ object TextQueries {
     |    SUM(len(string_split(substring(s, 2, length(s) - 2), '||')))::DOUBLE,
     |    6) AS chars_per_token
     |FROM enc$rounds GROUP BY source ORDER BY source""".stripMargin
-    Seq(bpeCtes(rounds, topW), tail, enc).mkString(",\n") + "\n" + sel
+    Seq(bpeCtes(rounds, topW, textExpr, wordRe), tail, enc)
+      .mkString(",\n") + "\n" + sel
   }
 
   /** Per-(bucket, bin) packing frame shared by pack_sequences and
@@ -661,6 +666,38 @@ object TextQueries {
       },
       Some("""WITH s AS (
         |  SELECT doc_id, regexp_replace(text, '[[:punct:]]', '', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(t) >= 7
+        |       THEN len(list_distinct(list_transform(range(1, length(t) - 5),
+        |                                             i -> t[i:i+6])))
+        |       ELSE 0 END::INT AS n_shingles
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Unicode differential twin of text_char_shingles (VERDICT r11
+    // #2): the same kernel over a deterministically transliterated
+    // multi-byte corpus — ASCII vowels become 2-byte Greek/Cyrillic/
+    // Latin-1 letters plus a SUPPLEMENTARY-PLANE 𝕠 (a UTF-16
+    // surrogate pair on the JVM, 4 UTF-8 bytes in DuckDB). The gate
+    // proves CharShingleOps counts CODEPOINTS (offsetByCodePoints),
+    // not code units: a code-unit kernel would see 𝕠 as two chars
+    // and every shingle window over it would shift, while DuckDB
+    // slices by codepoint. Punct stripping stays ASCII-class on both
+    // engines (Java \p{Punct} ≡ RE2 [[:punct:]]).
+    QueryDef("text_char_shingles_unicode",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"),
+            charShingleCount(
+              regexp_replace(graft.ops.Text.uniTranslit(col("text")),
+                graft.ops.Similarity.PunctStripPattern, ""),
+              7).as("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+        |  SELECT doc_id, regexp_replace(
+        |    ${graft.ops.Text.uniTranslitSql("text")},
+        |    '[[:punct:]]', '', 'g') AS t
         |  FROM documents)
         |SELECT doc_id,
         |  CASE WHEN length(t) >= 7
@@ -1236,6 +1273,52 @@ object TextQueries {
           .orderBy(col("source"))
       },
       Some(bpeEncodeOracle(BpeMergeRounds, BpeMergeTopWords))),
+
+    // Unicode differential twin of bpe_encode_stats (VERDICT r11 #2):
+    // the FULL train+apply BPE chain over the transliterated
+    // multi-byte corpus, with the word filter widened to Unicode
+    // letters/digits (Java \p{L}\p{N} ≡ RE2 \pL\pN — both Unicode
+    // general categories; the astral 𝕠 is category Ll so multi-byte
+    // words survive into the vocab on both engines). Proves the
+    // pipe-wrapped symbol machinery is codepoint-clean end-to-end:
+    // substring/length are codepoint-based on both sides, merged
+    // multi-byte symbols splice into replace() literals byte-exactly,
+    // and chars_per_token counts codepoints — a code-unit drift in
+    // ANY round's argmax or replace would cascade into every later
+    // round and break the hash. Symbols remain letters/digits only,
+    // so the replace-literal injection-safety argument is unchanged.
+    QueryDef("bpe_encode_stats_unicode",
+      (s, dir) => {
+        val uniPat = "^[\\p{L}\\p{N}]+$"
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("text", graft.ops.Text.uniTranslit(col("text")))
+        val merges = graft.ops.Text.bpeMergeRounds(d, "text",
+            BpeMergeRounds, BpeMergeTopWords, wordPattern = uniPat)
+          .orderBy(col("round")).collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        val piped = d
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .where(col("w").rlike(uniPat))
+          .withColumn("s", concat(lit("|"),
+            array_join(expr(
+              "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+              "||"), lit("|")))
+        val applied = merges.foldLeft(piped) { case (df, (a, b)) =>
+          df.withColumn("s", expr(s"replace(s, '|$a||$b|', '|$a$b|')"))
+        }
+        val tok = size(split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|"))
+        applied.withColumn("n_tok", tok)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("w"))).as("n_chars"),
+            sum(col("n_tok")).as("n_tokens"),
+            round(sum(length(col("w"))).cast("double") /
+              sum(col("n_tok")).cast("double"), 6).as("chars_per_token"))
+          .orderBy(col("source"))
+      },
+      Some(bpeEncodeOracle(BpeMergeRounds, BpeMergeTopWords,
+        textExpr = graft.ops.Text.uniTranslitSql("text"),
+        wordRe = "^[\\pL\\pN]+$"))),
 
     // Pairwise source n-gram overlap (Text.sourceOverlapMatrix):
     // Jaccard over a deterministic hash-residue θ-sample of 3-grams —

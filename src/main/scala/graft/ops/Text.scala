@@ -31,6 +31,32 @@ object Text {
 
   private def words(text: Column): Column = split(lower(text), " ")
 
+  /** Deterministic multi-byte transliteration for the `*_unicode`
+    * differential gates (VERDICT r11 #2): lowercase ASCII vowels map
+    * to multi-byte LETTERS — 2-byte Greek/Cyrillic/Latin-1 plus one
+    * SUPPLEMENTARY-PLANE codepoint (𝕠, U+1D560 — a surrogate PAIR in
+    * the JVM's UTF-16, the exact width class where code-unit vs
+    * codepoint bugs live). Every target is category Ll and fixed
+    * under both Java full case mapping and utf8proc simple mapping,
+    * so `lower()` composes identically on both engines; plain
+    * byte-exact `replace` chains (no regex, no case classes) make the
+    * corpus transform itself trivially engine-identical.
+    */
+  val UniVowelMap: Seq[(String, String)] = Seq(
+    "a" -> "α", "e" -> "е", "i" -> "ï", "o" -> "𝕠", "u" -> "ü")
+
+  /** The transliteration as a Column (chained byte-exact replaces). */
+  def uniTranslit(c: Column): Column =
+    UniVowelMap.foldLeft(c) { case (acc, (f, t)) =>
+      call_function("replace", acc, lit(f), lit(t))
+    }
+
+  /** The same transliteration as a SQL expression over `inner`. */
+  def uniTranslitSql(inner: String): String =
+    UniVowelMap.foldLeft(inner) { case (acc, (f, t)) =>
+      s"replace($acc, '$f', '$t')"
+    }
+
   /** Stopword hits for one profile over a lowercased word array. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
     size(filter(words(text), w => w.isin(stopwords: _*)))
@@ -496,12 +522,15 @@ object Text {
     * quantile bracketer); merges apply as scan-time expressions.
     */
   def bpeMergeRounds(df: DataFrame, textCol: String, rounds: Int,
-                     topWords: Int): DataFrame = {
+                     topWords: Int,
+                     wordPattern: String = "^[A-Za-z0-9]+$"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val spark = df.sparkSession
     val vocab0 = df
       .select(explode(split(col(textCol), " ")).as("w"))
-      .where(col("w").rlike("^[A-Za-z0-9]+$"))
+      // the pattern must admit only letters/digits (never quotes or
+      // pipes) — merged symbols are spliced into replace() literals
+      .where(col("w").rlike(wordPattern))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(topWords)
       .select(concat(lit("|"),
