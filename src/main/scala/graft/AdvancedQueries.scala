@@ -52,7 +52,11 @@ object AdvancedQueries {
 
   private def chainOracle: String = {
     val sys = "'" + Prompts.sysPrompt(chainIns).replace("'", "''") + "'"
-    val u1 = "('# text' || chr(10) || text || chr(10))"
+    // invalid text ⇒ NULL user prompt ⇒ the chain is skipped and NULL
+    // cascades through every turn — the runChain skip semantics
+    val u1 = "(CASE WHEN text IS NULL OR text IN " +
+      s"${graft.functions.GraftFunctions.InvalidValsSql} THEN NULL " +
+      "ELSE ('# text' || chr(10) || text || chr(10)) END)"
     val c1 = MockLlmClient.contentSql(sys, u1)
     val finalSql = chainTurns.foldLeft(c1) { (prev, t) =>
       MockLlmClient.contentSql(sys, s"('$t' || chr(10) || $prev)")
@@ -78,7 +82,10 @@ object AdvancedQueries {
   private def agenticOracle: String = {
     def resp(ins: Instruction) = {
       val sys = "'" + Prompts.sysPrompt(ins).replace("'", "''") + "'"
-      MockLlmClient.contentSql(sys, "('# text' || chr(10) || text || chr(10))")
+      // same invalid-skip mirror as chainOracle
+      MockLlmClient.contentSql(sys, "(CASE WHEN text IS NULL OR text IN " +
+        s"${graft.functions.GraftFunctions.InvalidValsSql} THEN NULL " +
+        "ELSE ('# text' || chr(10) || text || chr(10)) END)")
     }
     s"""SELECT doc_id, ${resp(analysisIns)} AS analyze, ${resp(extractIns)} AS extract
        |FROM documents ORDER BY doc_id""".stripMargin
@@ -170,9 +177,13 @@ object AdvancedQueries {
             element_at(col("features"), 4).as("f3"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+      // encode(), not ::BLOB: DuckDB's VARCHAR→BLOB cast demands
+      // hex-escaped non-ASCII and ERRORS on real multi-byte text
+      // (fuzz class); encode() converts via UTF-8 bytes like Spark's
+      // cast("binary")
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS digest,
-        | to_base64(text::BLOB) AS b64,
+        | to_base64(encode(text)) AS b64,
         | ('0x' || substring(sha256(text), 1, 2))::INT / 255.0 AS f0,
         | ('0x' || substring(sha256(text), 3, 2))::INT / 255.0 AS f1,
         | ('0x' || substring(sha256(text), 5, 2))::INT / 255.0 AS f2,
@@ -181,14 +192,18 @@ object AdvancedQueries {
 
     // S9-shape — deterministic frame sampling: every 4th 32-byte frame
     // of the binary payload as a scan-time expression (the video/audio
-    // "sample k frames before decoding" step). The oracle mirrors the
-    // byte math over VARCHAR — exact here because the synthetic corpus
-    // is ASCII (byte slicing == char slicing); the Spark expression
-    // itself is byte-exact on any payload.
+    // "sample k frames before decoding" step). The payload under test
+    // is the base64 transport form of the text — ASCII by
+    // construction, so the oracle's VARCHAR substring IS byte math on
+    // ANY corpus (DuckDB cannot slice BLOBs; the old raw-text form
+    // silently assumed an ASCII corpus and the fuzz run caught it).
+    // The operator itself still sees opaque bytes.
     QueryDef("multimodal_frame_sample",
       (s, dir) => {
+        val payload = regexp_replace(base64(col("text").cast("binary")),
+          "\r\n", "").cast("binary")
         val frames = Multimodal.frameSample(
-          col("text").cast("binary"), frameBytes = 32, everyNth = 4)
+          payload, frameBytes = 32, everyNth = 4)
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), frames.as("frames"))
           .select(col("doc_id"),
@@ -200,13 +215,15 @@ object AdvancedQueries {
               .as("last_md5"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH f AS (
+      Some("""WITH b AS (
+        |  SELECT doc_id, to_base64(encode(text)) AS t FROM documents),
+        |f AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(text) >= 32
-        |      THEN list_transform(range(0, (length(text) - 32) // 128 + 1),
-        |                          i -> substring(text, i * 128 + 1, 32))
+        |    CASE WHEN length(t) >= 32
+        |      THEN list_transform(range(0, (length(t) - 32) // 128 + 1),
+        |                          i -> substring(t, i * 128 + 1, 32))
         |      ELSE [] END AS frames
-        |  FROM documents)
+        |  FROM b)
         |SELECT doc_id, len(frames)::INT AS n_frames,
         |  CASE WHEN len(frames) > 0 THEN md5(frames[1]) END AS first_md5,
         |  CASE WHEN len(frames) > 0 THEN md5(frames[len(frames)]) END AS last_md5
@@ -217,13 +234,16 @@ object AdvancedQueries {
     // multimodal store writes next to each blob for resumable transfer
     // and sub-object dedup. Scan-time slice array + posexplode — no
     // shuffle before the final presentation sort; at 100 TB the
-    // manifest is written partition-local next to the data files. The
-    // oracle mirrors the byte math over VARCHAR (exact on this ASCII
-    // corpus, same convention as multimodal_frame_sample).
+    // manifest is written partition-local next to the data files.
+    // Payload = the base64 transport form (ASCII by construction —
+    // same convention as multimodal_frame_sample, fuzz-proof on any
+    // corpus), so the oracle's VARCHAR substring is exact byte math.
     QueryDef("multimodal_chunk_manifest",
       (s, dir) => {
         val cb = 192
-        val slices = Multimodal.chunkSlices(col("text").cast("binary"), cb)
+        val payload = regexp_replace(base64(col("text").cast("binary")),
+          "\r\n", "").cast("binary")
+        val slices = Multimodal.chunkSlices(payload, cb)
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), posexplode(slices).as(Seq("i", "chunk")))
           .select(col("doc_id"),
@@ -233,13 +253,15 @@ object AdvancedQueries {
             md5(col("chunk")).as("chunk_md5"))
           .orderBy(col("doc_id"), col("chunk_idx"))
       },
-      Some("""WITH idx AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(0, (length(text) - 1) // 192 + 1)) AS i
-        |  FROM documents WHERE length(text) > 0)
+      Some("""WITH b AS (
+        |  SELECT doc_id, to_base64(encode(text)) AS t FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, (length(t) - 1) // 192 + 1)) AS i
+        |  FROM b WHERE length(t) > 0)
         |SELECT doc_id, i AS chunk_idx, i * 192 AS byte_offset,
-        |  length(substring(text, (i * 192 + 1)::INT, 192))::BIGINT AS chunk_bytes,
-        |  md5(substring(text, (i * 192 + 1)::INT, 192)) AS chunk_md5
+        |  length(substring(t, (i * 192 + 1)::INT, 192))::BIGINT AS chunk_bytes,
+        |  md5(substring(t, (i * 192 + 1)::INT, 192)) AS chunk_md5
         |FROM idx
         |ORDER BY doc_id, chunk_idx""".stripMargin)),
 

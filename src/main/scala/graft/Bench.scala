@@ -259,8 +259,13 @@ object Bench {
       """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
     } catch { case _: Throwable => None }
     val sfMatches = priorSf.forall(_ == sfDir)
+    // SPARK_GRAFT_BENCH_NO_LOCAL=1: full run that must NOT touch the
+    // standing BENCH_LOCAL.json archive (e.g. the sf0.01 growth-census
+    // pass — its per-query seconds live in GROWTH.md, not the archive)
+    val noLocal = sys.env.get("SPARK_GRAFT_BENCH_NO_LOCAL").contains("1")
     val localRecord =
-      if (only.isEmpty) Some(full)
+      if (noLocal) None
+      else if (only.isEmpty) Some(full)
       else if (!sfMatches) {
         System.err.println(s"[bench] subset run at $sfDir does not match " +
           s"BENCH_LOCAL.json sf=${priorSf.get} — archive left untouched")

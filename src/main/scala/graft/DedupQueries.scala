@@ -287,13 +287,20 @@ object DedupQueries {
         .reduce((a, b) => s"($a * 31 + $b)")
       s"SELECT doc_id, $j AS band, $bv AS bv FROM sig"
     }.mkString("\n  UNION ALL ")
+    // sig/bands MATERIALIZED: a non-materialized CTE re-inlines the
+    // whole shingle→hash→64-min subtree into EVERY consumer — under
+    // the recursive connected-components oracles each closure
+    // iteration then re-hashes the corpus (measured on the fuzz
+    // corpus: the mega-doc's O(m²) list slicing made one iteration
+    // ~2 min and the closure effectively DNF at 49 GB RSS; with the
+    // barrier the whole query is seconds)
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w),
        |hb AS (SELECT doc_id, ${md5LongSql("s")} % $B30 AS b FROM sh),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    $mins
        |  FROM hb GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects)""".stripMargin
   }
 
@@ -308,7 +315,7 @@ object DedupQueries {
        |ok AS (
        |  SELECT band, bv FROM bands GROUP BY band, bv
        |  HAVING count(*) BETWEEN 2 AND $MaxBucketSize),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
@@ -1671,13 +1678,17 @@ object DedupQueries {
     // full-table shuffle. The updates batch is simulated from the
     // corpus (detHash slice rewrites content; a shifted-id slice
     // inserts). Content compares by md5 so the gate never ships text.
+    // The simulated update is a byte-exact concat, NOT upper(): Java's
+    // full case mapping and utf8proc's simple mapping disagree on ß
+    // (SS vs ẞ — fuzz class), and the gate is about MERGE semantics,
+    // not case folding.
     QueryDef("merge_upsert_documents",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         val base = d.select(col("doc_id"), col("text"))
         val updates =
           d.where(detHash(10L, col("doc_id")) === 1L)
-            .select(col("doc_id"), upper(col("text")).as("text"))
+            .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
           .union(
             d.where(detHash(10L, col("doc_id")) === 2L)
               .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
@@ -1692,7 +1703,7 @@ object DedupQueries {
       },
       Some(s"""WITH base AS (SELECT doc_id, text FROM documents),
         |upd AS (
-        |  SELECT doc_id, upper(text) AS text FROM documents
+        |  SELECT doc_id, text || ' v2' AS text FROM documents
         |  WHERE ${detHashSql(10L, Seq("doc_id"))} = 1
         |  UNION ALL
         |  SELECT doc_id + 10000000, text FROM documents
@@ -1753,16 +1764,21 @@ object DedupQueries {
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
         }
       },
+      // NULLIF(lang, ''): a partition COLUMN value of '' does not
+      // round-trip through the Hive directory layout — Spark writes
+      // it as __HIVE_DEFAULT_PARTITION__ and reads it back as NULL
+      // (fuzz class). The oracle mirrors that documented storage
+      // semantics; non-empty values are untouched.
       Some(s"""WITH final AS (
         |  SELECT doc_id, lang, text FROM documents WHERE lang <> 'en'
         |  UNION ALL
         |  SELECT doc_id, lang, upper(text) AS text FROM documents
         |  WHERE lang = 'en' AND ${detHashSql(2L, Seq("doc_id"))} = 0)
-        |SELECT lang, COUNT(*) AS n_rows,
+        |SELECT NULLIF(lang, '') AS lang, COUNT(*) AS n_rows,
         |  CAST(SUM(${md5LongSql("text")} % 1000003) AS BIGINT) AS content_sig
         |FROM final
-        |GROUP BY lang
-        |ORDER BY lang""".stripMargin)),
+        |GROUP BY 1
+        |ORDER BY lang NULLS FIRST""".stripMargin)),
 
     // Per-source dedup impact: what the MinHash-LSH first-seen-wins
     // pass removes from each source — doc and token counts, removal

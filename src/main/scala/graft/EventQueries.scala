@@ -195,9 +195,15 @@ object EventQueries {
           .groupBy(col("k_mod")).agg(count(lit(1)).as("n"))
           .orderBy(col("k_mod"))
       },
-      Some("""SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
+      // json_valid guard: Spark's get_json_object is permissive
+      // (malformed JSON → NULL) while DuckDB's json_extract_string
+      // ERRORS on it — the fuzz corpus carries '{', '', 'not json'
+      // props, and the oracle must mirror the NULL
+      Some("""SELECT (CASE WHEN json_valid(props)
+        |   THEN json_extract_string(props, '$.k') END)::BIGINT % 10 AS k_mod,
         | COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin)),
+        |FROM events GROUP BY 1
+        |ORDER BY k_mod NULLS FIRST""".stripMargin)),
 
     // A1 (JSON-key variant) — group by canonical JSON of a composite
     // key (reference serializes non-string group keys to JSON,
@@ -223,9 +229,16 @@ object EventQueries {
           .select(col("(k > 50)").as("k_over_50"), col("n"))
           .orderBy(col("k_over_50"))
       },
-      Some("""SELECT json_extract_string(props, '$.k')::INT > 50 AS k_over_50,
+      // json_valid + integer-type guard: from_json('k INT') yields
+      // NULL both for malformed JSON and for a QUOTED number (no
+      // string→int coercion), while json_extract_string would coerce
+      // — the type filter mirrors Spark's strictness
+      Some("""SELECT (CASE WHEN json_valid(props)
+        |   AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+        |   THEN json_extract(props, '$.k')::INT END) > 50 AS k_over_50,
         | COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY k_over_50""".stripMargin)),
+        |FROM events GROUP BY 1
+        |ORDER BY k_over_50 NULLS FIRST""".stripMargin)),
 
     // Running aggregate: per-user cumulative value over event time.
     QueryDef("events_running_sum",

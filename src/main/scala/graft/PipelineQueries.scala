@@ -47,7 +47,8 @@ object PipelineQueries {
     * semantics; NULL when invalid (section skipped).
     */
   private def sectionSql(key: String, valueSql: String): String =
-    s"(CASE WHEN $valueSql IS NULL OR trim($valueSql) IN ('', 'NA', 'N/A') THEN NULL" +
+    s"(CASE WHEN $valueSql IS NULL OR $valueSql IN " +
+      s"('', ' ', '   ', chr(10), 'NA', 'N/A') THEN NULL" +
       s" ELSE ('# $key' || chr(10) || $valueSql || chr(10)) END)"
 
   /** User prompt = concatenated valid sections; NULL when all invalid
@@ -59,11 +60,14 @@ object PipelineQueries {
     s"(CASE WHEN $allNull THEN NULL ELSE $joined END)"
   }
 
+  /** User-prompt SQL for one instruction (NULL = skipped). */
+  private def userPromptSql(ins: Instruction, values: Map[String, String]): String =
+    userSql(ins.scope.map(k => sectionSql(k, values(k))))
+
   /** Mock response for one instruction given per-key value SQL. */
-  private def responseSql(ins: Instruction, values: Map[String, String]): String = {
-    val user = userSql(ins.scope.map(k => sectionSql(k, values(k))))
-    MockLlmClient.contentSql(sqlLit(Prompts.sysPrompt(ins)), user)
-  }
+  private def responseSql(ins: Instruction, values: Map[String, String]): String =
+    MockLlmClient.contentSql(sqlLit(Prompts.sysPrompt(ins)),
+      userPromptSql(ins, values))
 
   /** Mock response for composition oracles in other registries (e.g.
     * pipe_cluster_summaries): same prompt render + mock arithmetic
@@ -126,15 +130,25 @@ object PipelineQueries {
             col("result"), col("finished"), size(col("msgs")).as("n_msgs"))
           .orderBy(col("session_id"), col("name"))
       },
+      // finished/n_msgs mirror the invalid-skip: an instruction whose
+      // every scoped field is invalid never calls the client — its
+      // trace row carries finished=false and an empty msgs list
+      // (fuzz class: the reference INVALID_VALS docs)
       Some(s"""WITH t AS (
         |  SELECT substring(sha256(doc_id::VARCHAR), 1, 32) AS session_id,
         |    'map' AS stage, 'summarize' AS name, $summarizeSql AS result,
-        |    true AS finished, 3 AS n_msgs
+        |    (${userPromptSql(summarize, Map("text" -> "text"))} IS NOT NULL)
+        |      AS finished,
+        |    CASE WHEN ${userPromptSql(summarize, Map("text" -> "text"))}
+        |      IS NULL THEN 0 ELSE 3 END AS n_msgs
         |  FROM documents
         |  UNION ALL
         |  SELECT substring(sha256(doc_id::VARCHAR), 1, 32) AS session_id,
         |    'map' AS stage, 'classify' AS name, $classifySql AS result,
-        |    true AS finished, 3 AS n_msgs
+        |    (${userPromptSql(classify, Map("lang" -> "lang", "source" -> "source"))}
+        |      IS NOT NULL) AS finished,
+        |    CASE WHEN ${userPromptSql(classify, Map("lang" -> "lang", "source" -> "source"))}
+        |      IS NULL THEN 0 ELSE 3 END AS n_msgs
         |  FROM documents)
         |SELECT * FROM t ORDER BY session_id, name""".stripMargin)),
 

@@ -370,8 +370,10 @@ object RelationalQueries {
       Some("""SELECT doc_id, text, lang
         |FROM documents
         |WHERE (doc_id IS NOT NULL)
-        |   OR (text IS NOT NULL AND TRIM(text) NOT IN ('', 'NA', 'N/A'))
-        |   OR (lang IS NOT NULL AND TRIM(lang) NOT IN ('', 'NA', 'N/A'))
+        |   OR (text IS NOT NULL
+        |       AND text NOT IN ('', ' ', '   ', chr(10), 'NA', 'N/A'))
+        |   OR (lang IS NOT NULL
+        |       AND lang NOT IN ('', ' ', '   ', chr(10), 'NA', 'N/A'))
         |ORDER BY doc_id""".stripMargin)),
 
     // Join dry-run (Relational.joinSizeProbe): exact output

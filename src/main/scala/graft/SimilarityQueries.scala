@@ -259,8 +259,8 @@ object SimilarityQueries {
             col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         val exact = scored.withColumn("rank", row_number().over(w))
@@ -437,8 +437,8 @@ object SimilarityQueries {
             col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -474,8 +474,8 @@ object SimilarityQueries {
         val scored = e.join(broadcast(q),
             col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -604,8 +604,8 @@ object SimilarityQueries {
             col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         val exact = scored.withColumn("rank", row_number().over(w))
@@ -693,8 +693,8 @@ object SimilarityQueries {
             col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         val exact = scored.withColumn("rank", row_number().over(w))
@@ -796,8 +796,8 @@ object SimilarityQueries {
             col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         val exact = scored.withColumn("rank", row_number().over(w))
@@ -917,8 +917,8 @@ object SimilarityQueries {
             col("nrm").as("qnrm"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).as("cos"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         val exact = scored.withColumn("rank", row_number().over(w))
@@ -947,8 +947,8 @@ object SimilarityQueries {
             col("emb").as("cemb"), col("nrm").as("cnrm")), "neighbor_id")
           .join(broadcast(q), "query_id")
           .select(col("query_id"), col("neighbor_id"),
-            round(dotProduct(col("qemb"), col("cemb")) /
-              (col("qnrm") * col("cnrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("cemb")),
+              col("qnrm"), col("cnrm")), 6).as("cos"))
         val wR = Window.partitionBy(col("query_id"))
           .orderBy(desc("cos"), col("neighbor_id"))
         val approx = rer.withColumn("rank", row_number().over(wR))
@@ -1565,8 +1565,8 @@ object SimilarityQueries {
         e.join(graft.ops.Pools.guardedBroadcast(pool),
             col("neg_id") =!= col("vec_id"))
           .select(col("vec_id"),
-            round(dotProduct(col("emb"), col("pemb")) /
-              (col("nrm") * col("pnrm")), 6).as("cos"),
+            round(cosineFromNorms(dotProduct(col("emb"), col("pemb")),
+              col("nrm"), col("pnrm")), 6).as("cos"),
             col("neg_id"))
           .where(col("cos") <= 0.95)
           .select(col("vec_id"),
@@ -1623,8 +1623,8 @@ object SimilarityQueries {
         val top = ed.join(broadcast(qd), Seq("d"))
           .where(col("vec_id") =!= col("qid"))
           .select(col("d"), col("qid"), col("vec_id"),
-            round(dotProduct(col("embd"), col("qemb")) /
-              (col("nrm") * col("qnrm")), 6).as("cos"))
+            round(cosineFromNorms(dotProduct(col("embd"), col("qemb")),
+              col("nrm"), col("qnrm")), 6).as("cos"))
           .withColumn("r", row_number().over(Window.partitionBy(col("d"),
             col("qid")).orderBy(desc("cos"), col("vec_id"))))
           .where(col("r") <= TopK)
@@ -1829,8 +1829,8 @@ object SimilarityQueries {
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             col("emb"), col("nrm"),
-            round(dotProduct(col("qemb"), col("emb")) /
-              (col("qnrm") * col("nrm")), 6).cast(dec6).as("rel"))
+            round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+              col("qnrm"), col("nrm")), 6).cast(dec6).as("rel"))
         val wPool = Window.partitionBy(col("query_id"))
           .orderBy(desc("rel"), col("neighbor_id"))
         // pool + pair sims are read by every greedy round — checkpoint
@@ -1846,8 +1846,8 @@ object SimilarityQueries {
         val ps = pa.join(pb,
             col("query_id") === col("q2") && col("a_id") =!= col("b_id"))
           .select(col("query_id"), col("a_id"), col("b_id"),
-            round(dotProduct(col("ea"), col("eb")) /
-              (col("na") * col("nb")), 6).cast(dec6).as("sim"))
+            round(cosineFromNorms(dotProduct(col("ea"), col("eb")),
+              col("na"), col("nb")), 6).cast(dec6).as("sim"))
           .localCheckpoint(true)
         val cand0 = pool.select(col("query_id"), col("neighbor_id"),
           col("rel"))
@@ -1918,8 +1918,8 @@ object SimilarityQueries {
         val b = e.select(col("vec_id").as("id_b"), col("emb").as("eb"),
           col("nrm").as("nb"))
         val pairs = e.join(b, col("vec_id") < col("id_b"))
-          .select(round(dotProduct(col("emb"), col("eb")) /
-            (col("nrm") * col("nb")), 6).cast(dec6).as("cos"))
+          .select(round(cosineFromNorms(dotProduct(col("emb"), col("eb")),
+            col("nrm"), col("nb")), 6).cast(dec6).as("cos"))
         val binned = pairs
           .withColumn("bin",
             least(floor((col("cos") + lit(1)) * lit(10)).cast("long"),

@@ -142,6 +142,43 @@ object StressBench {
     timed("jlDistortionX16")(
       SimilarityQueries.jlDistortion(spark, jlVecs(16)).count())
 
+    // wedge-family hub stress (VERDICT r11 #7): AaMaxCenterDegree is
+    // the cap that keeps graph_adamic_adar / graph_jaccard_links off
+    // the Σ deg² cliff, and unlike the winnow df cap it had no
+    // adversarial row. Graph: one hub of degree H fanning to spokes
+    // that also form a ring (every spoke has degree 3, so spokes stay
+    // legitimate wedge centers under the cap). Uncapped, the hub
+    // centers C(H,2) wedges — quadratic, visible at H=1k→4k (16× the
+    // wedge volume); capped at 256 the hub is DROPPED and the wedge
+    // count is ~3 per spoke, so wall tracks capped wedges (linear in
+    // spokes) and a 10⁵-degree hub costs the same per spoke as a 10³
+    // one. An uncapped H=10⁵ run would enumerate 5×10⁹ wedges — the
+    // does-not-finish regime the cap exists to prevent.
+    def hubGraph(hubDeg: Long): DataFrame = {
+      val spokes = spark.range(1L, hubDeg + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val ring = spark.range(1L, hubDeg + 1)
+        .select(col("id").as("src"), (col("id") % hubDeg + 1L).as("dst"))
+      spokes.union(ring)
+    }
+    def hubWedges(e: DataFrame, cap: Long): Long = {
+      val und = e.select(col("src").as("n"), col("dst").as("nb"))
+        .union(e.select(col("dst"), col("src")))
+      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val centers = deg.where(col("d") >= 2 && col("d") <= cap)
+        .select(col("n").as("cz"))
+      und.as("l")
+        .join(und.as("r"),
+          col("l.n") === col("r.n") && col("l.nb") < col("r.nb"))
+        .join(centers, col("l.n") === col("cz"))
+        .groupBy(col("l.nb"), col("r.nb")).agg(count(lit(1)))
+        .count()
+    }
+    timed("aaWedgeHub1kUncapped")(hubWedges(hubGraph(1000L), Long.MaxValue))
+    timed("aaWedgeHub4kUncapped")(hubWedges(hubGraph(4000L), Long.MaxValue))
+    timed("aaWedgeHub100kCapped")(hubWedges(hubGraph(100000L), 256L))
+    timed("aaWedgeHub400kCapped")(hubWedges(hubGraph(400000L), 256L))
+
     // sketch-vs-exact distinct at high cardinality: 50M values over
     // 64 groups, ~780k distinct per group — the regime where exact
     // COUNT(DISTINCT) shuffles every key and the KMV sketch shuffles

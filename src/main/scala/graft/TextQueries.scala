@@ -298,8 +298,8 @@ object TextQueries {
     val denPool = e.where(col("vec_id") =!= RrfQueryVec)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dotProduct(col("qemb"), col("emb")) /
-          (col("qnrm") * col("nrm")), 6).as("cos"))
+        round(cosineFromNorms(dotProduct(col("qemb"), col("emb")),
+          col("qnrm"), col("nrm")), 6).as("cos"))
       .orderBy(desc("cos"), col("vec_id")).limit(RrfPool)
     val den = denPool.withColumn("vec_rank",
       row_number().over(Window.orderBy(desc("cos"), col("vec_id"))))
@@ -4139,9 +4139,9 @@ object TextQueries {
     val mAggs = (
       Seq("COUNT(*)::DOUBLE AS n") ++
         (for (j <- 0 until d; k <- j until d)
-          yield s"SUM(f$j*f$k)::DOUBLE AS a$j$k") ++
-        (0 until d).map(j => s"SUM(f$j*y)::DOUBLE AS b$j") :+
-        "SUM(y*y)::DOUBLE AS syy").mkString(",\n    ")
+          yield s"SUM(f$j*f$k)::DECIMAL(38,6)::DOUBLE AS a$j$k") ++
+        (0 until d).map(j => s"SUM(f$j*y)::DECIMAL(38,6)::DOUBLE AS b$j") :+
+        "SUM(y*y)::DECIMAL(38,6)::DOUBLE AS syy").mkString(",\n    ")
     val zeroW = (0 until d).map(j => s"0.0::DOUBLE AS w$j").mkString(", ")
     val stepCtes = (1 to ProbeSteps).map { t =>
       val upd = (0 until d).map { j =>
@@ -4180,8 +4180,8 @@ object TextQueries {
         .map { case (nm, j) =>
           s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
         .mkString(", ")
-      s"SELECT $t::BIGINT AS step, $ws, CAST(round(CAST($mseExpr" +
-        s" AS DECIMAL(18,8)), 6) AS DOUBLE) AS mse FROM s$t"
+      s"SELECT $t::BIGINT AS step, $ws, (floor(($mseExpr" +
+        s") * 1000000.0 + 0.5) / 1000000.0) AS mse FROM s$t"
     }.mkString("\nUNION ALL\n")
     s"""WITH f AS MATERIALIZED (
        |  SELECT
@@ -4214,8 +4214,8 @@ object TextQueries {
         .map { case (nm, j) =>
           s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
         .mkString(", ")
-      s"SELECT $lam::DOUBLE AS lambda, $ws, CAST(round(CAST($mseExpr" +
-        s" AS DECIMAL(18,8)), 6) AS DOUBLE) AS mse FROM l${i}s$ProbeSteps"
+      s"SELECT $lam::DOUBLE AS lambda, $ws, (floor(($mseExpr" +
+        s") * 1000000.0 + 0.5) / 1000000.0) AS mse FROM l${i}s$ProbeSteps"
     }.mkString("\nUNION ALL\n")
     s"""WITH f AS MATERIALIZED (
        |  SELECT
@@ -4287,15 +4287,15 @@ object TextQueries {
         .map { case (nm, j) =>
           s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
         .mkString(", ")
-      s"SELECT $lam::DOUBLE AS lambda, $ws, CAST(round(CAST($mseExpr" +
-        s" AS DECIMAL(18,8)), 6) AS DOUBLE) AS mse FROM e${i}w0, m"
+      s"SELECT $lam::DOUBLE AS lambda, $ws, (floor(($mseExpr" +
+        s") * 1000000.0 + 0.5) / 1000000.0) AS mse FROM e${i}w0, m"
     }.mkString("\nUNION ALL\n")
     val mAggs = (
       Seq("COUNT(*)::DOUBLE AS n") ++
         (for (j <- 0 until d; k <- j until d)
-          yield s"SUM(f$j*f$k)::DOUBLE AS a$j$k") ++
-        (0 until d).map(j => s"SUM(f$j*y)::DOUBLE AS b$j") :+
-        "SUM(y*y)::DOUBLE AS syy").mkString(",\n    ")
+          yield s"SUM(f$j*f$k)::DECIMAL(38,6)::DOUBLE AS a$j$k") ++
+        (0 until d).map(j => s"SUM(f$j*y)::DECIMAL(38,6)::DOUBLE AS b$j") :+
+        "SUM(y*y)::DECIMAL(38,6)::DOUBLE AS syy").mkString(",\n    ")
     s"""WITH f AS MATERIALIZED (
        |  SELECT
        |    $fCols,

@@ -13,15 +13,31 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraftFunctions {
 
-  /** The reference's null-semantics: a *set* of invalid markers is
-    * treated as null (reference: src/python/instructionspipe/constants.py:9-20,
-    * used at instructions_runners.py:47-55). Whitespace-only strings
-    * are invalid too (EMPTY_VAL is three spaces).
+  /** The reference's null-semantics: EXACT membership in its literal
+    * INVALID_VALS set (src/python/instructionspipe/constants.py:9-20,
+    * used at instructions_runners.py:47-55) — "", one space, three
+    * spaces (EMPTY_VAL), newline, NA, N/A, plus SQL NULL. Exact
+    * membership, NOT a trim test: the reference does `v in
+    * INVALID_VALS`, and trim-based variants disagree between engines
+    * on other whitespace ("\t" is VALID in the reference; Java .trim
+    * would eat it, SQL trim would not — the fuzz run caught exactly
+    * that divergence) and on padded markers (" NA " is VALID).
     */
-  val InvalidVals: Seq[String] = Seq("", "NA", "N/A")
+  val InvalidVals: Seq[String] = Seq("", " ", "   ", "\n", "NA", "N/A")
 
+  // cast to string FIRST: on a numeric column the bare isin would
+  // coerce the marker literals to the numeric type instead (ANSI
+  // abort on ''); the old trim() form did this cast implicitly
   def invalid(c: Column): Column =
-    c.isNull || trim(c).isin(InvalidVals: _*)
+    c.isNull || c.cast("string").isin(InvalidVals: _*)
+
+  /** The same set as a SQL IN-list, generated from [[InvalidVals]] so
+    * oracle mirrors cannot drift from the Column predicate.
+    */
+  val InvalidValsSql: String = InvalidVals.map {
+    case "\n" => "chr(10)"
+    case v => "'" + v + "'"
+  }.mkString("(", ", ", ")")
 
   def valid(c: Column): Column = !invalid(c)
 
@@ -321,9 +337,24 @@ object GraftFunctions {
   /** Cosine similarity of two double arrays as a pure expression —
     * left-fold sum so the accumulation order is deterministic (array
     * order), giving bit-stable results at any parallelism.
+    *
+    * ZERO-NORM CONTRACT (fuzz class, VERDICT r11 #1): a zero vector
+    * has no direction; its cosine against anything is defined as
+    * −1.0 — "maximally dissimilar", the SAME convention DuckDB's
+    * `list_cosine_similarity` (which every embedding oracle uses)
+    * applies. Under Spark ANSI the raw division would abort the job;
+    * `try_divide` + coalesce(−1) instead makes thresholds drop the
+    * row, DESC top-k rank it last (tied with true −1 cosines, id
+    * tie-break — exactly the oracle's ordering), and argmin
+    * assignment treat every centroid as equally worst (id
+    * tie-break), all bit-aligned with the oracles by construction.
     */
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (vectorNorm(a) * vectorNorm(b))
+    cosineFromNorms(dotProduct(a, b), vectorNorm(a), vectorNorm(b))
+
+  /** dot/(na·nb) with the zero-norm −1.0 contract (see [[cosine]]). */
+  def cosineFromNorms(dot: Column, na: Column, nb: Column): Column =
+    coalesce(try_divide(dot, na * nb), lit(-1.0))
 
   /** Dot product (left-fold, deterministic order). For pairwise
     * similarity joins, precompute each side's norm once

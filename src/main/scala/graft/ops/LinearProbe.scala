@@ -56,12 +56,24 @@ object LinearProbe {
   def moments(df: DataFrame, feats: Seq[Column], label: Column)
       : (Double, Array[Array[Double]], Array[Double], Double) = {
     val d = feats.size
+    // the exact decimal sums pass through DECIMAL(38,6) BEFORE the
+    // double cast: the per-row products carry ≤ 6 fractional digits
+    // (features are counts × 10^-k constants), so the cast is
+    // LOSSLESS — its only effect is shrinking the unscaled integer
+    // below 2^53, where decimal→double conversion is a single
+    // correctly-rounded step on BOTH engines. At scale 12 a hostile
+    // corpus pushed the unscaled value past 2^53 and DuckDB's
+    // int128→double→÷10^12 double-rounding diverged from the JVM's
+    // correctly-rounded conversion by an ulp, which three divergent
+    // GD steps amplified into a flipped 6th decimal (FUZZ.md seed 3).
+    val d6 = org.apache.spark.sql.types.DecimalType(38, 6)
     val aggs =
       Seq(count(lit(1)).cast("double").as("n")) ++
         (for (j <- 0 until d; k <- j until d)
-          yield sum(feats(j) * feats(k)).cast("double").as(s"a$j$k")) ++
-        (0 until d).map(j => sum(feats(j) * label).cast("double").as(s"b$j")) :+
-        sum(label * label).cast("double").as("syy")
+          yield sum(feats(j) * feats(k)).cast(d6).cast("double").as(s"a$j$k")) ++
+        (0 until d).map(j =>
+          sum(feats(j) * label).cast(d6).cast("double").as(s"b$j")) :+
+        sum(label * label).cast(d6).cast("double").as("syy")
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getDouble(0)
     // empty input → NULL decimal sums (getDouble would NPE) and a 0/n
@@ -156,9 +168,9 @@ object LinearProbe {
           nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .select(col("lambda") +:
-        (weightNames :+ "mse").map(c =>
+        (weightNames.map(c =>
           round(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
-            .cast("double").as(c)): _*)
+            .cast("double").as(c)) :+ mse6(col("mse")).as("mse")): _*)
       .orderBy(col("lambda"))
   }
 
@@ -226,9 +238,9 @@ object LinearProbe {
           nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .select(col("lambda") +:
-        (weightNames :+ "mse").map(c =>
+        (weightNames.map(c =>
           round(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
-            .cast("double").as(c)): _*)
+            .cast("double").as(c)) :+ mse6(col("mse")).as("mse")): _*)
       .orderBy(col("lambda"))
   }
 
@@ -236,6 +248,19 @@ object LinearProbe {
     * (step, one column per weight name, mse), all rounded through the
     * session's round(_, 6) for cross-engine display parity.
     */
+  /** 6-dp rounding for the REPORTED mse as pure IEEE arithmetic —
+    * floor(x·10⁶ + 0.5)/10⁶ — instead of the DECIMAL(18,8) guard the
+    * weight columns use. Rationale (FUZZ.md seed 3): a diverging GD
+    * path on hostile data pushes mse past 2^53/10⁸ ≈ 9e7, where the
+    * engines' double→DECIMAL conversions double-round DIFFERENTLY
+    * (JVM BigDecimal is correctly rounded, a binary ×10⁸ is not).
+    * This shape is the SAME three correctly-rounded IEEE ops on both
+    * engines at ANY magnitude, so identical inputs give identical
+    * output bits; mse ≥ 0 so the +0.5 floor is plain half-up.
+    */
+  private def mse6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   def fit(spark: SparkSession, df: DataFrame, feats: Seq[Column],
           label: Column, weightNames: Seq[String], eta: Double,
           steps: Int): DataFrame = {
@@ -255,9 +280,9 @@ object LinearProbe {
     // plain round(double, 6) leaves both engines rounding their own
     // binary representation, a 1-ulp tie hazard (ADVICE r9)
     raw.select(col("step") +:
-      (weightNames :+ "mse").map(c =>
+      (weightNames.map(c =>
         round(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 8)), 6)
-          .cast("double").as(c)): _*)
+          .cast("double").as(c)) :+ mse6(col("mse")).as("mse")): _*)
       .orderBy(col("step"))
   }
 }

@@ -1022,8 +1022,8 @@ object Similarity {
     e.join(broadcast(c), lit(true))
       .select(col(idCol), col("__emb"), col("__nrm"),
         struct(
-          (-round(dotProduct(col("__emb"), col("__cemb")) /
-            (col("__nrm") * col("__cnrm")), 6)).as("negcos"),
+          (-round(cosineFromNorms(dotProduct(col("__emb"), col("__cemb")),
+            col("__nrm"), col("__cnrm")), 6)).as("negcos"),
           col("cid").as("cid")).as("__c"))
       .groupBy(col(idCol))
       .agg(first(col("__emb")).as("__emb"), first(col("__nrm")).as("__nrm"),
@@ -1045,8 +1045,8 @@ object Similarity {
     val scored = cells.join(broadcast(q),
         col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(dotProduct(col("__qemb"), col("__emb")) /
-          (col("__qnrm") * col("__nrm")), 6).as("cos"))
+        round(cosineFromNorms(dotProduct(col("__qemb"), col("__emb")),
+          col("__qnrm"), col("__nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1113,8 +1113,8 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("__emb").as("__qemb"),
         col("__nrm").as("__qnrm"),
         struct(
-          (-round(dotProduct(col("__emb"), col("__cemb")) /
-            (col("__nrm") * col("__cnrm")), 6)).as("negcos"),
+          (-round(cosineFromNorms(dotProduct(col("__emb"), col("__cemb")),
+            col("__nrm"), col("__cnrm")), 6)).as("negcos"),
           col("cid").as("cid")).as("__c"))
       .groupBy(col("query_id"))
       .agg(first(col("__qemb")).as("__qemb"), first(col("__qnrm")).as("__qnrm"),
@@ -1128,8 +1128,8 @@ object Similarity {
     val scored = cells.join(broadcast(probes),
         col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(dotProduct(col("__qemb"), col("__emb")) /
-          (col("__qnrm") * col("__nrm")), 6).as("cos"))
+        round(cosineFromNorms(dotProduct(col("__qemb"), col("__emb")),
+          col("__qnrm"), col("__nrm")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1242,8 +1242,8 @@ object Similarity {
       .join(broadcast(cb), col("sub") === col("__csub"))
       .select(col(idCol), col("sub"),
         struct(
-          (-round(dotProduct(col("__sv"), col("__cemb")) /
-            (col("__nrm") * col("__cnrm")), 6)).as("negcos"),
+          (-round(cosineFromNorms(dotProduct(col("__sv"), col("__cemb")),
+            col("__nrm"), col("__cnrm")), 6)).as("negcos"),
           col("cid").as("cid")).as("__c"))
       .groupBy(col(idCol), col("sub"))
       .agg(min(col("__c")).getField("cid").as("code"))
@@ -1399,8 +1399,8 @@ object Similarity {
         col("a.__blk") === col("b.__blk") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(dotProduct(col("a.__emb"), col("b.__emb")) /
-          (col("a.__nrm") * col("b.__nrm")), 6).as("cos"))
+        round(cosineFromNorms(dotProduct(col("a.__emb"), col("b.__emb")),
+          col("a.__nrm"), col("b.__nrm")), 6).as("cos"))
       .where(col("cos") >= minCos)
   }
 
@@ -1473,8 +1473,8 @@ object Similarity {
           col("a.__sub") === col("b.__sub") &&
           col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("src"), col("b.__id").as("dst"),
-        round(dotProduct(col("a.__e"), col("b.__e")) /
-          (col("a.__n") * col("b.__n")), 6).as("cos"))
+        round(cosineFromNorms(dotProduct(col("a.__e"), col("b.__e")),
+          col("a.__n"), col("b.__n")), 6).as("cos"))
     val w = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
     val directed = pairs.withColumn("__r", row_number().over(w))
       .where(col("__r") <= k).select(col("src"), col("dst"))
@@ -1574,8 +1574,8 @@ object Similarity {
     val removed = a.join(b,
         col("a.cell") === col("b.cell") && col("a.__blk") === col("b.__blk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .where(round(dotProduct(col("a.__emb"), col("b.__emb")) /
-        (col("a.__nrm") * col("b.__nrm")), 6) >= minCos)
+      .where(round(cosineFromNorms(dotProduct(col("a.__emb"), col("b.__emb")),
+        col("a.__nrm"), col("b.__nrm")), 6) >= minCos)
       .select(when(col("a.__ccos") >= col("b.__ccos"), col(s"b.$idCol"))
         .otherwise(col(s"a.$idCol")).as("__rm"))
       .distinct()
@@ -1634,8 +1634,8 @@ object Similarity {
           col("a.__blk") === col("b.__blk") &&
           (col("a.__new") === 0 ||
             col(s"a.$idCol") < col(s"b.$idCol")))
-      .where(round(dotProduct(col("a.__emb"), col("b.__emb")) /
-        (col("a.__nrm") * col("b.__nrm")), 6) >= minCos)
+      .where(round(cosineFromNorms(dotProduct(col("a.__emb"), col("b.__emb")),
+        col("a.__nrm"), col("b.__nrm")), 6) >= minCos)
       .select(col(s"b.$idCol").as("__rm")).distinct()
     batchCells.join(removed, col(idCol) === col("__rm"), "left")
       .select(col(idCol), col("cell"),
@@ -1667,8 +1667,8 @@ object Similarity {
     val scored = e.join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col("__qlbl"), col("__lbl"),
         col(idCol).as("__nid"),
-        round(dotProduct(col("__qemb"), col("__emb")) /
-          (col("__qnrm") * col("__nrm")), 6).as("__cos"))
+        round(cosineFromNorms(dotProduct(col("__qemb"), col("__emb")),
+          col("__qnrm"), col("__nrm")), 6).as("__cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("__cos"), col("__nid"))
     scored.withColumn("__rn", row_number().over(w))

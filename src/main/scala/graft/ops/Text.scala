@@ -110,7 +110,15 @@ object Text {
     val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.0)
     val punctOk = when(punctRatio <= 0.2, 1.0).otherwise(0.0)
     val stopSig = least(stopRatio * lit(5.0), lit(1.0))
-    (lengthOk * 0.3 + wordLenOk * 0.2 + punctOk * 0.2 + stopSig * 0.3)
+    // empty text scores 0.0 OUTSIDE the formula: under ANSI mode the
+    // punct-ratio division would abort the job on a zero-length doc
+    // (fuzz class: the reference's INVALID_VALS, ""/whitespace docs),
+    // while the DuckDB oracles' NULL-division already short-circuits
+    // their CASE arms to exactly 0.0 — this guard makes Spark agree
+    // without touching any oracle. nw ≥ 1 always (split("") = [""]),
+    // so len is the only zero divisor.
+    when(len === 0.0, 0.0).otherwise(
+      lengthOk * 0.3 + wordLenOk * 0.2 + punctOk * 0.2 + stopSig * 0.3)
   }
 
   /** Pretraining-corpus text cleanup: drop URLs and e-mail addresses,

@@ -136,7 +136,14 @@ final case class MockLlmClient(override val model: String = "mock") extends LlmC
     val sys = msgs.find(_.role == "system").map(_.content).getOrElse("")
     val user = msgs.reverse.find(_.role == "user").map(_.content).getOrElse("")
     val h = LlmClient.sha256Hex(sys + "\n" + user)
-    val content = s"RE:${h.take(16)}:${user.take(40)}"
+    // first 40 CODEPOINTS, not UTF-16 code units: the oracle's
+    // substring counts codepoints, and a supplementary-plane char
+    // (emoji, 𝕠) is 2 units — .take(40) truncated multi-byte prompts
+    // shorter than the oracle and every downstream chained hash
+    // diverged (fuzz class, VERDICT r11 #1)
+    val cp = math.min(40, user.codePointCount(0, user.length))
+    val head40 = user.substring(0, user.offsetByCodePoints(0, cp))
+    val content = s"RE:${h.take(16)}:$head40"
     val finish = if (h.endsWith("00") && attempt == 0) "length" else "stop"
     LlmResponse(content, finish)
   }

@@ -71,12 +71,15 @@ object Prompts {
     if (sections.isEmpty) None else Some(sections.mkString)
   }
 
-  /** The reference's null-semantics set (constants.py:9-20). */
+  /** The reference's null-semantics set (constants.py:9-20) — EXACT
+    * membership, same contract as GraftFunctions.InvalidVals (see its
+    * scaladoc for why trim-based variants are wrong cross-engine).
+    */
+  private val InvalidSet: Set[String] =
+    graft.functions.GraftFunctions.InvalidVals.toSet
+
   def isInvalid(v: String): Boolean =
-    v == null || {
-      val t = v.trim
-      t.isEmpty || t == "NA" || t == "N/A"
-    }
+    v == null || InvalidSet.contains(v)
 
   /** Markdown render of a stage result map in instruction order
     * (reference instructions_to_md, instructions.py:133-141).

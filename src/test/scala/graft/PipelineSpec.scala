@@ -35,8 +35,21 @@ class PipelineSpec extends SparkSpec {
     val got = Prompts.userPrompt(Instruction("n", scope = Seq("x", "y")),
       Map("x" -> "1", "y" -> "N/A"))
     assert(got.contains("# x\n1\n"))
+    // invalid = EXACT membership in the reference's INVALID_VALS
+    // (constants.py:9-20): one and three spaces are invalid, TWO
+    // spaces and "\t" are valid — the reference does `v in SET`, not
+    // a trim, and r12's fuzz run showed trim variants diverge
+    // between engines (FUZZ.md #4)
     assert(Prompts.userPrompt(Instruction("n", scope = Seq("y")),
-      Map("y" -> "  ")).isEmpty)
+      Map("y" -> " ")).isEmpty)
+    assert(Prompts.userPrompt(Instruction("n", scope = Seq("y")),
+      Map("y" -> "   ")).isEmpty)
+    assert(Prompts.userPrompt(Instruction("n", scope = Seq("y")),
+      Map("y" -> "\n")).isEmpty)
+    assert(Prompts.userPrompt(Instruction("n", scope = Seq("y")),
+      Map("y" -> "  ")).contains("# y\n  \n"))
+    assert(Prompts.userPrompt(Instruction("n", scope = Seq("y")),
+      Map("y" -> "\t")).contains("# y\n\t\n"))
   }
 
   test("LRU cache: repeated conversations hit the cache; clients do not collide") {

@@ -55,10 +55,14 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("scopeProjectValid drops rows whose scoped values are all invalid") {
-    val d = Seq(("ok", "v"), ("NA", "  "), ("", "N/A"), ("x", "NA"))
+    // exact INVALID_VALS membership (FUZZ.md #4): ("NA", "  ") now
+    // SURVIVES — two spaces is not in the reference's set ("", " ",
+    // "   ", "\n", NA, N/A); ("", "N/A") and all-exact-marker rows drop
+    val d = Seq(("ok", "v"), ("NA", "  "), ("", "N/A"), ("x", "NA"),
+        (" ", "\n"))
       .toDF("c1", "c2")
     val out = Relational.scopeProjectValid(d, Seq("c1", "c2"))
-    assert(out.count() == 2)
+    assert(out.count() == 3)
   }
 
   test("saltedJoin equals the plain inner join, with a skewed key") {
