@@ -1481,10 +1481,16 @@ object AdvancedQueries {
         val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
         val centers = deg.where(col("d") >= 2 && col("d") <= AaMaxCenterDegree)
           .select(col("n").as("cz"))
-        val wedges = und.as("l")
-          .join(und.as("r"),
+        // cap applied STRUCTURALLY before the self-join (r12 hub
+        // stress: Catalyst did NOT push a post-self-join centers
+        // filter below the join, so a 10⁵-degree hub enumerated its
+        // full deg² wedges before being dropped — filter the
+        // adjacency to capped centers FIRST, then wedge)
+        val cund = und.join(centers, col("n") === col("cz"))
+          .select(col("n"), col("nb"))
+        val wedges = cund.as("l")
+          .join(cund.as("r"),
             col("l.n") === col("r.n") && col("l.nb") < col("r.nb"))
-          .join(centers, col("l.n") === col("cz"))
           .select(col("l.nb").as("a"), col("r.nb").as("b"))
         val common = wedges.groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n_common"))
@@ -1556,11 +1562,17 @@ object AdvancedQueries {
             round((lit(1.0) / log(col("d").cast("double")))
               .cast(DecimalType(18, 8)), 6).cast(DecimalType(18, 6))
               .as("wz"))
-        val wedges = und.as("l")
-          .join(und.as("r"),
+        // cap applied STRUCTURALLY before the self-join — same r12
+        // hub-stress finding as graph_jaccard_links: the weight join
+        // doubles as the center filter, so it must sit BELOW the
+        // wedge self-join, not above it where a hub's deg² pairs
+        // materialize first
+        val lw = und.join(wz, col("n") === col("cz"))
+          .select(col("n"), col("nb"), col("wz"))
+        val wedges = lw.as("l")
+          .join(lw.as("r"),
             col("l.n") === col("r.n") && col("l.nb") < col("r.nb"))
-          .join(wz, col("l.n") === col("cz"))
-          .select(col("l.nb").as("a"), col("r.nb").as("b"), col("wz"))
+          .select(col("l.nb").as("a"), col("r.nb").as("b"), col("l.wz").as("wz"))
         val aa = wedges.groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n_common"), sum(col("wz")).as("aa"))
         aa.join(e, aa("a") === e("src") && aa("b") === e("dst"),

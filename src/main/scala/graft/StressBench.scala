@@ -35,7 +35,10 @@ object StressBench {
 
     timed("minhashDedup")(
       Similarity.minhashDedup(stressed, "doc_id", "text").count())
-    val sig = Similarity.minhashSignatures(stressed, "doc_id", "text", 64, 5)
+    // lazy: minhashSignatures localCheckpoints EAGERLY — a subset run
+    // that skips every sig consumer must not pay the 1M-doc signature
+    // pass in the preamble
+    lazy val sig = Similarity.minhashSignatures(stressed, "doc_id", "text", 64, 5)
     timed("lshCandidatePairs")(
       Similarity.lshCandidatePairs(sig, "doc_id", 16, 4).count())
     timed("jaccardPairs")(
@@ -167,10 +170,17 @@ object StressBench {
       val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
       val centers = deg.where(col("d") >= 2 && col("d") <= cap)
         .select(col("n").as("cz"))
-      und.as("l")
-        .join(und.as("r"),
+      // the cap is applied STRUCTURALLY before the self-join (filter
+      // the adjacency to capped centers, THEN wedge) — the first
+      // version joined centers AFTER l⋈r and relied on Catalyst to
+      // push it down; it didn't, and the 400k hub enumerated ~8·10¹⁰
+      // pairs before the filter (this row found the same hazard in
+      // the production operators — fixed there identically)
+      val lc = und.join(centers, col("n") === col("cz"))
+        .select(col("n"), col("nb"))
+      lc.as("l")
+        .join(lc.as("r"),
           col("l.n") === col("r.n") && col("l.nb") < col("r.nb"))
-        .join(centers, col("l.n") === col("cz"))
         .groupBy(col("l.nb"), col("r.nb")).agg(count(lit(1)))
         .count()
     }
