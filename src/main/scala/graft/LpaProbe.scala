@@ -29,8 +29,8 @@ object LpaProbe {
     val t0 = System.nanoTime()
     val out = graft.ops.Graph.labelPropagationConverged(e, "src", "dst",
       maxIters = 20, checkEvery = 2)
-    val mx = out.agg(max(col("last_change_round")), count(lit(1))).head()
-    println(s"[lpaprobe] sf=$sfDir rounds_converged=${mx.get(0)} nodes=${mx.get(1)} wall=${(System.nanoTime()-t0)/1e9}")
+    val mx = out.agg(max(col("rounds_run")), count(lit(1))).head()
+    println(s"[lpaprobe] sf=$sfDir rounds_run=${mx.get(0)} nodes=${mx.get(1)} wall=${(System.nanoTime()-t0)/1e9}")
     // cross-check: labels equal fixed-round labelPropagation at maxIters
     val fixed = graft.ops.Graph.labelPropagation(e, "src", "dst", iters = 20)
     val diff = out.select(col("node"), col("community"))

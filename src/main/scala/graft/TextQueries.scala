@@ -4165,6 +4165,17 @@ object TextQueries {
        |$stepCtes""".stripMargin
   }
 
+  /** Oracle-side mirror of LinearProbe.mse6 incl. its overflow guard
+    * (ADVICE r12): Spark's floor(double)→BIGINT saturates at 2⁶³
+    * while DuckDB's floor stays DOUBLE, so both engines skip the
+    * rounding entirely once |mse| ≥ 9.2e12 (or is non-finite — NaN
+    * compares false under < on both engines) and surface the raw
+    * identical-bits double instead.
+    */
+  private def mse6Sql(e: String): String =
+    s"(CASE WHEN abs($e) < 9.2e12 THEN " +
+      s"floor(($e) * 1000000.0 + 0.5) / 1000000.0 ELSE ($e) END)"
+
   private def linearProbeOracle: String = {
     val d = ProbeWeightNames.size
     val fCols = probeFeatsSql.zipWithIndex
@@ -4180,8 +4191,7 @@ object TextQueries {
         .map { case (nm, j) =>
           s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
         .mkString(", ")
-      s"SELECT $t::BIGINT AS step, $ws, (floor(($mseExpr" +
-        s") * 1000000.0 + 0.5) / 1000000.0) AS mse FROM s$t"
+      s"SELECT $t::BIGINT AS step, $ws, ${mse6Sql(mseExpr)} AS mse FROM s$t"
     }.mkString("\nUNION ALL\n")
     s"""WITH f AS MATERIALIZED (
        |  SELECT
@@ -4214,8 +4224,8 @@ object TextQueries {
         .map { case (nm, j) =>
           s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
         .mkString(", ")
-      s"SELECT $lam::DOUBLE AS lambda, $ws, (floor(($mseExpr" +
-        s") * 1000000.0 + 0.5) / 1000000.0) AS mse FROM l${i}s$ProbeSteps"
+      s"SELECT $lam::DOUBLE AS lambda, $ws, ${mse6Sql(mseExpr)} AS mse " +
+        s"FROM l${i}s$ProbeSteps"
     }.mkString("\nUNION ALL\n")
     s"""WITH f AS MATERIALIZED (
        |  SELECT
@@ -4287,8 +4297,8 @@ object TextQueries {
         .map { case (nm, j) =>
           s"CAST(round(CAST(w$j AS DECIMAL(18,8)), 6) AS DOUBLE) AS $nm" }
         .mkString(", ")
-      s"SELECT $lam::DOUBLE AS lambda, $ws, (floor(($mseExpr" +
-        s") * 1000000.0 + 0.5) / 1000000.0) AS mse FROM e${i}w0, m"
+      s"SELECT $lam::DOUBLE AS lambda, $ws, ${mse6Sql(mseExpr)} AS mse " +
+        s"FROM e${i}w0, m"
     }.mkString("\nUNION ALL\n")
     val mAggs = (
       Seq("COUNT(*)::DOUBLE AS n") ++

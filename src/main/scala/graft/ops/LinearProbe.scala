@@ -257,9 +257,20 @@ object LinearProbe {
     * This shape is the SAME three correctly-rounded IEEE ops on both
     * engines at ANY magnitude, so identical inputs give identical
     * output bits; mse ≥ 0 so the +0.5 floor is plain half-up.
+    *
+    * Overflow guard (ADVICE r12): Spark's floor(double) returns
+    * BIGINT and SATURATES at Long.MaxValue once mse·10⁶ ≥ 2⁶³, while
+    * DuckDB's floor stays DOUBLE — a diverging GD path on hostile
+    * data (FUZZ seed-3 regime) would split the engines again. Below
+    * |mse| < 9.2e12 the long floor is exact; above it (or non-finite
+    * — NaN/±Inf compare false on both engines) the raw double passes
+    * through unrounded, identical bits on both sides since the GD
+    * arithmetic itself is shape-identical. Mirrored verbatim in the
+    * three probe oracles (TextQueries.mse6Sql).
     */
   private def mse6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    when(abs(c) < lit(9.2e12),
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).otherwise(c)
 
   def fit(spark: SparkSession, df: DataFrame, feats: Seq[Column],
           label: Column, weightNames: Seq[String], eta: Double,

@@ -565,6 +565,18 @@ object Text {
       else {
         val (a, b, pc) = (top.head.getString(0), top.head.getString(1),
           top.head.getLong(2))
+        // Injection guard (ADVICE r12): the comment above states the
+        // wordPattern precondition, but nothing enforced it — a
+        // caller-supplied pattern admitting ' or | would let a corpus
+        // word break out of the replace() SQL literal below. The
+        // symbols spliced are exactly these two driver-collected
+        // strings (and their concatenations in later rounds), so
+        // validating them HERE is airtight regardless of the pattern.
+        Seq(a, b).foreach { sym =>
+          require(!sym.exists(ch => ch == '\'' || ch == '|' || ch == '\\'),
+            s"bpeMergeRounds: wordPattern admitted a symbol unsafe to " +
+              s"splice into a SQL literal: ${sym.take(40)}")
+        }
         cur = cur
           .withColumn("s", expr(s"replace(s, '|$a||$b|', '|$a$b|')"))
           .localCheckpoint(true)
