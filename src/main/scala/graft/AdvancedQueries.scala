@@ -1446,6 +1446,28 @@ object AdvancedQueries {
       },
       Some(lpaConvergedOracleSql(LpaConvMaxIters))),
 
+    // Convergence-gated PageRank (VERDICT r12 #5) on the directed
+    // co-purchase graph: stop at the first checkEvery boundary where
+    // the total L1 rank movement falls under epsPerNode·n — the
+    // production stopping rule — instead of paying a fixed round
+    // count. The fixed-point BIGINT arithmetic makes the early exit
+    // bit-replayable by a full-unroll oracle that computes the SAME
+    // boundary deltas and selects the same exit round (dual-regime:
+    // with no convergence by maxIters both sides surface round
+    // maxIters). rounds_run < 12 in the output IS the proof the exit
+    // fired — it reads 8 at both gate SFs (measured decay ~13×/round
+    // on this dense graph; the first sub-threshold boundary is 8 from
+    // sf0.001 through sf0.01).
+    QueryDef("graph_pagerank_converged",
+      (s, dir) => {
+        val e = coPurchasePairs(s, dir, directed = true).distinct()
+        graft.ops.Graph.pageRankConverged(e, "src", "dst",
+            maxIters = PrConvMaxIters, epsPerNodeUnits = PrConvEpsPerNode,
+            checkEvery = 2)
+          .select(col("node"), col("r"), col("rounds_run"))
+      },
+      Some(prConvergedOracleSql(PrConvMaxIters, PrConvEpsPerNode, 2))),
+
     QueryDef("graph_triangles_parts",
       (s, dir) => {
         // u<v pairs, not pre-distincted (triangleCount normalizes)
@@ -1768,6 +1790,13 @@ object AdvancedQueries {
   private val AaMaxCenterDegree = 256
 
   private val PageRankIters = 5
+  // graph_pagerank_converged: 12-round cap, exit when the per-round
+  // L1 movement drops under 10⁻⁶ rank units per node (unit = 10¹²,
+  // so epsPerNode = 10⁶ unit-ths). Measured decay on the co-purchase
+  // graph is ~13×/round; the first sub-threshold even boundary is 8
+  // at sf0.001 AND sf0.01 (deterministic — fixed-point arithmetic).
+  private val PrConvMaxIters = 12
+  private val PrConvEpsPerNode = 1000000L
   // 3-core over the repeat-pair graph cascades ~10 peel rounds at
   // sf0.01; 12 gives margin, and a converged round is a no-op filter
   private val KcoreK = 3
@@ -1936,6 +1965,62 @@ object AdvancedQueries {
     }
     (head +: iterCtes).mkString(",\n") +
       s"\nSELECT node, r FROM r$iters ORDER BY node"
+  }
+
+  /** Full-unroll oracle for graph_pagerank_converged: all `iters`
+    * fixed-point rounds (MATERIALIZED — each round is referenced by
+    * the next round, a boundary delta, and possibly the output arm),
+    * the L1 delta at every checkEvery boundary, rounds_run = the
+    * first boundary with delta < epsPerNode·n (exactly the Spark
+    * loop's test), and the output ranks selected FROM that round's
+    * frame. DuckDB sums the BIGINT |Δ| into HUGEINT, so the delta
+    * aggregate cannot wrap (the Spark side stages through
+    * DECIMAL(38,0) for the same reason).
+    */
+  private def prConvergedOracleSql(iters: Int, epsPerNode: Long,
+                                   checkEvery: Int): String = {
+    require(iters >= 1 && iters % checkEvery == 0)
+    val unit = 1000000000000L
+    val base = (unit * 15L) / 100L
+    val head = s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+      |  SELECT n.node,
+      |    CAST($base + (COALESCE(CAST(sum(p.r // deg.deg) AS BIGINT), 0) * 85)
+      |      // 100 AS BIGINT) AS r
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.node
+      |  LEFT JOIN deg ON deg.src = e.src
+      |  LEFT JOIN r${i - 1} p ON p.node = e.src
+      |  GROUP BY n.node)""".stripMargin
+    }
+    val checks = checkEvery to iters by checkEvery
+    val deltaCols = checks.map { t =>
+      s"""(SELECT SUM(ABS(a.r - b.r)) FROM r$t a JOIN r${t - 1} b
+         |   ON a.node = b.node) AS d$t""".stripMargin
+    }.mkString(",\n  ")
+    val caseArms = checks.map(t =>
+      s"WHEN d$t < (SELECT count(*) FROM nodes) * $epsPerNode THEN $t")
+      .mkString(" ")
+    val allR = checks.map(t =>
+      s"SELECT CAST($t AS BIGINT) AS t, node, r FROM r$t")
+      .mkString("\n  UNION ALL ")
+    (head +: iterCtes).mkString(",\n") + s""",
+      |d AS (SELECT
+      |  $deltaCols),
+      |rr AS (SELECT CAST(CASE $caseArms ELSE $iters END AS BIGINT)
+      |  AS rounds_run FROM d),
+      |allr AS (
+      |  $allR)
+      |SELECT a.node, a.r, rr.rounds_run
+      |FROM allr a JOIN rr ON a.t = rr.rounds_run ORDER BY a.node""".stripMargin
   }
 
   private def pageRankOracleSql(iters: Int): String = {

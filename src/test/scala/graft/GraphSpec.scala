@@ -289,6 +289,54 @@ class GraphSpec extends SparkSpec {
     assert(got == fullMap, s"roundsRun=$roundsRun")
   }
 
+  test("pageRankConverged: zero-delta exit on a symmetric cycle at the " +
+    "first boundary; ranks stay at unit") {
+    // 4-cycle both directions: every round reproduces unit exactly,
+    // so the first checked boundary sees L1 delta 0 and exits
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val und = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val out = Graph.pageRankConverged(und, "src", "dst",
+      maxIters = 8, epsPerNodeUnits = 1L, checkEvery = 2)
+    val rows = out.as[(Long, Long, Long)].collect()
+    out.unpersist()
+    assert(rows.length == 4)
+    assert(rows.forall(_._2 == Unit1), rows.mkString(","))
+    assert(rows.forall(_._3 == 2L), "exit must fire at the first boundary")
+  }
+
+  test("pageRankConverged: early exit ranks equal fixed-round pageRank " +
+    "at the exit round; eps=0 runs the full cap") {
+    val leaves = (2L to 11L)
+    val star = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    // generous eps: exits before the cap; the replay contract is that
+    // the surfaced ranks ARE pageRank(iters = rounds_run). The star
+    // is BIPARTITE, so the oscillating mass decays at only 0.85/round
+    // — eps must sit above 0.85^cap for the early exit to reach it.
+    val conv = Graph.pageRankConverged(star, "src", "dst",
+      maxIters = 20, epsPerNodeUnits = Unit1 / 10, checkEvery = 2)
+    val rows = conv.as[(Long, Long, Long)].collect()
+    conv.unpersist()
+    val roundsRun = rows.head._3
+    assert(rows.forall(_._3 == roundsRun))
+    assert(roundsRun < 20L && roundsRun % 2 == 0, s"roundsRun=$roundsRun")
+    val fixed = Graph.pageRank(star, "src", "dst", iters = roundsRun.toInt)
+    val fm = fixed.as[(Long, Long)].collect().toMap
+    fixed.unpersist()
+    assert(rows.map(r => r._1 -> r._2).toMap == fm)
+    // eps = 0: delta < 0 never holds, so the cap regime runs exactly
+    // maxIters and matches the fixed-round run at maxIters
+    val capped = Graph.pageRankConverged(star, "src", "dst",
+      maxIters = 4, epsPerNodeUnits = 0L, checkEvery = 2)
+    val cr = capped.as[(Long, Long, Long)].collect()
+    capped.unpersist()
+    assert(cr.forall(_._3 == 4L))
+    val fixed4 = Graph.pageRank(star, "src", "dst", iters = 4)
+    val fm4 = fixed4.as[(Long, Long)].collect().toMap
+    fixed4.unpersist()
+    assert(cr.map(r => r._1 -> r._2).toMap == fm4)
+  }
+
   test("bfsHops: path distances, horizon cutoff, unreachable absent, " +
     "partition-independent") {
     // undirected path 1-2-3-4-5-6 plus isolated pair 10-11
