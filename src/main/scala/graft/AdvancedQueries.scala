@@ -1750,7 +1750,17 @@ object AdvancedQueries {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val cond = if (directed) "y != x" else "y > x"
-    li.groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
+    // pin the per-order group exchange to the session's
+    // shuffle-partition count (r13, guide §2.5): the (ok, pk)
+    // projection is ~5 MB at sf0.1 so AQE byte-coalesced the group
+    // stage to 4 tasks, but the k² pair explode below multiplies
+    // bytes ~5× and CPU more — every downstream graph operator paid
+    // a 4-wide edge build (profiled 1.1 s of a ~6 s query). Explode
+    // output is invisible to AQE's byte sizing; the pinned count is
+    // the scale knob a cluster operator tunes.
+    li.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("ok"))
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
       .select(explode(expr(
         s"flatten(transform(ps, x -> transform(filter(ps, y -> $cond)," +
           " y -> struct(x AS src, y AS dst))))")).as("e"))

@@ -1065,6 +1065,13 @@ object DedupQueries {
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         Similarity.jaccardPrefixPairs(d, "doc_id", "text", 0.9)
+          // lazy local checkpoint (r13): the final sort's
+          // range-sampling pass re-evaluated the whole post-exchange
+          // PPJoin verify stage (profiled: a duplicate 46 CPU-s stage
+          // at sf0.1 — guide §7.2 duplicated subtrees). The verified
+          // pairs are the query's own result — caching them is
+          // result-bounded at any scale; the sort reads the cache.
+          .localCheckpoint(false)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH d AS (
@@ -1528,6 +1535,13 @@ object DedupQueries {
         val pairs = Similarity
           .cappedIdSets(bands, Seq("lang", "__band"), "doc_id",
             MaxBucketSize, "__ids")
+          // spread buckets before the O(bucket²) pair explode (r13):
+          // the bucket frame is a few KB, so AQE coalesced it to ONE
+          // partition and the 1.5M-pair explode ran single-threaded
+          // (profiled 1.3 s on 1 task at sf0.1). Explode output size
+          // is invisible to AQE's byte-based sizing — pin the
+          // session's shuffle-partition count (guide §2.5).
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
           .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
           .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
           .distinct()
@@ -1539,6 +1553,16 @@ object DedupQueries {
           // before any DP runs (result-preserving: those pairs would
           // fail the <= EditMaxDist filter anyway)
           .where(abs(length(col("__ha")) - length(col("__hb"))) <= EditMaxDist)
+          // spread the DP over the full task budget (r13, guide §2.5):
+          // the candidate-pair exchange is ~8 MB, so AQE's byte-based
+          // coalescing handed the DP stage 8 partitions — but the
+          // banded DP costs ~10³ CPU per input byte, so byte-sizing
+          // starves it of cores (profiled: 2×50 CPU-s on 8 of 32
+          // tasks). Hash-repartition on the pair key at the session's
+          // shuffle-partition count (the scale knob a cluster tunes;
+          // AQE honors the explicit count) restores full parallelism.
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("id_a"), col("id_b"))
           // thresholded Levenshtein: banded O(len·k) DP with early
           // abandon (returns -1 past the threshold) instead of the
           // full O(len²) table — exact for every distance we keep.
@@ -1548,6 +1572,13 @@ object DedupQueries {
             levenshtein(col("__ha"), col("__hb"), EditMaxDist).cast("long"))
           .where(col("lev") >= 0 && col("lev") <= EditMaxDist)
           .select(col("id_a"), col("id_b"), col("lev"))
+          // lazy local checkpoint: the final sort's range-sampling
+          // pass re-evaluated the whole post-exchange DP subtree (two
+          // identical 50 CPU-s stages profiled at sf0.1 — guide §7.2
+          // duplicated-subtree check). The surviving pairs are a
+          // result-sized frame, so caching them is bounded at any
+          // corpus size; the sort then reads the cache.
+          .localCheckpoint(false)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH d AS (

@@ -130,6 +130,19 @@ object Graph {
         nodes.join(sd, Seq("node"), "left")
           .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
     })
+    // Broadcast regime (r13, the triangleCount dual-regime pattern):
+    // the per-round contribution frame rd is |nodes| narrow rows, but
+    // it hangs off an RDD-rooted rank frame whose size Catalyst cannot
+    // estimate, so the planner SMJ'd every round — exchanging AND
+    // sorting the EDGE frame once per round (profiled at sf0.1: one
+    // ~23 MB edge exchange per round, the round's dominant stage; at
+    // 100 TB it would dwarf everything else). nNodes is already known
+    // here: below the threshold, force broadcast(rd) — the edge frame
+    // is then never shuffled or sorted, each round is one map-side
+    // join + one node-keyed aggregation exchange of narrow rows.
+    // Past the threshold the shuffle path stands (the 100 TB regime,
+    // where no executor can hold the rank table).
+    val bcastNodes = nNodes <= 4000000L
     var r = root(nodesFlagged
       .select(col("node"), (col("__seed") * lit(unit)).as("r")))
     for (_ <- 1 to iters) {
@@ -141,7 +154,8 @@ object Graph {
       // broadcasts the result onto the edge scan when it fits.
       val rd = r.withColumnRenamed("node", "src").join(deg, "src")
         .select(col("src"), expr("r div deg").as("c"))
-      val contrib = e.join(rd, "src").select(col("dst").as("node"), col("c"))
+      val rdJ = if (bcastNodes) broadcast(rd) else rd
+      val contrib = e.join(rdJ, "src").select(col("dst").as("node"), col("c"))
       val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
       // (s div den)·num + ((s mod den)·num) div den ≡ (s·num) div den
       // on non-negatives, without the ×num intermediate (wraps at
@@ -149,7 +163,8 @@ object Graph {
       val damped = s"(coalesce(s, 0L) div ${dampingDen}L) * ${dampingNum}L" +
         s" + ((coalesce(s, 0L) % ${dampingDen}L) * ${dampingNum}L)" +
         s" div ${dampingDen}L"
-      r = root(nodesFlagged.join(sums, Seq("node"), "left")
+      r = root(nodesFlagged.join(
+          if (bcastNodes) broadcast(sums) else sums, Seq("node"), "left")
         .select(col("node"),
           (col("__seed") * lit(base) + expr(damped)).as("r")))
     }
@@ -351,9 +366,17 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = oriented.count()
     val n = if (nEdges <= broadcastMaxEdges) {
+      // eagerly persisted (r13): the two BroadcastExchanges below are
+      // built as independent jobs and exchange reuse does not fire
+      // across their different projections, so an unpersisted adj
+      // re-ran the whole sorted-adjacency aggregation twice (profiled
+      // at sf0.1: 2 × ~40 CPU-s stages, the query's largest cost
+      // after the edge build — guide §7.2 duplicated subtrees).
       val adj = oriented.groupBy(col("s").as("__n"))
         .agg(sort_array(collect_list(col("t"))).as("__nbr"))
-      oriented
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      adj.count()
+      val tri = oriented
         .join(broadcast(adj.select(col("__n").as("s"), col("__nbr").as("__ns"))),
           Seq("s"), "left")
         .join(broadcast(adj.select(col("__n").as("t"), col("__nbr").as("__nt"))),
@@ -361,6 +384,8 @@ object Graph {
         .select(coalesce(size(array_intersect(col("__ns"), col("__nt"))), lit(0))
           .cast("long").as("__tri"))
         .agg(sum(col("__tri")).as("n_triangles")).head().getLong(0)
+      adj.unpersist()
+      tri
     } else {
       val wedges = oriented.as("e1")
         .join(oriented.as("e2"), col("e1.t") === col("e2.s"))

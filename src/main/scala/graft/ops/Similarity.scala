@@ -437,6 +437,17 @@ object Similarity {
         ceil(lit(threshold) * col("__sz").cast("double")).cast("long") + 1)
       .select(col("__w"), col("__id"), col("__sz"), col("__rn"))
       .localCheckpoint(true)
+      // spread the O(bucket²) candidate join over the full task budget
+      // (r13, guide §2.5): the postings frame is ~2 MB so AQE's
+      // byte-based coalescing handed the self-join ONE partition and
+      // the pair stream (10× the input bytes) generated
+      // single-threaded (profiled 3.4 s on 1 task at sf0.1). Pinning
+      // the session's shuffle-partition count — the knob a cluster
+      // operator sizes to the data — overrides byte-sizing for this
+      // join-output-dense stage; ReuseExchange builds the exchange
+      // once for both legs.
+      .repartition(tok.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("__w"))
     // PPJoin positional filter: at the EARLIEST shared token (global
     // (df, token) order, positions i, j) a true pair has no earlier
     // shared tokens, so overlap ≤ 1 + min(|a|−i, |b|−j); J ≥ t forces
@@ -454,6 +465,14 @@ object Similarity {
           (lit(1L) + least(col("x.__sz") - col("x.__rn"),
             col("y.__sz") - col("y.__rn"))).cast("double") >= minOverlap)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      // pin the dedup exchange's partition count so the CPU-dense
+      // verify stage downstream (array_intersect per candidate) gets
+      // the full task budget — AQE byte-sized it to half the cores
+      // (r13; the repartition's keys match distinct's grouping keys,
+      // so the aggregate is partition-local and no exchange is added)
+      .repartition(tok.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt,
+        col("id_a"), col("id_b"))
       .distinct()
     // verify on 60-bit token HASHES, not strings: the intersect is
     // the per-candidate hot loop and long compares beat string
