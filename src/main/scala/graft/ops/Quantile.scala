@@ -117,6 +117,11 @@ object Quantile {
     }
     cum.groupBy(col("__g").as(groupCol))
       .agg(max(col("__n")).as("n"), picks: _*)
+      // lazy local checkpoint (r13): the final sort's range-sampling
+      // pass re-evaluates the post-exchange window + aggregate chain
+      // (the per-group sort is the function's dominant stage); the
+      // report is <= |groups| rows, so caching it is free at any scale
+      .localCheckpoint(false)
       .orderBy(col(groupCol))
   }
 
@@ -167,6 +172,11 @@ object Quantile {
       .groupBy(col("__g").as(groupCol))
       .agg(min(col("__v")).as("w_quantile"),
         max(col("__tw").cast("double")).as("total_weight"))
+      // lazy local checkpoint (r13): the final sort's range-sampling
+      // pass re-evaluates the post-exchange window + aggregate chain
+      // (the per-group sort is the function's dominant stage); the
+      // report is <= |groups| rows, so caching it is free at any scale
+      .localCheckpoint(false)
       .orderBy(col(groupCol))
   }
 
@@ -208,9 +218,15 @@ object Quantile {
     // partitionBy spec planned a SECOND window pass over the frame
     val wAll = Window.partitionBy(col("__g")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // lazy local checkpoint (r13): `cum` feeds BOTH the bounds
+    // aggregate and the moments join — two consumers re-ran the
+    // per-group window sort (profiled: two identical window stages at
+    // sf0.1); the frame is distinct-value-sized, the same bound as
+    // the window's own sort buffer
     val cum = counts
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
+      .localCheckpoint(false)
     def pick(q: Double) = min(when(col("__cum") >= greatest(lit(1L),
       ceil(lit(q) * col("__n")).cast("long")), col("__v")))
     val bounds = cum.groupBy(col("__g"))
@@ -239,6 +255,11 @@ object Quantile {
       .select(col(groupCol), col("n"), col("n_clipped"),
         col("lo"), col("hi"), r6(mean).as("w_mean"),
         r6(sqrt(greatest(lit(0.0d), varExpr))).as("w_std"))
+      // lazy local checkpoint (r13): the final sort's range-sampling
+      // pass re-evaluates the post-exchange window + aggregate chain
+      // (the per-group sort is the function's dominant stage); the
+      // report is <= |groups| rows, so caching it is free at any scale
+      .localCheckpoint(false)
       .orderBy(col(groupCol))
   }
 
@@ -297,11 +318,15 @@ object Quantile {
             ceil(lit(0.5) * col("__n")).cast("long")), col(vCol)))
             .as(out))
     }
-    val med = medianOf(counts, "__v", "med")
+    // med/mad checkpoint eagerly (r13): med has THREE consumers and
+    // mad two, each of which re-ran the respective median window from
+    // the counts checkpoint (exchange reuse covers the exchange, not
+    // the post-exchange window); both frames are <= |groups| rows
+    val med = medianOf(counts, "__v", "med").localCheckpoint(true)
     val devCounts = counts.join(med, "__g")
       .groupBy(col("__g"), abs(col("__v") - col("med")).as("__d"))
       .agg(sum(col("__c")).as("__c"))
-    val mad = medianOf(devCounts, "__d", "mad")
+    val mad = medianOf(devCounts, "__d", "mad").localCheckpoint(true)
     val outliers = counts.join(med, "__g").join(mad, "__g")
       .groupBy(col("__g"))
       .agg(sum(when(col("mad") > 0 &&
@@ -310,6 +335,11 @@ object Quantile {
     med.join(mad, "__g").join(outliers, "__g")
       .select(col("__g").as(groupCol), col("med_n").as("n"),
         col("med"), col("mad"), col("n_outliers"))
+      // lazy local checkpoint (r13): the final sort's range-sampling
+      // pass re-evaluates the post-exchange window + aggregate chain
+      // (the per-group sort is the function's dominant stage); the
+      // report is <= |groups| rows, so caching it is free at any scale
+      .localCheckpoint(false)
       .orderBy(col(groupCol))
   }
 
