@@ -238,6 +238,11 @@ object Graph {
       lit(unit).as("p1")))
     var done = 0
     var converged = false
+    // broadcast regime below the node threshold (r13) — same
+    // rationale and threshold as pageRankImpl: the RDD-rooted rank
+    // frame defeats size estimation, so the planner otherwise SMJ'd
+    // and re-exchanged + sorted the EDGE frame every round.
+    val bcastNodes = nNodes <= 4000000L
     val damped = s"(s div ${dampingDen}L) * ${dampingNum}L" +
       s" + ((s % ${dampingDen}L) * ${dampingNum}L) div ${dampingDen}L"
     while (!converged && done < maxIters) {
@@ -246,7 +251,8 @@ object Graph {
       for (_ <- 1 to rounds) {
         val rd = cur.select(col("node").as("src"), col("r")).join(deg, "src")
           .select(col("src"), expr("r div deg").as("c"))
-        val contrib = e.join(rd, "src")
+        val rdJ = if (bcastNodes) broadcast(rd) else rd
+        val contrib = e.join(rdJ, "src")
           .select(col("dst").as("node"), col("c"),
             lit(0L).as("own"), lit(0L).as("p"))
         val tagged = contrib.unionAll(cur.select(col("node"),
@@ -800,7 +806,8 @@ object Graph {
     * reached, each node exactly once at its FIRST discovery hop.
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
-              seeds: DataFrame, maxHops: Int): DataFrame = {
+              seeds: DataFrame, maxHops: Int,
+              broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val spark = edges.sparkSession
     def materialize(df: DataFrame): DataFrame =
@@ -810,16 +817,27 @@ object Graph {
       spark.createDataFrame(df.rdd, df.schema)
     val e = materialize(edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")))
+    // Broadcast regime below the node threshold (r13, the pageRankImpl
+    // pattern): the frontier and settled frames are node-bounded but
+    // RDD-rooted, so the planner SMJ'd — exchanging and sorting the
+    // EDGE frame once per hop. One distinct count over the cached
+    // edges gates it; past the threshold the shuffle path stands.
+    val nNodes = e.select(col("dst")).distinct().count()
+    val bcastNodes = nNodes <= broadcastMaxNodes
     val settled = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var dist = materialize(seeds.select(col("node").cast("long").as("node"))
       .distinct().withColumn("d", lit(0L)))
     settled += dist
     var frontier = root(dist.select(col("node")))
     for (h <- 1 to maxHops) {
-      val nbrs = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      val frontJ = if (bcastNodes)
+        broadcast(frontier.withColumnRenamed("node", "src"))
+      else frontier.withColumnRenamed("node", "src")
+      val nbrs = e.join(frontJ, "src")
         .select(col("dst").as("node")).distinct()
-      val fresh = nbrs.join(dist.select(col("node")), Seq("node"),
-          "left_anti")
+      val distJ = if (bcastNodes) broadcast(dist.select(col("node")))
+        else dist.select(col("node"))
+      val fresh = nbrs.join(distJ, Seq("node"), "left_anti")
         .withColumn("d", lit(h.toLong))
       dist = materialize(dist.unionByName(fresh))
       settled += dist
