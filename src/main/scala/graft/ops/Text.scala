@@ -487,10 +487,17 @@ object Text {
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int,
                     broadcastMaxEvalDocs: Long = 1000000L): DataFrame = {
+    // native one-pass gram-hash kernel (r13): the lambda form
+    // (explode(wordNgrams) + hash60 per gram string) is interpreted —
+    // lambdas are excluded from codegen and re-evaluate the shared
+    // split per element (the r2/r8 kernel lesson); WordShingleHashes
+    // emits the bit-identical 60-bit hashes (same split/join/md5
+    // convention, MinHashStreamSpec-pinned) in one codegen'd pass
+    // with no gram strings in the plan.
     def hashed(df: DataFrame, as: String) =
       df.select(col(idCol).as(as),
-          explode(wordNgrams(col(textCol), n)).as("__ng"))
-        .select(col(as), hash60(col("__ng")).as("__h"))
+        explode(graft.ops.Similarity.gramHashesAll(col(textCol), n))
+          .as("__h"))
     val ev = hashed(eval, "__eval_id").distinct()
     // The broadcast hint is only safe for the benchmark-sized eval
     // split the docstring assumes; the API is general, so gate it on
@@ -619,9 +626,13 @@ object Text {
     def r6(c: Column) = round(c.cast(dec), 6).cast("double")
     // localCheckpoint: three consumers (sizes + both self-join legs)
     // read the sampled gram set — O(corpus grams / sampleMod) rows.
+    // native gram-hash kernel instead of the interpreted
+    // explode(wordNgrams)+hash60 lambda chain — bit-identical hashes,
+    // one codegen'd pass (r13; profiled 2.0 s of the query's 2.9 s
+    // in this scan at sf0.1)
     val sg = df.select(col(srcCol).as("source"),
-        explode(wordNgrams(col(textCol), n)).as("__ng"))
-      .select(col("source"), hash60(col("__ng")).as("__h"))
+        explode(graft.ops.Similarity.gramHashesAll(col(textCol), n))
+          .as("__h"))
       .where(col("__h") % sampleMod === 0)
       .distinct()
       .localCheckpoint(true)
