@@ -142,7 +142,21 @@ object Graph {
     // join + one node-keyed aggregation exchange of narrow rows.
     // Past the threshold the shuffle path stands (the 100 TB regime,
     // where no executor can hold the rank table).
-    val bcastNodes = nNodes <= 4000000L
+    //
+    // r14 second gate: the broadcast is only worth paying for when
+    // the edge frame it keeps in place is actually big. Each
+    // broadcast(rd)/broadcast(sums) is materialized by its own BUILD
+    // JOB, so the regime trades the fully-LAZY shuffle chain (all
+    // `iters` rounds pipeline into ONE job) for ~4 scheduler-floor
+    // jobs per round. At sf0.1 (≈0.5M edges, 23 MB per-round
+    // exchange) the floors cost more than the exchange they remove —
+    // the r13 driver bench regressed graph_ppr_parts 0.89× — while
+    // at the regime's design point (huge edge frame, ≤4M nodes) the
+    // exchange dominates any fixed cost. Gate on the edge count,
+    // already computable from the persisted edge frame for one cheap
+    // cached-scan job: below ~8M edges (≈128 MB/round exchanged) the
+    // lazy shuffle chain is measurably the faster plan.
+    val bcastNodes = nNodes <= 4000000L && e.count() >= 8000000L
     var r = root(nodesFlagged
       .select(col("node"), (col("__seed") * lit(unit)).as("r")))
     for (_ <- 1 to iters) {
@@ -257,9 +271,14 @@ object Graph {
             lit(0L).as("own"), lit(0L).as("p"))
         val tagged = contrib.unionAll(cur.select(col("node"),
             lit(0L).as("c"), lit(1L).as("own"), col("r").as("p")))
-          .repartition(col("node"))
         // every node has its own=1 row, so sum(c) covers in-degree-0
-        // nodes with s = 0 (no left join against the node frame)
+        // nodes with s = 0 (no left join against the node frame).
+        // No explicit repartition here (r14): pinning the exchange
+        // before the aggregate hoisted the whole agg ABOVE it, so the
+        // full edge-sized contribution stream was shuffled every
+        // round; letting groupBy insert its own exchange restores the
+        // map-side partial aggregate (guide §2.3 "aggregate before
+        // you shuffle") — only node-sized partials cross the wire.
         cur = root(tagged.groupBy(col("node"))
           .agg(sum(col("c")).as("s"),
             max(when(col("own") === 1L, col("p"))).as("pp"))
@@ -372,22 +391,26 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = oriented.count()
     val n = if (nEdges <= broadcastMaxEdges) {
-      // eagerly persisted (r13): the two BroadcastExchanges below are
-      // built as independent jobs and exchange reuse does not fire
-      // across their different projections, so an unpersisted adj
-      // re-ran the whole sorted-adjacency aggregation twice (profiled
-      // at sf0.1: 2 × ~40 CPU-s stages, the query's largest cost
-      // after the edge build — guide §7.2 duplicated subtrees).
+      // ONE broadcast for both adjacency sides (r14): r13 persisted
+      // adj eagerly because the two BroadcastExchanges — whose
+      // children differed only by a rename Project — were built as
+      // independent jobs and exchange reuse did not fire across the
+      // different projections (2 × ~40 CPU-s duplicate aggregation
+      // stages, guide §7.2). Expressing both joins against ALIASES of
+      // the same frame (no rename Project) makes the two exchanges
+      // canonically identical, so ReuseExchange builds the relation
+      // ONCE and ships it once; the lazy persist is insurance if a
+      // planner change ever splits them again (no eager count() job —
+      // the r13 eager materialization paid an extra pass per query,
+      // flagged by the r13 driver regression, 0.85×).
       val adj = oriented.groupBy(col("s").as("__n"))
         .agg(sort_array(collect_list(col("t"))).as("__nbr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      adj.count()
-      val tri = oriented
-        .join(broadcast(adj.select(col("__n").as("s"), col("__nbr").as("__ns"))),
-          Seq("s"), "left")
-        .join(broadcast(adj.select(col("__n").as("t"), col("__nbr").as("__nt"))),
-          Seq("t"), "left")
-        .select(coalesce(size(array_intersect(col("__ns"), col("__nt"))), lit(0))
+      val tri = oriented.as("e")
+        .join(broadcast(adj.as("a1")), col("e.s") === col("a1.__n"), "left")
+        .join(broadcast(adj.as("a2")), col("e.t") === col("a2.__n"), "left")
+        .select(coalesce(
+            size(array_intersect(col("a1.__nbr"), col("a2.__nbr"))), lit(0))
           .cast("long").as("__tri"))
         .agg(sum(col("__tri")).as("n_triangles")).head().getLong(0)
       adj.unpersist()

@@ -437,17 +437,24 @@ object Similarity {
         ceil(lit(threshold) * col("__sz").cast("double")).cast("long") + 1)
       .select(col("__w"), col("__id"), col("__sz"), col("__rn"))
       .localCheckpoint(true)
-      // spread the O(bucket²) candidate join over the full task budget
-      // (r13, guide §2.5): the postings frame is ~2 MB so AQE's
-      // byte-based coalescing handed the self-join ONE partition and
-      // the pair stream (10× the input bytes) generated
-      // single-threaded (profiled 3.4 s on 1 task at sf0.1). Pinning
-      // the session's shuffle-partition count — the knob a cluster
-      // operator sizes to the data — overrides byte-sizing for this
-      // join-output-dense stage; ReuseExchange builds the exchange
-      // once for both legs.
-      .repartition(tok.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("__w"))
+    // Size the two dense exchanges below by the stage's real work —
+    // the candidate PROBE count Σ_w k_w² over the prefix postings —
+    // not by bytes (AQE coalesced the ~2 MB postings to ONE partition:
+    // serial pair generation, r13) and not by the flat session count
+    // (r13's pin: at sf0.1 the postings carry 17 distinct tokens, so
+    // 32 hash partitions were mostly empty while 32 concurrent
+    // verify tasks burned 264 CPU-s on work that 8 tasks do in 16 —
+    // measured by ProfileQuery r14, the driver's c8/c32 = 0.45
+    // inversion). The probe count is one tiny aggregate over the
+    // eagerly-checkpointed postings; ~6M probes ≈ 1–2 CPU-s of
+    // codegen'd join work per task. At corpus scale the division
+    // saturates at the session cap and the r13 plan shape stands.
+    val denseParts = Tuning.workParts(tok.sparkSession,
+      Option(pre.groupBy(col("__w")).agg(count(lit(1)).as("__k"))
+          .agg(sum(col("__k") * col("__k"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L),
+      6000000L)
+    val preSpread = pre.repartition(denseParts, col("__w"))
     // PPJoin positional filter: at the EARLIEST shared token (global
     // (df, token) order, positions i, j) a true pair has no earlier
     // shared tokens, so overlap ≤ 1 + min(|a|−i, |b|−j); J ≥ t forces
@@ -456,7 +463,15 @@ object Similarity {
     // recall, with late-position-only collisions pruned in the join.
     val minOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("x.__sz") + col("y.__sz")).cast("double"))
-    val pairs = pre.as("x").join(pre.as("y"),
+    // merge hint (r14): the checkpointed postings estimate under the
+    // broadcast threshold, so the planner broadcast-hash-joined the
+    // self-join — a per-task relation probe that cannot happen at
+    // corpus scale (no executor holds the postings) and, locally, a
+    // second independent exchange for the build leg. SMJ lets
+    // ReuseExchange build ONE exchange for both legs and is the same
+    // plan the 100 TB regime gets.
+    val pairs = preSpread.as("x").hint("merge")
+      .join(preSpread.as("y").hint("merge"),
         col("x.__w") === col("y.__w") && col("x.__id") < col("y.__id") &&
           col("y.__sz").cast("double") >=
             lit(threshold) * col("x.__sz").cast("double") &&
@@ -465,14 +480,13 @@ object Similarity {
           (lit(1L) + least(col("x.__sz") - col("x.__rn"),
             col("y.__sz") - col("y.__rn"))).cast("double") >= minOverlap)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      // pin the dedup exchange's partition count so the CPU-dense
-      // verify stage downstream (array_intersect per candidate) gets
-      // the full task budget — AQE byte-sized it to half the cores
-      // (r13; the repartition's keys match distinct's grouping keys,
-      // so the aggregate is partition-local and no exchange is added)
-      .repartition(tok.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt,
-        col("id_a"), col("id_b"))
+      // the dedup exchange also feeds the per-candidate verify loop
+      // (two set-attach joins + array_intersect per DISTINCT pair —
+      // 3.3M candidates for 9K survivors at sf0.1), so it gets the
+      // same work-derived count; the repartition's keys match
+      // distinct's grouping keys, so the aggregate is partition-local
+      // and no second exchange is added
+      .repartition(denseParts, col("id_a"), col("id_b"))
       .distinct()
     // verify on 60-bit token HASHES, not strings: the intersect is
     // the per-candidate hot loop and long compares beat string
