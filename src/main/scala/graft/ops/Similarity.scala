@@ -5,6 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
+/** One (node, cluster=min component id) row of a bucket-local CC —
+  * top-level so the UDF return type has a stable encoder.
+  */
+private[graft] case class BucketNodeCluster(node: Long, cluster: Long)
+
 /** Near-duplicate detection and similarity primitives for corpus-scale
   * dedup: word shingles, MinHash signatures with LSH banding, SimHash.
   *
@@ -1507,17 +1512,76 @@ object Similarity {
           col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("src"), col("b.__id").as("dst"),
         round(cosineFromNorms(dotProduct(col("a.__e"), col("b.__e")),
-          col("a.__n"), col("b.__n")), 6).as("cos"))
+          col("a.__n"), col("b.__n")), 6).as("cos"),
+        col("a.__blk").as("__blk"), col("a.__sub").as("__sub"))
     val w = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
     val directed = pairs.withColumn("__r", row_number().over(w))
-      .where(col("__r") <= k).select(col("src"), col("dst"))
+      .where(col("__r") <= k)
+      .select(col("src"), col("dst"), col("__blk"), col("__sub"))
     val mutual = directed.as("x").join(directed.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .where(col("x.src") < col("x.dst"))
-      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"))
-    connectedComponents(mutual, maxIter)
-      .withColumnRenamed("doc_id", idCol)
+      .select(col("x.__blk").as("__blk"), col("x.__sub").as("__sub"),
+        col("x.src").as("id_a"), col("x.dst").as("id_b"))
+    // Components are BUCKET-LOCAL by construction: `pairs` only joins
+    // rows with equal (__blk, __sub), so no mutual edge ever crosses a
+    // bucket and the global component = the within-bucket component.
+    // The r13 profile showed the generic pointer-jump CC spending the
+    // whole query in ~14 rounds × 3 node-sized exchanges of scheduler
+    // floors (the suite's slowest query, 11.4 s, with three negative
+    // checkpoint/broadcast/jump A/Bs on record); one collect_list per
+    // bucket + a local union-find replaces the loop outright. State
+    // is bounded by the SAME contract that bounds the self-join: a
+    // bucket holds ≤ maxBlockSize vectors ⇒ ≤ maxBlockSize·k mutual
+    // edges per group. Labels are identical to connectedComponents'
+    // (cluster = min id of the component): unions always re-root the
+    // larger root under the smaller, so each tree's root is the
+    // component minimum.
+    val comp = mutual.groupBy(col("__blk"), col("__sub"))
+      .agg(collect_list(struct(col("id_a"), col("id_b"))).as("__es"))
+      .select(explode(bucketLocalCc(col("__es"))).as("__nc"))
+      .select(col("__nc.node").as(idCol), col("__nc.cluster"))
+    // same caller contract as connectedComponents: a persisted,
+    // already-computed frame whose lifecycle the caller owns
+    // (maxIter is retained in the signature for compatibility; the
+    // bucket-local CC always reaches the fixpoint in one pass)
+    val out = comp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
   }
+
+  /** Min-label connected components of ONE bucket's edge list —
+    * union-find with roots kept at the component minimum (union
+    * re-roots the larger root under the smaller), path-halving on
+    * find. Runs once per LSH bucket inside [[knnGraphClusters]], on
+    * a collect_list bounded by maxBlockSize·k edges — not a per-row
+    * hot path. Returns one (node, cluster=min id) row per distinct
+    * endpoint, exactly [[connectedComponents]]' labeling.
+    */
+  private val bucketLocalCc =
+    udf { (es: Seq[org.apache.spark.sql.Row]) =>
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        var p = parent.getOrElse(r, r)
+        while (p != r) { // path-halving
+          val gp = parent.getOrElse(p, p)
+          parent(r) = gp
+          r = p
+          p = parent.getOrElse(r, r)
+        }
+        r
+      }
+      es.foreach { e =>
+        val ra = find(e.getLong(0))
+        val rb = find(e.getLong(1))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val nodes = new scala.collection.mutable.TreeSet[Long]()
+      es.foreach { e => nodes += e.getLong(0); nodes += e.getLong(1) }
+      nodes.toSeq.map(n => BucketNodeCluster(n, find(n)))
+    }
 
   def semDedup(emb: DataFrame, idCol: String, embCol: String,
                centroids: DataFrame, minCos: Double,
