@@ -12,6 +12,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Node-count ceiling for the dual-regime broadcasts shared by
+    * [[pageRank]]/[[personalizedPageRank]], [[pageRankConverged]] and
+    * [[bfsHops]] (ADVICE r13: one definition, not three literals) —
+    * ≈64 MB of (long, long) rows, comfortably under the 8 GB
+    * broadcast cap and sized to executor memory, not to this box.
+    */
+  private[graft] val BroadcastMaxNodes = 4000000L
+
   /** PageRank in FIXED-POINT integer arithmetic — every rank is a
     * BIGINT in `unit`-ths (default 10⁻¹² units), every step is
     * integer multiply / truncating `div`, so the result is
@@ -156,7 +164,7 @@ object Graph {
     // already computable from the persisted edge frame for one cheap
     // cached-scan job: below ~8M edges (≈128 MB/round exchanged) the
     // lazy shuffle chain is measurably the faster plan.
-    val bcastNodes = nNodes <= 4000000L && e.count() >= 8000000L
+    val bcastNodes = nNodes <= BroadcastMaxNodes && e.count() >= 8000000L
     var r = root(nodesFlagged
       .select(col("node"), (col("__seed") * lit(unit)).as("r")))
     for (_ <- 1 to iters) {
@@ -260,7 +268,7 @@ object Graph {
     // its own job, so on a small edge frame the per-chunk lazy SMJ
     // chain beats ~2 build-job floors per round; above ~8M edges the
     // per-round edge exchange dominates any fixed cost.
-    val bcastNodes = nNodes <= 4000000L
+    val bcastNodes = nNodes <= BroadcastMaxNodes
     val damped = s"(s div ${dampingDen}L) * ${dampingNum}L" +
       s" + ((s % ${dampingDen}L) * ${dampingNum}L) div ${dampingDen}L"
     while (!converged && done < maxIters) {
@@ -837,7 +845,7 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               seeds: DataFrame, maxHops: Int,
-              broadcastMaxNodes: Long = 4000000L): DataFrame = {
+              broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val spark = edges.sparkSession
     def materialize(df: DataFrame): DataFrame =
@@ -852,7 +860,13 @@ object Graph {
     // RDD-rooted, so the planner SMJ'd — exchanging and sorting the
     // EDGE frame once per hop. One distinct count over the cached
     // edges gates it; past the threshold the shuffle path stands.
-    val nNodes = e.select(col("dst")).distinct().count()
+    // r14 (ADVICE r13): the broadcast frames hold REACHED nodes —
+    // every dst plus the seed set itself — so seed-only nodes must be
+    // counted too, or a caller passing a huge seed set over a sparse
+    // edge frame could broadcast far above the gate's intent.
+    val nNodes = e.select(col("dst"))
+      .union(seeds.select(col("node").cast("long")))
+      .distinct().count()
     val bcastNodes = nNodes <= broadcastMaxNodes
     val settled = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var dist = materialize(seeds.select(col("node").cast("long").as("node"))

@@ -354,4 +354,25 @@ class GraphSpec extends SparkSpec {
         s"parts=$parts: $dist")
     }
   }
+
+  test("bfsHops: broadcast gate counts seed-only nodes (dst ∪ seeds), " +
+    "identical distances at the regime boundary") {
+    // 2 distinct dst nodes, but 5 seed-only nodes: the gate must see
+    // 7 reached-node candidates, not 2. With broadcastMaxNodes = 4 the
+    // old dst-only count would have broadcast; the fixed gate flips to
+    // the shuffle regime. Results must be identical in both regimes.
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 20L, 21L, 22L, 23L).toDF("node")
+    val byRegime = Seq(4L, 1000L).map { cap =>
+      val out = Graph.bfsHops(e, "src", "dst", seeds, maxHops = 2,
+        broadcastMaxNodes = cap)
+      val dist = out.as[(Long, Long)].collect().toMap
+      out.unpersist()
+      dist
+    }
+    // seeds (including isolated ones) at d=0, chain reached at 1, 2
+    val expected = Map(1L -> 0L, 20L -> 0L, 21L -> 0L, 22L -> 0L,
+      23L -> 0L, 2L -> 1L, 3L -> 2L)
+    assert(byRegime.forall(_ == expected), s"$byRegime")
+  }
 }
