@@ -1750,15 +1750,19 @@ object AdvancedQueries {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val cond = if (directed) "y != x" else "y > x"
-    // pin the per-order group exchange to the session's
-    // shuffle-partition count (r13, guide §2.5): the (ok, pk)
-    // projection is ~5 MB at sf0.1 so AQE byte-coalesced the group
-    // stage to 4 tasks, but the k² pair explode below multiplies
-    // bytes ~5× and CPU more — every downstream graph operator paid
-    // a 4-wide edge build (profiled 1.1 s of a ~6 s query). Explode
-    // output is invisible to AQE's byte sizing; the pinned count is
-    // the scale knob a cluster operator tunes.
-    li.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+    // Size the per-order group exchange by the basket-row count
+    // (r14, guide §2.5): AQE byte-coalesced the ~5 MB (ok, pk)
+    // projection to 4 tasks while the k² pair explode below
+    // multiplies bytes ~5× (invisible to byte sizing) — the r13 fix;
+    // but r13's flat session-count pin over-provisioned the other
+    // way (32 concurrent collect_set+explode tasks showed 2-3× the
+    // CPU and exec≫cpu GC/wait stalls of an 8-task run on identical
+    // input — the c8/c32 < 1 inversion of every co-purchase rider).
+    // ~64k basket rows ≈ ~0.3M exploded pairs ≈ 1-2 CPU-s per task;
+    // the count is one column-pruned scan (~60 ms at sf0.1), and at
+    // warehouse scale the division saturates at the session cap, so
+    // the cluster knob still governs.
+    li.repartition(graft.ops.Tuning.workParts(s, li.count(), 64000L),
         col("ok"))
       .groupBy(col("ok")).agg(collect_set(col("pk")).as("ps"))
       .select(explode(expr(
