@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.ops.{Cost, Multimodal}
 import graft.pipeline._
+import graft.ops.Tuning.StagedFrame
 
 /** Advanced operator queries: CodeAct repair loop, self-verified
   * multi-turn chain, agentic dispatch, cost estimation, multimodal
@@ -419,7 +420,7 @@ object AdvancedQueries {
           }
         }(Encoders.row(hashSchema))
         val clusters = hashed.groupBy(col("dhash"))
-          .agg(count(lit(1)).as("n")).localCheckpoint(true)
+          .agg(count(lit(1)).as("n")).stageCheckpoint(true)
         val bands = clusters.select(col("dhash"), col("n"),
           explode(array((0 until 4).map(b =>
             shiftrightunsigned(col("dhash"), 16 * b)
@@ -751,7 +752,7 @@ object AdvancedQueries {
             sum(when(col("role") === 1, 1L).otherwise(0L)).as("n_after"),
             sum(when(col("role") === 1, col("recv")).otherwise(0L))
               .as("n_received"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         perShard
           .crossJoin(broadcast(perShard.agg(
             sum(col("n_received")).as("__drained_total"))))
@@ -1039,7 +1040,7 @@ object AdvancedQueries {
         val dec = DecimalType(18, 8)
         val d = Tables.load(s, dir, "documents")
         val cells = d.groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("o")).localCheckpoint(true)
+          .agg(count(lit(1)).as("o")).stageCheckpoint(true)
         val rl = cells.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
         val cl = cells.groupBy(col("source")).agg(sum(col("o")).as("cl"))
         val tot = cells.agg(sum(col("o")).as("n"),
@@ -1287,7 +1288,7 @@ object AdvancedQueries {
       (s, dir) => {
         import s.implicits._
         val e = coPurchasePairs(s, dir, directed = true).distinct()
-          .localCheckpoint(true) // nodes/seeds/bfs all read it
+          .stageCheckpoint(true) // nodes/seeds/bfs all read it
         val nodes = e.select(col("src").as("node")).distinct()
         val seeds = nodes.orderBy(col("node")).limit(5)
         val dist = graft.ops.Graph.bfsHops(e, "src", "dst", seeds, 4)
@@ -1348,7 +1349,7 @@ object AdvancedQueries {
     QueryDef("graph_ppr_parts",
       (s, dir) => {
         val e = coPurchasePairs(s, dir, directed = true).distinct()
-          .localCheckpoint(true) // seeds + the rank rounds both read it
+          .stageCheckpoint(true) // seeds + the rank rounds both read it
         val seeds = e.select(col("src").as("node")).distinct()
           .orderBy(col("node")).limit(5)
         graft.ops.Graph.personalizedPageRank(e, "src", "dst", seeds,
@@ -1497,7 +1498,7 @@ object AdvancedQueries {
     QueryDef("graph_jaccard_links",
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
-        val e = repeatCoPurchaseEdges(s, dir).localCheckpoint(true)
+        val e = repeatCoPurchaseEdges(s, dir).stageCheckpoint(true)
         val und = e.select(col("src").as("n"), col("dst").as("nb"))
           .union(e.select(col("dst"), col("src")))
         val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -1573,7 +1574,7 @@ object AdvancedQueries {
     QueryDef("graph_adamic_adar",
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
-        val e = repeatCoPurchaseEdges(s, dir).localCheckpoint(true)
+        val e = repeatCoPurchaseEdges(s, dir).stageCheckpoint(true)
         val und = e.select(col("src").as("n"), col("dst").as("nb"))
           .union(e.select(col("dst"), col("src")))
         val deg = und.groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -1659,7 +1660,7 @@ object AdvancedQueries {
         val deg = eu.select(col("src").as("node"))
           .unionAll(eu.select(col("dst").as("node")))
           .groupBy(col("node"))
-          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+          .agg(count(lit(1)).as("deg")).stageCheckpoint(true)
         val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("nd"))
         val r = dist.select(
           round(log(col("deg").cast("double")), 6).cast(dec6).as("x"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 import graft.ops.Similarity
+import graft.ops.Tuning.StagedFrame
 
 /** Deduplication query registry: exact, MinHash-LSH, n-gram Jaccard,
   * SimHash, embedding-cosine — the corpus-dedup family (reference
@@ -672,7 +673,7 @@ object DedupQueries {
             lit(1L).as("dd"))
           .union(edges.select(col("cluster"), col("ib").as("x"),
             col("ia").as("y"), lit(1L).as("dd")))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         for (_ <- 1 to 3) {
           val via = dist.as("l").join(dist.as("r"),
               col("l.cluster") === col("r.cluster") &&
@@ -682,7 +683,7 @@ object DedupQueries {
           dist = dist.union(via)
             .groupBy(col("cluster"), col("x"), col("y"))
             .agg(min(col("dd")).as("dd"))
-            .localCheckpoint(true)
+            .stageCheckpoint(true)
         }
         val reach = dist.where(col("x") < col("y"))
           .groupBy(col("cluster"))
@@ -1071,7 +1072,7 @@ object DedupQueries {
           // at sf0.1 — guide §7.2 duplicated subtrees). The verified
           // pairs are the query's own result — caching them is
           // result-bounded at any scale; the sort reads the cache.
-          .localCheckpoint(false)
+          .stageCheckpoint(false)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH d AS (
@@ -1578,7 +1579,7 @@ object DedupQueries {
           // duplicated-subtree check). The surviving pairs are a
           // result-sized frame, so caching them is bounded at any
           // corpus size; the sort then reads the cache.
-          .localCheckpoint(false)
+          .stageCheckpoint(false)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH d AS (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
+import graft.ops.Tuning.StagedFrame
 
 /** Event-stream analytics over the `events` table (batch mirror of the
   * streaming operators in graft.streaming): tumbling/sliding windows,
@@ -1898,9 +1899,9 @@ object EventQueries {
         val b = Tables.load(s, dir, "orders")
           .select(col("o_custkey").cast("long").as("k"))
         val ca = a.groupBy(col("k")).agg(count(lit(1)).as("na"))
-          .localCheckpoint(true) // shared by exact + every width point
+          .stageCheckpoint(true) // shared by exact + every width point
         val cb = b.groupBy(col("k")).agg(count(lit(1)).as("nb"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val exact = ca.join(cb, "k")
           .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
           .head().getLong(0)
@@ -2379,7 +2380,7 @@ object EventQueries {
               .cast(DecimalType(10, 0)).as("x"),
             col("y"))
           // pairs + n_days both read it; the daily frame is bounded
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val b = daily.select(col("event_type").as("et_b"),
           col("x").as("xb"), col("y").as("yb"))
         val pairs = daily

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 import graft.ops.Relational
+import graft.ops.Tuning.StagedFrame
 
 /** Relational / ETL query registry (SURVEY §2.2–§2.5) over the
   * TPC-H-ish tables. Each query is the declarative plan you'd want at
@@ -467,7 +468,7 @@ object RelationalQueries {
         // scale, executor-local blocks, freed with the session cache.
         val rev = o.groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("rev"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val (_, bounds) = graft.ops.Quantile.exactQuantiles(rev, "rev",
           (1 to 9).map(_ / 10.0))
         val dAsc = bounds.map(b => when(col("rev") > lit(b), 1).otherwise(0))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.ops.Similarity
+import graft.ops.Tuning.StagedFrame
 
 /** Embedding-table operators: int8 quantization (storage), and
   * approximate-nearest-neighbor search — brute-force cosine top-k as
@@ -266,7 +267,7 @@ object SimilarityQueries {
         val exact = scored.withColumn("rank", row_number().over(w))
           .where(col("rank") <= TopK)
           .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint(true) // reused once per curve point
+          .stageCheckpoint(true) // reused once per curve point
         val nTrue = exact.count()
         val cents = raw.where(col("vec_id") < NumCells)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
@@ -810,7 +811,7 @@ object SimilarityQueries {
             lit(0.0), (a, v) => a + v).cast("long")
         val coded = e.select(col("vec_id") +:
           (0 until 8).map(wd => word(col("emb"), wd).as(s"c$wd")): _*)
-          .localCheckpoint(true) // 4 band branches re-read the codes
+          .stageCheckpoint(true) // 4 band branches re-read the codes
         val qc = coded.where(col("vec_id") < NumQueryVecs)
           .select(col("vec_id").as("query_id") +:
             (0 until 8).map(wd => col(s"c$wd").as(s"q$wd")): _*)
@@ -931,7 +932,7 @@ object SimilarityQueries {
             lit(0.0), (a, v) => a + v).cast("long")
         val coded = e.select(col("vec_id") +:
           (0 until 8).map(wd => word(col("emb"), wd).as(s"c$wd")): _*)
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val qc = coded.where(col("vec_id") < NumQueryVecs)
           .select(col("vec_id").as("query_id") +:
             (0 until 8).map(wd => col(s"c$wd").as(s"q$wd")): _*)
@@ -1837,7 +1838,7 @@ object SimilarityQueries {
         // so the corpus scan runs once, not once per round
         val pool = scored.withColumn("rn", row_number().over(wPool))
           .where(col("rn") <= MmrPool).drop("rn")
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val pa = pool.select(col("query_id"), col("neighbor_id").as("a_id"),
           col("emb").as("ea"), col("nrm").as("na"))
         val pb = pool.select(col("query_id").as("q2"),
@@ -1848,7 +1849,7 @@ object SimilarityQueries {
           .select(col("query_id"), col("a_id"), col("b_id"),
             round(cosineFromNorms(dotProduct(col("ea"), col("eb")),
               col("na"), col("nb")), 6).cast(dec6).as("sim"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val cand0 = pool.select(col("query_id"), col("neighbor_id"),
           col("rel"))
         val lam = expr("CAST(0.7 AS DECIMAL(2,1))")
@@ -1886,7 +1887,7 @@ object SimilarityQueries {
           // this the census showed 322 exchanges — each round re-derived
           // every prior round's selection subtree. The frame is
           // ≤ queries × k rows; the checkpoint is free.
-          selected = selected.unionByName(stepPick).localCheckpoint(true)
+          selected = selected.unionByName(stepPick).stageCheckpoint(true)
         }
         selected
           .select(col("query_id"), col("step"), col("neighbor_id"),

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
+import graft.ops.Tuning.StagedFrame
 
 /** Additional star-schema shapes (TPC-H Q4/Q6/Q8/Q12/Q14/Q19
   * adaptations over the driver's schema — the testdata lineitem has no
@@ -459,7 +460,7 @@ object StarQueries {
         val li = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val nOrders = li.select(countDistinct(col("ok"))).head().getLong(0)
         val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("np"))
         val pairs = li.as("a")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 import graft.ops.{Similarity, Text}
+import graft.ops.Tuning.StagedFrame
 
 /** Text-analysis query registry (pretraining-corpus signals over the
   * `documents` table): token counting, quality scoring, language-ID,
@@ -2034,7 +2035,7 @@ object TextQueries {
         val (lex, den) = retrievalPools(s, dir)
         val both = lex.join(den, col("doc_id") === col("vec_id"))
           .select(greatest(col("lex_rank"), col("vec_rank")).as("m"))
-          .localCheckpoint(true) // ≤ RrfPool rows, read twice
+          .stageCheckpoint(true) // ≤ RrfPool rows, read twice
         val counts = both.agg(
           count(lit(1)).as("n_both"),
           coalesce(sum(when(col("m") <= 10, 1L).otherwise(0L)), lit(0L))
@@ -2091,7 +2092,7 @@ object TextQueries {
                 col("lang") === col("qlang"), 2L)
               .when(col("source") === col("qsrc"), 1L)
               .otherwise(0L).as("rel"))
-          .localCheckpoint(true) // both legs + the ideal read it
+          .stageCheckpoint(true) // both legs + the ideal read it
         val (lex, den) = retrievalPools(s, dir)
         val lexRel = lex.where(col("lex_rank") <= 10)
           .join(rel, col("doc_id") === col("__rid"), "left")
@@ -2187,7 +2188,7 @@ object TextQueries {
             wordCount(col("text")).cast("long").as("nw"))
           .groupBy(col("source"), col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
-          .localCheckpoint(true) // bounded: sources × 10 rows, read twice
+          .stageCheckpoint(true) // bounded: sources × 10 rows, read twice
         val per = cell.groupBy(col("source"))
           .agg(sum(col("n_tokens")).as("src_tokens"))
         val tot = per.agg(sum(col("src_tokens")).as("total"))
@@ -2448,7 +2449,7 @@ object TextQueries {
           .withColumn("tok_kept",
             col("__nw0") - coalesce(col("__cut"), lit(0L)))
           .withColumn("__diff", expr("(__nc * 100) div __nw0"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val mix = graft.ops.Text.temperatureReweightCounts(
             pruned.groupBy(col("source"))
               .agg(count(lit(1)).as("n_docs"),
@@ -2926,7 +2927,7 @@ object TextQueries {
           .withColumn("mean_nll",
             round((col("s") / col("n_tokens")).cast(DecimalType(18, 8)), 6)
               .cast("double"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val glob = perSrc.agg(
           round((sum(col("s")) / sum(col("n_tokens")))
             .cast(DecimalType(18, 8)), 6).cast("double").as("g_nll"),
@@ -3002,7 +3003,7 @@ object TextQueries {
         val perSrc = scored.groupBy(col("source"))
           .agg(count(lit(1)).as("n_tokens"),
             sum(col("nlp").cast(DecimalType(18, 8))).as("s"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val glob = perSrc.agg(sum(col("s")).as("gs"),
           sum(col("n_tokens")).as("gn"))
         // quotients in DOUBLE from exact-decimal terms: engine decimal-
@@ -3080,7 +3081,7 @@ object TextQueries {
           .groupBy(col("score"))
           .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
             sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         // 2U keeps the tie term integral: U2 = Σ np·(2·above_nn + nn),
         // AUC = U2 / (2·tp·tn) — everything exact until one division
         val w = Window.orderBy(col("score"))
@@ -3298,7 +3299,7 @@ object TextQueries {
           // 2.95 → 2.54 s at sf0.1; the remainder is the multi-job
           // floor); at deploy scale the distinct hash frame would be
           // materialized once for the same reason
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val nd = tris.groupBy(col("source")).agg(count(lit(1)).as("nd"))
         val w = Window.partitionBy(col("source")).orderBy(col("h"))
         val sk = tris.withColumn("__rn", row_number().over(w))

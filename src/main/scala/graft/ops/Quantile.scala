@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Tuning.StagedFrame
 
 /** Exact distributed quantiles by iterative histogram bracketing.
   *
@@ -121,7 +122,7 @@ object Quantile {
       // pass re-evaluates the post-exchange window + aggregate chain
       // (the per-group sort is the function's dominant stage); the
       // report is <= |groups| rows, so caching it is free at any scale
-      .localCheckpoint(false)
+      .stageCheckpoint(false)
       .orderBy(col(groupCol))
   }
 
@@ -176,7 +177,7 @@ object Quantile {
       // pass re-evaluates the post-exchange window + aggregate chain
       // (the per-group sort is the function's dominant stage); the
       // report is <= |groups| rows, so caching it is free at any scale
-      .localCheckpoint(false)
+      .stageCheckpoint(false)
       .orderBy(col(groupCol))
   }
 
@@ -226,7 +227,7 @@ object Quantile {
     val cum = counts
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .localCheckpoint(false)
+      .stageCheckpoint(false)
     def pick(q: Double) = min(when(col("__cum") >= greatest(lit(1L),
       ceil(lit(q) * col("__n")).cast("long")), col("__v")))
     val bounds = cum.groupBy(col("__g"))
@@ -259,7 +260,7 @@ object Quantile {
       // pass re-evaluates the post-exchange window + aggregate chain
       // (the per-group sort is the function's dominant stage); the
       // report is <= |groups| rows, so caching it is free at any scale
-      .localCheckpoint(false)
+      .stageCheckpoint(false)
       .orderBy(col(groupCol))
   }
 
@@ -302,7 +303,7 @@ object Quantile {
     // shuffle. Blocks are executor-local and distinct-value-sized.
     val counts = clean.groupBy(col("__g"), col("__v"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     def medianOf(frame: DataFrame, vCol: String, out: String) = {
       val wCum = Window.partitionBy(col("__g")).orderBy(col(vCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -322,11 +323,11 @@ object Quantile {
     // mad two, each of which re-ran the respective median window from
     // the counts checkpoint (exchange reuse covers the exchange, not
     // the post-exchange window); both frames are <= |groups| rows
-    val med = medianOf(counts, "__v", "med").localCheckpoint(true)
+    val med = medianOf(counts, "__v", "med").stageCheckpoint(true)
     val devCounts = counts.join(med, "__g")
       .groupBy(col("__g"), abs(col("__v") - col("med")).as("__d"))
       .agg(sum(col("__c")).as("__c"))
-    val mad = medianOf(devCounts, "__d", "mad").localCheckpoint(true)
+    val mad = medianOf(devCounts, "__d", "mad").stageCheckpoint(true)
     val outliers = counts.join(med, "__g").join(mad, "__g")
       .groupBy(col("__g"))
       .agg(sum(when(col("mad") > 0 &&
@@ -339,7 +340,7 @@ object Quantile {
       // pass re-evaluates the post-exchange window + aggregate chain
       // (the per-group sort is the function's dominant stage); the
       // report is <= |groups| rows, so caching it is free at any scale
-      .localCheckpoint(false)
+      .stageCheckpoint(false)
       .orderBy(col(groupCol))
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
+import graft.ops.Tuning.StagedFrame
 
 /** The reference's classical (non-LLM) ETL operators, re-expressed as
   * declarative DataFrame transforms so Catalyst can prune/push/reorder.
@@ -662,7 +663,7 @@ object Relational {
       .agg(count(lit(1)).as("__n"),
         sum(col("__v").cast(dec)).as("__s"),
         sum((col("__v") * col("__v")).cast(dec)).as("__s2"))
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     val nD = col("__n").cast("double")
     val mean = col("__s").cast("double") / nD
     val sigma = sqrt(greatest(lit(0.0),
@@ -686,7 +687,7 @@ object Relational {
       .withColumn("__ideal", lit(budget.toDouble) * col("__share"))
       .withColumn("__base", floor(col("__ideal")).cast("long"))
       .withColumn("__rem", col("__ideal") - col("__base").cast("double"))
-      .localCheckpoint(true) // read twice: leftover total + the rank
+      .stageCheckpoint(true) // read twice: leftover total + the rank
     val wR = Window.orderBy(desc("__rem"), col("__g"))
     val quotas = alloc0
       .crossJoin(broadcast(alloc0.agg(sum(col("__base")).as("__sb"))))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
+import graft.ops.Tuning.StagedFrame
 
 /** One (node, cluster=min component id) row of a bucket-local CC —
   * top-level so the UDF return type has a stable encoder.
@@ -441,7 +442,7 @@ object Similarity {
       .where(col("__rn") <= col("__sz") -
         ceil(lit(threshold) * col("__sz").cast("double")).cast("long") + 1)
       .select(col("__w"), col("__id"), col("__sz"), col("__rn"))
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     // Size the two dense exchanges below by the stage's real work —
     // the candidate PROBE count Σ_w k_w² over the prefix postings —
     // not by bytes (AQE coalesced the ~2 MB postings to ONE partition:
@@ -1593,7 +1594,7 @@ object Similarity {
     // corpus × centroids argmax re-runs for each. Same discipline as
     // the PPJoin postings; at deploy scale the assignment would be
     // materialized to storage once for the same reason.
-    val cells = assignCells(e, centroids, idCol).localCheckpoint(true)
+    val cells = assignCells(e, centroids, idCol).stageCheckpoint(true)
     val removed = cosineDedupBlocked(cells, idCol, "cell", "__emb",
         minCos, maxBlockSize, subPlanes)
       .select(col("id_b").as("__rm")).distinct()
@@ -1659,7 +1660,7 @@ object Similarity {
       .withColumn("__nrm", vectorNorm(col("__emb")))
     // read three times (both pair legs + final flag join) — same
     // localCheckpoint discipline as semDedup
-    val cells = assignCells(e, centroids, idCol).localCheckpoint(true)
+    val cells = assignCells(e, centroids, idCol).stageCheckpoint(true)
     val blocked = cells.withColumn("__blk",
       when(count(lit(1)).over(Window.partitionBy(col("cell")))
           <= maxBlockSize, lit(-1L))
@@ -1717,7 +1718,7 @@ object Similarity {
     // read twice (pair leg + final flag join) — the semDedup
     // localCheckpoint discipline
     val batchCells = assignCells(prep(batch), centroids, idCol)
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     val combined = corpusCells
       .unionByName(batchCells.withColumn("__new", lit(1)))
     val blocked = combined.withColumn("__blk",

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
+import graft.ops.Tuning.StagedFrame
 
 /** Text-analysis operators for large-scale corpus pipelines: language
   * identification, quality scoring, token counting, fingerprinting.
@@ -551,7 +552,7 @@ object Text {
       .select(concat(lit("|"),
         array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
           "||"), lit("|")).as("s"), col("cnt"))
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     val symsOf = "split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')"
     var cur = vocab0
     val out = scala.collection.mutable.ArrayBuffer
@@ -586,7 +587,7 @@ object Text {
         }
         cur = cur
           .withColumn("s", expr(s"replace(s, '|$a||$b|', '|$a$b|')"))
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
         val nSyms = cur.select(explode(expr(symsOf)).as("sym"))
           .distinct().count()
         out += ((r, a, b, pc, nSyms))
@@ -635,7 +636,7 @@ object Text {
           .as("__h"))
       .where(col("__h") % sampleMod === 0)
       .distinct()
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("__n"))
     val shared = sg.as("a")
       .join(sg.as("b"), col("a.__h") === col("b.__h") &&
@@ -719,7 +720,7 @@ object Text {
     // localCheckpoint: three consumers (total, normalizer, final
     // select) read this O(sources) aggregate — without it each re-runs
     // the corpus scan. Blocks are executor-local and trivially small.
-    val per = per0.localCheckpoint(true)
+    val per = per0.stageCheckpoint(true)
     val tot = per.agg(sum(col("n_tokens")).as("__total"))
     val withP = per.crossJoin(broadcast(tot))
       .withColumn("actual_frac",
@@ -794,7 +795,7 @@ object Text {
     // difficulty), so the corpus scans twice (window pass + this
     // aggregate), never three times.
     val bt = df.groupBy(col(diffCol)).agg(sum(col(tokCol)).as("__bt"))
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     // bounded frame: one row per distinct integer difficulty value
     val wb = Window.orderBy(col(diffCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -851,7 +852,7 @@ object Text {
     val base = df.select(col(sliceCol).as("source"),
         explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .stageCheckpoint(true)
     val glob = base.groupBy(col("t")).agg(sum(col("c")).as("cg"))
     val topv = glob.orderBy(col("cg").desc, col("t")).limit(vocabK)
     val tots = base.groupBy(col("source")).agg(sum(col("c")).as("tot_s"))
