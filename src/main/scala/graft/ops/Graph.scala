@@ -691,7 +691,6 @@ object Graph {
     for (_ <- 1 to iters) {
       val nbr = e.join(l.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("lab"))
-        .repartition(col("node"))
       val cnt = nbr.groupBy(col("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
       l = root(cnt.groupBy(col("node"))
@@ -791,7 +790,6 @@ object Graph {
             lit(1L).as("c"), lit(0L).as("own"), lit(0L).as("p1t"))
         val tagged = nbr.unionAll(cur.select(col("node"), col("lab"),
           lit(0L).as("c"), lit(1L).as("own"), col("p1").as("p1t")))
-          .repartition(col("node"))
         val cnt = tagged.groupBy(col("node"), col("lab"))
           .agg(sum(col("c")).as("c"), max(col("own")).as("own"),
             max(col("p1t")).as("p1t"))
