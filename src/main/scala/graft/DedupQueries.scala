@@ -2072,7 +2072,12 @@ object DedupQueries {
     QueryDef("dedup_survival_curve",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        Similarity.dedupSurvivalCurve(curveAugmented(d), "doc_id", "text",
+        // staged once (r14 A/B): the survival sweep's per-threshold
+        // passes re-evaluated the 5-leg augmented-corpus union; the
+        // same staging was a wash for band_curve/param_plan (single
+        // sweep each), so it is applied only here (3.3 -> 2.2 s).
+        Similarity.dedupSurvivalCurve(curveAugmented(d).stageCheckpoint(true),
+          "doc_id", "text",
           SurvivalTenths, NumPerms, ShingleN, Bands, Rows, MaxBucketSize)
       },
       Some {
