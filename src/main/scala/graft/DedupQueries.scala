@@ -1542,7 +1542,7 @@ object DedupQueries {
           // (profiled 1.3 s on 1 task at sf0.1). Explode output size
           // is invisible to AQE's byte-based sizing — pin the
           // session's shuffle-partition count (guide §2.5).
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .repartition(graft.ops.Tuning.sessionShufflePartitions(s))
           .select(explode(Similarity.orderedPairs(col("__ids"))).as("__p"))
           .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
           .distinct()
@@ -1562,7 +1562,11 @@ object DedupQueries {
           // tasks). Hash-repartition on the pair key at the session's
           // shuffle-partition count (the scale knob a cluster tunes;
           // AQE honors the explicit count) restores full parallelism.
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          // (full session count is RIGHT here, unlike the r13 pins
+          // made work-derived in r14: the banded DP is ~50 CPU-s of
+          // real per-pair work — the one query whose c8/c32 scaling
+          // ratio is >1 — so it saturates any local task budget)
+          .repartition(graft.ops.Tuning.sessionShufflePartitions(s),
             col("id_a"), col("id_b"))
           // thresholded Levenshtein: banded O(len·k) DP with early
           // abandon (returns -1 past the threshold) instead of the

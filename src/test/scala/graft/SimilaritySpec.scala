@@ -204,6 +204,16 @@ class SimilaritySpec extends SparkSpec {
       val sig0 = rows.head.getSeq[Long](0)
       val expect = graft.streaming.MinHashLocal.signature(near1, 16, 5).get.toSeq
       assert(sig0 == expect)
+      // ADVICE r13: the gram-hash paths are load-bearing in
+      // Text.decontaminate / sourceOverlapMatrix — pin BOTH variants
+      // bit-for-bit to the interpreted kernel (and so to the SQL
+      // explode(wordNgrams)+hash60 convention the oracle mirrors)
+      assert(rows.head.getSeq[Long](1) ==
+        graft.streaming.MinHashLocal.shingleHashes(near1, 5).toSeq,
+        "distinct gram hashes diverged from the interpreted kernel")
+      assert(rows.head.getSeq[Long](2) ==
+        graft.streaming.MinHashLocal.shingleHashesAll(near1, 5).toSeq,
+        "non-distinct gram hashes diverged from the interpreted kernel")
     } finally {
       prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))
