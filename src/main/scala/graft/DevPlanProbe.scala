@@ -49,6 +49,18 @@ object DevPlanProbe {
         println(s"[probe] rawPairs=${rawPairs.count()} " +
           s"distinctPairs=${rawPairs.distinct().count()}")
         pre.limit(1)
+      case "repro" =>
+        val base = spark.range(1000)
+          .select((col("id") % 13).cast("string").as("__w"), col("id"))
+          .localCheckpoint(true)
+        val p = base.repartition(8, col("__w"))
+        val j1 = p.as("x").join(p.as("y"),
+          col("x.__w") === col("y.__w") && col("x.id") < col("y.id"))
+        println("--- no hint ---"); j1.explain()
+        val j2 = p.as("x").hint("merge").join(p.as("y").hint("merge"),
+          col("x.__w") === col("y.__w") && col("x.id") < col("y.id"))
+        println("--- merge hint ---"); j2.explain()
+        j2.limit(1)
       case other => sys.error(s"unknown probe: $other")
     }
     val t0 = System.nanoTime()

@@ -473,9 +473,14 @@ object Similarity {
     // broadcast threshold, so the planner broadcast-hash-joined the
     // self-join — a per-task relation probe that cannot happen at
     // corpus scale (no executor holds the postings) and, locally, a
-    // second independent exchange for the build leg. SMJ lets
-    // ReuseExchange build ONE exchange for both legs and is the same
-    // plan the 100 TB regime gets.
+    // second independent exchange for the build leg. SMJ is the same
+    // plan shape the 100 TB regime gets. Note (verified by plan dump,
+    // plans/r14/ppjoin_engine_after.txt): EnsureRequirements re-plans
+    // the two join-LEG exchanges to the session shuffle-partition
+    // count, overriding the explicit denseParts there — harmless
+    // (the legs carry ~0.25 MB of postings and the join stage
+    // measured 1.8 CPU-s); the load-bearing pairs/verify exchange
+    // below keeps the work-derived count.
     val pairs = preSpread.as("x").hint("merge")
       .join(preSpread.as("y").hint("merge"),
         col("x.__w") === col("y.__w") && col("x.__id") < col("y.__id") &&
